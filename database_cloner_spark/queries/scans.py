@@ -1,0 +1,132 @@
+"""§2.1 Scans / sources (SURVEY.md).
+
+The reference's scan surface: full-table dump scans (clone_databases.sh:209-210),
+catalog scans (:415,:426,:437), BSON document scans (:810), `:`-delimited
+credential records (:574,:972), and key=value config files (:62).
+
+Re-expressed Spark-first: parquet scan with pushdown; an engine-maintained
+catalog DataFrame; JSON document parsing via `get_json_object`; delimited
+and key=value parsing as pure column expressions (split/element_at), which
+stay inside whole-stage codegen — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load, table_names
+
+
+# --- q_scan_full: full-table scan (pg_dump analogue, CS:209-210) -----------
+
+_ORACLE_SCAN_FULL = """
+SELECT r_regionkey, r_name FROM region
+"""
+
+
+@register("q_scan_full", oracle=_ORACLE_SCAN_FULL, tier="C")
+def q_scan_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every row, every column — the dump scan. Splittable columnar read."""
+    return load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+# --- q_scan_catalog: catalog/metadata scan (pg_tables, CS:415) -------------
+
+_ORACLE_SCAN_CATALOG = """
+SELECT * FROM (VALUES
+  ('main', 'customer'), ('main', 'documents'), ('main', 'embeddings'),
+  ('main', 'events'), ('main', 'lineitem'), ('main', 'nation'),
+  ('main', 'orders'), ('main', 'part'), ('main', 'region'),
+  ('main', 'supplier')
+) AS t(schemaname, tablename)
+"""
+
+
+@register("q_scan_catalog", oracle=_ORACLE_SCAN_CATALOG, tier="C")
+def q_scan_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List tables of the namespace as a queryable DataFrame —
+    the engine's `pg_tables` (clone_databases.sh:415). Derived from the
+    at-rest directory listing, not hardcoded."""
+    names = table_names(sf_dir)
+    return spark.createDataFrame(
+        [("main", n) for n in names], "schemaname string, tablename string"
+    )
+
+
+# --- q_scan_document: nested-document scan (mongodump analogue, CS:810) ----
+
+_ORACLE_SCAN_DOCUMENT = """
+SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
+FROM events
+"""
+
+
+@register("q_scan_document", oracle=_ORACLE_SCAN_DOCUMENT, tier="C")
+def q_scan_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan documents with dynamic nested fields: the `events.props` JSON
+    column stands in for BSON documents (clone_databases.sh:810,:774).
+    `get_json_object` is JVM-side — no Python parse per row."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+# --- q_scan_delim: `:`-delimited record parse (CS:574, CS:972) -------------
+
+_ORACLE_SCAN_DELIM = """
+WITH rec AS (
+  SELECT c_name || ':' || c_mktsegment || ':' || CAST(c_custkey AS VARCHAR) AS line
+  FROM customer
+)
+SELECT
+  split_part(line, ':', 1) AS f_user,
+  split_part(line, ':', 2) AS f_role,
+  CAST(split_part(line, ':', 3) AS BIGINT) AS f_key
+FROM rec
+"""
+
+
+@register("q_scan_delim", oracle=_ORACLE_SCAN_DELIM, tier="C")
+def q_scan_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse `:`-separated credential-style records into typed fields
+    (the 5-field PG / 3-field Mongo formats, clone_databases.sh:574,:972).
+    The file-based path is sources/delimited.py; here the parse semantics
+    are exercised as codegen'd column expressions over testdata."""
+    cust = load(spark, sf_dir, "customer")
+    line = F.concat_ws(":", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey"))
+    parts = F.split(line, ":")
+    return cust.select(
+        parts.getItem(0).alias("f_user"),
+        parts.getItem(1).alias("f_role"),
+        parts.getItem(2).cast("bigint").alias("f_key"),
+    )
+
+
+# --- q_scan_kv_config: key=value config scan (CS:62, PC:6-45) --------------
+
+_ORACLE_SCAN_KV = """
+WITH conf AS (
+  SELECT n_name || '=' || CAST(n_nationkey AS VARCHAR) AS line FROM nation
+)
+SELECT
+  split_part(line, '=', 1) AS conf_key,
+  CAST(split_part(line, '=', 2) AS INTEGER) AS conf_value
+FROM conf
+"""
+
+
+@register("q_scan_kv_config", oracle=_ORACLE_SCAN_KV, tier="C")
+def q_scan_kv_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key=value config parsing (`source conf`, clone_databases.sh:62) as a
+    2-column DataFrame; split limited to the first '=' like the shell does."""
+    nat = load(spark, sf_dir, "nation")
+    line = F.concat_ws("=", F.col("n_name"), F.col("n_nationkey"))
+    kv = F.split(line, "=", 2)
+    return nat.select(
+        kv.getItem(0).alias("conf_key"),
+        kv.getItem(1).cast("int").alias("conf_value"),
+    )

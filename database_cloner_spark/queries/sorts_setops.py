@@ -1,0 +1,118 @@
+"""§2.6 sorts/limits/top-k and §2.7 set operations (SURVEY.md).
+
+Reference grounding: LIMIT-1 existence probes (clone_databases.sh:725,:728),
+work-list-ordered report records (:574-589), credential-record accumulation
+(:476,:887 -> :574,:972), and the [V]-tier source-minus-target diff the
+copy contract implies (:246,:817-818).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+_ORACLE_LIMIT_PROBE = """
+SELECT 1 AS probe FROM region LIMIT 1
+"""
+
+
+@register("q_limit_probe", oracle=_ORACLE_LIMIT_PROBE, tier="C")
+def q_limit_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT-1 existence probe (`listCollections limit:1`,
+    clone_databases.sh:725,:728). CollectLimit short-circuits the scan:
+    reads one row-group of one file regardless of table size."""
+    return load(spark, sf_dir, "region").select(F.lit(1).alias("probe")).limit(1)
+
+
+_ORACLE_SORT = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
+@register("q_sort", oracle=_ORACLE_SORT, tier="C")
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic report ordering (summary written in work-list order,
+    clone_databases.sh:574-589). Range-partitioned global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+
+
+_ORACLE_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+@register("q_topk", oracle=_ORACLE_TOPK, tier="X")
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: largest orders first (clone-scheduling at scale). Spark
+    compiles orderBy+limit to TakeOrderedAndProject — per-partition
+    heaps, no global sort, no full shuffle."""
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+_ORACLE_UNION = """
+SELECT c_name AS principal_name, 'owner' AS principal_role FROM customer
+UNION ALL
+SELECT s_name AS principal_name, 'app' AS principal_role FROM supplier
+"""
+
+
+@register("q_union_append", oracle=_ORACLE_UNION, tier="C")
+def q_union_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulate per-db credential records into one dataset — append then
+    read-all (clone_databases.sh:476,:887). unionByName is a zero-shuffle
+    concatenation of partitions."""
+    owners = load(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("principal_name"), F.lit("owner").alias("principal_role")
+    )
+    apps = load(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("principal_name"), F.lit("app").alias("principal_role")
+    )
+    return owners.unionByName(apps)
+
+
+_ORACLE_EXCEPT = """
+SELECT o_orderkey FROM orders
+EXCEPT
+SELECT l_orderkey AS o_orderkey FROM lineitem
+"""
+
+
+@register("q_except_diff", oracle=_ORACLE_EXCEPT, tier="V")
+def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-minus-target diff for clone verification: orders with no
+    lineitems ~ rows present only in the source (grounded in
+    clone_databases.sh:246 copy contract)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return orders.exceptAll(li.distinct()).distinct()
+
+
+_ORACLE_INTERSECT = """
+SELECT o_orderkey FROM orders
+INTERSECT
+SELECT l_orderkey AS o_orderkey FROM lineitem
+"""
+
+
+@register("q_intersect", oracle=_ORACLE_INTERSECT, tier="V")
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common rows present in both source and clone ([V] companion of
+    q_except_diff)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return orders.intersect(li)

@@ -1,0 +1,48 @@
+"""SparkSession factory.
+
+Single place that pins every config the correctness gate depends on
+(UTC session timezone, AQE, Arrow) and the local-mode sizing knobs.
+On a real cluster the same builder is used; only master/memory change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "database_cloner_spark", cpus: str | None = None) -> SparkSession:
+    """Build (or fetch) the session.
+
+    Settings rationale (100 TB posture, see SURVEY.md §4):
+    - AQE on: runtime join-strategy switch + skew-join splitting + partition
+      coalescing — the knobs that keep plans healthy when stats are off by 100x.
+    - shuffle.partitions sized to cores locally; on a cluster AQE coalesces
+      from a deliberately high initial number.
+    - UTC timezone: DuckDB oracle comparability AND cross-cluster determinism.
+    - Arrow enabled: every pandas_udf / toPandas crossing is columnar.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Driver testdata stores events.ts as TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects. Read nanos as raw longs; sources/parquet.py
+        # converts them back to timestamps (footer-driven, lossless at us).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

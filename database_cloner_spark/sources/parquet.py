@@ -1,0 +1,68 @@
+"""Parquet source — the engine's at-rest format.
+
+The reference's "full database scan" is `pg_dump` reading every row
+server-side (clone_databases.sh:209-210); our equivalent is a columnar
+parquet scan with Catalyst pushdown (filters + column pruning reach the
+footer/row-group level for free).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-generated star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — footer-only read."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Plain `spark.read.parquet` — no schema inference
+    cost (parquet is self-describing), pushdown-capable, splittable at
+    row-group granularity so a 100 TB table parallelizes to the cluster.
+
+    TIMESTAMP(NANOS) columns (rejected by Spark's reader) arrive as raw
+    nano longs via spark.sql.legacy.parquet.nanosAsLong and are converted
+    back here; sub-microsecond precision is truncated (testdata is
+    microsecond-granular, so lossless)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def table_names(sf_dir: str) -> list[str]:
+    """Tables present in a dataset directory (catalog scan of the at-rest
+    namespace — the parquet analogue of `pg_tables`, clone_databases.sh:415)."""
+    found = [
+        f[: -len(".parquet")]
+        for f in sorted(os.listdir(sf_dir))
+        if f.endswith(".parquet")
+    ]
+    return found
