@@ -7,4 +7,6 @@ from database_cloner_spark.queries import (  # noqa: F401
     filters,
     aggregates,
     sorts_setops,
+    scalar_funcs,
+    udfs,
 )
