@@ -9,4 +9,6 @@ from database_cloner_spark.queries import (  # noqa: F401
     sorts_setops,
     scalar_funcs,
     udfs,
+    joins,
+    windows,
 )

@@ -1,0 +1,243 @@
+"""§2.3 Joins.
+
+Reference grounding: skip-if-exists anti semantics (clone_databases.sh:
+227-231,:791-794), validate-exists semi semantics (:612-622,:715-765),
+and the [V]-tier inner/outer fidelity joins implied by the copy contract
+(:245-246,:817-818). [X]-tier: multiway star join, range join, as-of join.
+
+Join-strategy policy (the 100 TB posture):
+- dimension tables (region/nation, and catalog-sized sides generally) are
+  explicitly `F.broadcast` — no shuffle of the big side;
+- fact-fact joins shuffle on the join key and rely on AQE for
+  skew-splitting and SMJ/SHJ choice;
+- the as-of join is the union+carry-forward formulation (sort within
+  partition), NOT a non-equi join — a non-equi formulation explodes to
+  |A_u|x|B_u| pairs per key, the union form stays O(n log n) per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+_ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("q_join_anti", oracle=_ORACLE_ANTI, tier="C")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-if-exists (clone only targets NOT already present,
+    clone_databases.sh:227-231): left-anti join. Null-safe by
+    construction — unlike NOT IN, anti-join semantics ignore nulls."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_ORACLE_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("q_join_semi", oracle=_ORACLE_SEMI, tier="C")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validate-exists (source db must exist before cloning,
+    clone_databases.sh:612-622): left-semi join — no row duplication,
+    right side reduced to its key set before the probe."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ORACLE_INNER = """
+SELECT o_orderkey, c_name, ROUND(o_totalprice, 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+"""
+
+
+@register("q_join_inner", oracle=_ORACLE_INNER, tier="V")
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join on the clone key — row-matching the reference's
+    copy contract only asserts via TEMPLATE (clone_databases.sh:245-246)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_name", F.round("o_totalprice", 2).alias("total")
+    )
+
+
+_ORACLE_OUTER_DIFF = """
+SELECT
+  COALESCE(o.o_orderkey, l.l_orderkey) AS key,
+  (o.o_orderkey IS NULL)               AS only_in_clone,
+  (l.l_orderkey IS NULL)               AS only_in_source
+FROM orders o
+FULL OUTER JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+  ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IS NULL OR l.l_orderkey IS NULL
+"""
+
+
+@register("q_join_outer_diff", oracle=_ORACLE_OUTER_DIFF, tier="V")
+def q_join_outer_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer diff: keys present in exactly one side of source vs
+    clone — the row-level fidelity check the reference never performs
+    (grounded in clone_databases.sh:246)."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "full_outer")
+    return j.filter(
+        F.col("o_orderkey").isNull() | F.col("l_orderkey").isNull()
+    ).select(
+        F.coalesce("o_orderkey", "l_orderkey").alias("key"),
+        F.col("o_orderkey").isNull().alias("only_in_clone"),
+        F.col("l_orderkey").isNull().alias("only_in_source"),
+    )
+
+
+_ORACLE_BROADCAST = """
+SELECT c_custkey, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@register("q_join_broadcast", oracle=_ORACLE_BROADCAST, tier="V")
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension join: nation (25 rows) and region (5 rows) are
+    broadcast — the fact side never shuffles. At 100 TB this is the only
+    acceptable plan for catalog-sized dims."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+_ORACLE_MULTIWAY = """
+SELECT r_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@register("q_join_multiway", oracle=_ORACLE_MULTIWAY, tier="X")
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join (TPC-H-Q5 shape): fact-fact join shuffles on
+    the order key (AQE picks SMJ/SHJ + handles skew); customer then the
+    broadcast dims. Revenue per region."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_RANGE = """
+SELECT r_regionkey AS band_id,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS band_total
+FROM orders
+JOIN region
+  ON o_totalprice >= r_regionkey * 100000.0
+ AND o_totalprice <  (r_regionkey + 1) * 100000.0
+GROUP BY r_regionkey
+"""
+
+
+@register("q_join_range", oracle=_ORACLE_RANGE, tier="X")
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: order totalprice binned into bands defined by a
+    small dimension — broadcast nested-loop against 5 rows, so the scan
+    side streams once. (A fact-fact range join would instead bucketize
+    both sides and equi-join on bucket.)"""
+    orders = load(spark, sf_dir, "orders")
+    reg = load(spark, sf_dir, "region").select("r_regionkey")
+    lo = F.col("r_regionkey") * 100000.0
+    hi = (F.col("r_regionkey") + 1) * 100000.0
+    return (
+        orders.join(
+            F.broadcast(reg), (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+        )
+        .groupBy(F.col("r_regionkey").alias("band_id"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+        )
+    )
+
+
+_ORACLE_ASOF = """
+SELECT
+  p.event_id                                   AS purchase_id,
+  p.user_id                                    AS user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S')          AS purchase_ts,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S')          AS last_click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+
+@register("q_join_asof", oracle=_ORACLE_ASOF, tier="X")
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click of the same user
+    at-or-before it. Spark has no native ASOF; the scalable formulation
+    is union + sort-within-partition + carry-forward (last ignorenulls),
+    which is one shuffle on user_id and O(n log n) per user — never the
+    |purchases| x |clicks| blowup of a non-equi join."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        # clicks sort before purchases at identical ts => <= semantics
+        .orderBy("ts", F.when(F.col("event_type") == "click", 0).otherwise(1))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+    )

@@ -1,0 +1,114 @@
+"""§2.5 Window functions (all [X] — the reference has none; nearest
+analogues are the timestamp-ordered log CS:28 and latest-credentials-file
+naming CS:447, generalized here over the `events` table).
+
+Scale notes: every window here partitions by user_id (high cardinality),
+so state per partition is small and the single shuffle distributes evenly.
+Low-cardinality partition keys (e.g. event_type) would funnel 100 TB into
+5 tasks — deliberately avoided.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+_ORACLE_ROWNUM_DEDUP = """
+SELECT user_id, event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+@register("q_win_rownum_dedup", oracle=_ORACLE_ROWNUM_DEDUP, tier="X")
+def q_win_rownum_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — the 'latest credentials file per day'
+    pattern (clone_databases.sh:447,:556) generalized. row_number over a
+    desc-ts window, keep rank 1."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+
+
+_ORACLE_RANK = """
+SELECT n_name, c_custkey, ROUND(c_acctbal, 2) AS acctbal, rnk
+FROM (
+  SELECT n_name, c_custkey, c_acctbal,
+         rank() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rnk <= 3
+"""
+
+
+@register("q_win_rank", oracle=_ORACLE_RANK, tier="X")
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 spenders per nation: rank within group. The dimension join
+    is broadcast; the window shuffles once on n_name."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
+    )
+
+
+_ORACLE_LAG_GAP = """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS gap_us
+FROM events
+"""
+
+
+@register("q_win_lag_gap", oracle=_ORACLE_LAG_GAP, tier="X")
+def q_win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user: ts - lag(ts), in microseconds (BIGINT —
+    exact, no float drift)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return ev.select(
+        "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+
+
+_ORACLE_RUNNING_SUM = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+@register("q_win_running_sum", oracle=_ORACLE_RUNNING_SUM, tier="X")
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per user with an explicit ROWS frame. Both engines
+    fold in the same (ts, event_id) order, so doubles match bit-exact."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )

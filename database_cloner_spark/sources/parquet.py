@@ -53,7 +53,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     for c in _nanos_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+        # 53-bit mantissa, so float division would corrupt microseconds.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
