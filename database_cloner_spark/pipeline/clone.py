@@ -1,0 +1,212 @@
+"""The clone pipeline — the reference's main surface, Spark-first.
+
+Reference behavior re-expressed (clone_databases.sh entry points §3):
+- work list: comma-split + trim (:1025,:1030)
+- skip-if-exists idempotence guard (:227-231,:791-794)
+- optional timestamped backup before overwrite (:203-217,:768-781)
+- the clone itself: distributed read -> write with the namespace rename
+  applied IN the writer (single pass, like mongorestore --nsFrom/--nsTo,
+  :817-818 — never restore-then-rename)
+- principals/grants provisioning as metadata tables (:292-477)
+- verification: content fingerprints + write round-trip (stronger than
+  the reference's existence/connectivity probes, SURVEY.md tier [V])
+- credential summary + password reports + log (:554-609,:447-470,:24-34)
+- exit contract: success iff success_count == total_count (:1095-1103)
+
+Deliberate improvements over the reference for 100 TB:
+- PARALLEL per-table cloning (the reference is strictly sequential,
+  :1029-1084): tables are submitted as concurrent Spark jobs from a
+  thread pool, largest-first so the long pole starts immediately.
+- Zero driver staging (the reference's Mongo path round-trips the full
+  dataset through client disk, :805-818): executors stream source
+  row-groups straight to target files.
+- Content verification is a constant-memory distributed reduction, not a
+  row dump.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import SparkSession
+
+from database_cloner_spark.pipeline import principals as prin
+from database_cloner_spark.pipeline import reports, verify
+from database_cloner_spark.sources.parquet import load, table_names
+
+
+@dataclass
+class CloneConfig:
+    source_dir: str
+    target_dir: str
+    db_prefix: str = "clone_"
+    # Comma-separated work list (DATABASES_TO_CLONE, PC:22) or explicit list.
+    tables: str | list[str] | None = None
+    create_backup_before_clone: bool = False
+    backup_dir: str | None = None
+    parallelism: int = 8
+    verify_clone: bool = True
+    overwrite: bool = False  # False => skip-if-exists (reference semantics)
+    host: str = "pg-lb.internal"
+    port: int = 5432
+    seed: int = 42
+
+
+@dataclass
+class TableResult:
+    table: str
+    target_table: str
+    status: str  # cloned | skipped | failed
+    rows: int = 0
+    verified: bool | None = None
+    error: str | None = None
+
+
+@dataclass
+class CloneRunResult:
+    results: list[TableResult] = field(default_factory=list)
+    principals: list[prin.DbPrincipals] = field(default_factory=list)
+
+    @property
+    def success_count(self) -> int:
+        return sum(1 for r in self.results if r.status in ("cloned", "skipped"))
+
+    @property
+    def total_count(self) -> int:
+        return len(self.results)
+
+    @property
+    def ok(self) -> bool:
+        """Exit-code contract (clone_databases.sh:1095-1103)."""
+        return self.success_count == self.total_count and self.total_count > 0
+
+
+def _parse_worklist(tables: str | list[str] | None, source_dir: str) -> list[str]:
+    """Comma-split + whitespace-trim (clone_databases.sh:1025,:1030)."""
+    if tables is None:
+        return table_names(source_dir)
+    if isinstance(tables, str):
+        return [t.strip() for t in tables.split(",") if t.strip()]
+    return [t.strip() for t in tables]
+
+
+class ClonePipeline:
+    def __init__(self, spark: SparkSession, config: CloneConfig):
+        self.spark = spark
+        self.cfg = config
+        self.log = reports.LogSink(spark, os.path.join(config.target_dir, "_clone_log"))
+
+    # -- single table ------------------------------------------------------
+
+    def _target_path(self, table: str) -> str:
+        # Rename-in-writer: the prefix is applied to the sink name in the
+        # same pass as the copy (mongorestore --nsFrom/--nsTo semantics,
+        # clone_databases.sh:817-818).
+        return os.path.join(self.cfg.target_dir, f"{self.cfg.db_prefix}{table}.parquet")
+
+    def _backup(self, target_path: str, table: str) -> None:
+        """Timestamped snapshot before mutation (clone_databases.sh:203-217)."""
+        ts = datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+        backup_dir = self.cfg.backup_dir or os.path.join(self.cfg.target_dir, "_backups")
+        dst = os.path.join(backup_dir, f"{self.cfg.db_prefix}{table}_{ts}.parquet")
+        os.makedirs(backup_dir, exist_ok=True)
+        shutil.copytree(target_path, dst)
+
+    def _clone_table(self, table: str) -> TableResult:
+        tgt_name = f"{self.cfg.db_prefix}{table}"
+        tgt_path = self._target_path(table)
+        try:
+            # Idempotence guard (clone_databases.sh:227-231).
+            if os.path.exists(tgt_path) and not self.cfg.overwrite:
+                self.log.info(f"Database {tgt_name} already exists, skipping clone")
+                return TableResult(table, tgt_name, "skipped")
+            if os.path.exists(tgt_path) and self.cfg.create_backup_before_clone:
+                self._backup(tgt_path, table)
+
+            src = load(self.spark, self.cfg.source_dir, table)
+            src.write.mode("overwrite").parquet(tgt_path)
+
+            dst = self.spark.read.parquet(tgt_path)
+            verified: bool | None = None
+            if self.cfg.verify_clone:
+                # NOTE: dst is re-read, and events-style nanos columns were
+                # normalized to micros by load(); fingerprints compare the
+                # written content, so both sides go through the same path.
+                report = verify.verify_clone(src, dst)
+                verified = report["match"]
+                if not verified:
+                    return TableResult(
+                        table, tgt_name, "failed", rows=report["dst_rows"],
+                        verified=False, error=f"fingerprint mismatch: {report}",
+                    )
+            n = dst.count()
+            self.log.success(f"Successfully cloned {table} -> {tgt_name} ({n} rows)")
+            return TableResult(table, tgt_name, "cloned", rows=n, verified=verified)
+        except Exception as ex:  # noqa: BLE001 — per-db error isolation (CS:1057-1059)
+            self.log.error(f"Failed to clone {table}: {ex}")
+            return TableResult(table, tgt_name, "failed", error=str(ex))
+
+    # -- run ---------------------------------------------------------------
+
+    def run(self) -> CloneRunResult:
+        cfg = self.cfg
+        os.makedirs(cfg.target_dir, exist_ok=True)
+        work = _parse_worklist(cfg.tables, cfg.source_dir)
+
+        # Pre-flight: write round-trip on the target namespace — the
+        # reference's connectivity/write probe (clone_databases.sh:933-937).
+        if not verify.write_round_trip(self.spark, cfg.target_dir):
+            raise RuntimeError(f"target namespace {cfg.target_dir} failed write probe")
+
+        # Largest-first scheduling: the long pole starts immediately, so
+        # wall-clock ~ max(table) instead of sum(tail) (fixes CS:1029).
+        def size_of(t: str) -> int:
+            p = os.path.join(cfg.source_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                return sum(
+                    os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)
+                )
+            return os.path.getsize(p) if os.path.exists(p) else 0
+
+        work = sorted(work, key=size_of, reverse=True)
+
+        result = CloneRunResult()
+        with ThreadPoolExecutor(max_workers=cfg.parallelism) as pool:
+            for r in pool.map(self._clone_table, work):
+                result.results.append(r)
+
+        # Principals/grants for every successfully-present target db.
+        now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M:%S")
+        for r in result.results:
+            if r.status in ("cloned", "skipped"):
+                p = prin.make_principals(r.target_table, cfg.db_prefix, seed=cfg.seed)
+                result.principals.append(p)
+                reports.write_text_report(
+                    self.spark,
+                    reports.password_file_lines(p, cfg.host, cfg.port, now),
+                    os.path.join(cfg.target_dir, f"_passwords_{p.target_db}"),
+                )
+
+        # Metadata tables (queryable ACL model) + credential summary.
+        if result.principals:
+            prin.principals_df(self.spark, result.principals).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(cfg.target_dir, "_principals"))
+            prin.grants_df(self.spark, result.principals).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(cfg.target_dir, "_grants"))
+            reports.write_text_report(
+                self.spark,
+                reports.credential_summary_lines(result.principals, cfg.host, cfg.port, now),
+                os.path.join(cfg.target_dir, "_credential_summary"),
+            )
+
+        self.log.info(
+            f"Cloning process finished: {result.success_count}/{result.total_count} successful"
+        )
+        self.log.flush()
+        return result

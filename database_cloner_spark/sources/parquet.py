@@ -33,6 +33,11 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    if os.path.isdir(path):  # Spark-written dataset: read one part footer
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return []
+        path = os.path.join(path, sorted(parts)[0])
     schema = pq.read_schema(path)
     return [
         f.name
@@ -52,7 +57,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     microsecond-granular, so lossless)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
+    spark_types = dict(df.dtypes)
     for c in _nanos_timestamp_cols(path):
+        # Guard on the Spark-side type: INT96 files also look like ns to
+        # pyarrow, but Spark reads them as proper timestamps — only raw
+        # TIMESTAMP(NANOS) arrives as bigint (via nanosAsLong).
+        if spark_types.get(c) != "bigint":
+            continue
         # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
         # 53-bit mantissa, so float division would corrupt microseconds.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -1,0 +1,100 @@
+"""Round-trip tests for the clone pipeline (SURVEY.md §5.2 item 3):
+clone sf0.001 -> verify fingerprints -> idempotent second run -> reports.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from database_cloner_spark.pipeline import CloneConfig, ClonePipeline
+from database_cloner_spark.pipeline.verify import diff_counts, verify_clone
+from database_cloner_spark.sources.parquet import load
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def clone_run(spark, tmp_path_factory):
+    target = str(tmp_path_factory.mktemp("clone_target"))
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=target,
+        tables="region, nation, customer,supplier",  # messy CSV on purpose
+        parallelism=4,
+    )
+    result = ClonePipeline(spark, cfg).run()
+    return cfg, result
+
+
+def test_all_tables_cloned_and_verified(clone_run):
+    cfg, result = clone_run
+    assert result.ok
+    assert result.total_count == 4
+    assert {r.status for r in result.results} == {"cloned"}
+    assert all(r.verified for r in result.results)
+
+
+def test_clone_content_identical(spark, clone_run):
+    cfg, _ = clone_run
+    src = load(spark, SF, "customer")
+    dst = spark.read.parquet(os.path.join(cfg.target_dir, "clone_customer.parquet"))
+    assert diff_counts(src, dst) == (0, 0)
+    assert verify_clone(src, dst, deep=True)["match"]
+
+
+def test_second_run_is_idempotent_skip(spark, clone_run):
+    cfg, _ = clone_run
+    result2 = ClonePipeline(spark, cfg).run()
+    assert result2.ok
+    assert {r.status for r in result2.results} == {"skipped"}
+
+
+def test_principals_and_grants_metadata(spark, clone_run):
+    cfg, result = clone_run
+    pdf = spark.read.parquet(os.path.join(cfg.target_dir, "_principals"))
+    gdf = spark.read.parquet(os.path.join(cfg.target_dir, "_grants"))
+    # Reference naming fidelity (clone_databases.sh:303-316).
+    users = {r.user_name for r in pdf.collect()}
+    assert "clone_region_user_owner" in users
+    assert "clone_region_user" in users
+    app_privs = {
+        r.privilege
+        for r in gdf.filter(
+            (gdf.role_name == "app_role_clone_region") & (gdf.object_kind == "tables")
+        ).collect()
+    }
+    assert app_privs == {"SELECT", "INSERT", "UPDATE", "DELETE"}
+    owner_db_privs = {
+        r.privilege
+        for r in gdf.filter(
+            (gdf.role_name == "owner_role_clone_region") & (gdf.object_kind == "database")
+        ).collect()
+    }
+    assert owner_db_privs == {"CONNECT", "TEMPORARY", "CREATE"}
+
+
+def test_reports_written(spark, clone_run):
+    cfg, result = clone_run
+    summary = spark.read.text(os.path.join(cfg.target_dir, "_credential_summary"))
+    text = "\n".join(r.value for r in summary.collect())
+    assert "Credential Summary" in text
+    for p in result.principals:
+        assert p.target_db in text
+    log = spark.read.parquet(os.path.join(cfg.target_dir, "_clone_log"))
+    assert log.filter(log.level == "SUCCESS").count() >= 4
+
+
+def test_failed_table_isolated(spark, tmp_path):
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=str(tmp_path / "t"),
+        tables="region,nope_missing_table",
+        parallelism=2,
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert not result.ok
+    by_name = {r.table: r for r in result.results}
+    assert by_name["region"].status == "cloned"
+    assert by_name["nope_missing_table"].status == "failed"
