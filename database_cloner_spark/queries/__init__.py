@@ -11,4 +11,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     udfs,
     joins,
     windows,
+    streaming_batch,
 )

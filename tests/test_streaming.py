@@ -1,0 +1,136 @@
+"""Structured Streaming execution tests: the same transforms the oracle
+validates in batch, driven incrementally through readStream + memory
+sink (file micro-batches, processAllAvailable)."""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from database_cloner_spark.sources import load
+from database_cloner_spark.streaming import events_stream, ops
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(sdf, name: str, mode: str = "complete"):
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_streaming_tumbling_matches_batch(spark):
+    stream = events_stream(spark, SF)
+    name = _run_to_memory(ops.tumbling_counts(stream), f"t_{uuid.uuid4().hex[:8]}")
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in ops.tumbling_counts(load(spark, SF, "events")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_matches_batch(spark):
+    stream = events_stream(spark, SF)
+    name = _run_to_memory(ops.session_aggregate(stream), f"s_{uuid.uuid4().hex[:8]}")
+    got = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): (r.n_events, r.sum_value)
+        for r in ops.session_aggregate(load(spark, SF, "events")).collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    # Two micro-batches with overlapping event_ids: the second batch's
+    # duplicates must be dropped by the keyed state.
+    src_dir = str(tmp_path / "stream_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events").limit(100)
+    raw = ev.withColumn("ts", F.unix_micros("ts") * 1000)  # back to nanos longs
+    raw.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "batch1.parquet"))
+
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = ops.dedup_events(stream, within_watermark=True)
+    name = f"d_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    n1 = spark.sql(f"SELECT count(*) n FROM {name}").collect()[0].n
+    # second batch = same rows again (at-least-once replay)
+    raw.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "batch2.parquet"))
+    q.processAllAvailable()
+    n2 = spark.sql(f"SELECT count(*) n FROM {name}").collect()[0].n
+    q.stop()
+    assert n1 == 100
+    assert n2 == 100  # replayed duplicates dropped by keyed state
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    # Batch 1 advances the watermark far ahead; batch 2 is entirely
+    # before (max_ts - tolerance) and must not create/extend windows.
+    src_dir = str(tmp_path / "late_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events")
+    on_time = ev.filter(F.col("ts") >= F.lit("2024-01-20").cast("timestamp"))
+    late = ev.filter(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(on_time).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = ops.with_watermark_filter(stream, tolerance="10 minutes")
+    name = f"w_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    rows1 = spark.sql(f"SELECT * FROM {name}").collect()
+    as_raw(late).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows2 = spark.sql(f"SELECT * FROM {name}").collect()
+    q.stop()
+    starts1 = {r.window_start for r in rows1}
+    starts2 = {r.window_start for r in rows2}
+    assert starts1  # on-time windows exist
+    # no new (pre-Jan-05) windows appeared after the late batch
+    assert not {s for s in starts2 if s < "2024-01-05"}
