@@ -1,0 +1,236 @@
+"""Deduplication operators.
+
+Five escalating strategies, each with its 100 TB story:
+
+- exact: normalize -> groupBy(text). One shuffle on the text hash; at
+  scale, group on xxhash64(text) first so the shuffle key is 8 bytes,
+  not the document.
+- shingle Jaccard (exact near-dup): explode shingles -> equi-join on
+  shingle -> per-pair intersection counts. Never materializes the
+  O(n^2) pair matrix — only pairs sharing >=1 shingle, weighted by
+  shingle frequency. Hot shingles (stopword runs) are the skew risk:
+  cap or drop shingles with document-frequency above a bound.
+- MinHash + LSH: fixed-size signatures (64 perms) replace the shingle
+  sets, banding turns near-dup search into an equi-join on
+  (band_id, band_hash) — the only formulation that scales to billions
+  of docs. Candidates are verified with exact Jaccard.
+- SimHash: one 64-bit signature per doc; near-dups = hamming <= k,
+  found by pigeonhole banding (4x16-bit chunks).
+- embedding cosine: semantic near-dup over the embeddings table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from database_cloner_spark.llm.textprep import normalized, shingles
+
+# --- exact -----------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One surviving doc_id per normalized text + multiplicity."""
+    return (
+        docs.select(F.col("doc_id"), normalized(F.col(text_col)).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "norm_text", "n_copies")
+    )
+
+
+# --- exact shingle Jaccard -------------------------------------------------
+
+
+def shingle_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.4, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """All pairs with shingle-Jaccard >= threshold, via explode+join
+    (no cross product)."""
+    sh = docs.select(
+        "doc_id", shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+N_PERM = 64
+LSH_ROWS = 2  # rows per band
+N_BANDS = N_PERM // LSH_ROWS
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """64-perm MinHash signature per doc. Each 'permutation' is
+    xxhash64(shingle, seed_i); the signature is the per-seed minimum —
+    all higher-order JVM functions, no Python."""
+    sh = docs.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
+        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
+    )
+    return sh.filter(F.size("sh") > 0).select("doc_id", "sh", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
+    """LSH banding (32 bands x 2 rows): candidate pairs share at least
+    one band hash; candidates are then verified with EXACT Jaccard on
+    the shingle arrays (cheap: candidates only). P(candidate | s=0.4)
+    = 1-(1-0.4^2)^32 ~ 0.996."""
+    sigs = minhash_signatures(docs, n)
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda b: F.xxhash64(
+            F.element_at(F.col("sig"), b * LSH_ROWS + 1),
+            F.element_at(F.col("sig"), b * LSH_ROWS + 2),
+        ),
+    )
+    banded = sigs.select(
+        "doc_id", "sh", F.posexplode(bands).alias("band_id", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        candidates.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: per-token xxhash64, each bit votes +-1
+    weighted by occurrence; sign of the vote is the signature bit.
+    Implemented as 64 conditional-sum aggregates after an explode —
+    partial aggregation keeps the shuffle at 64 longs per doc."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= k via pigeonhole banding:
+    split the 64-bit signature into 4 x 16-bit chunks; any pair within
+    hamming 3 must agree on >= 1 chunk, so candidates come from an
+    equi-join on (chunk_idx, chunk_value)."""
+    sigs = simhash(docs, text_col)
+    # shiftright needs a literal bit count -> build the 4-chunk array at
+    # the Python level, not with a sequence lambda.
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    chunked = sigs.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a = chunked.alias("a")
+    b = chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """Semantic near-dups: cosine >= threshold over normalized vectors.
+    Brute-force all-pairs here (correctness baseline); the scale path is
+    the IVF/LSH bucketing in llm/similarity.py — join within buckets
+    instead of the full cross product."""
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    e = embs.select(
+        "vec_id", F.col("embedding").alias("v"), norm.alias("nrm")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,113 @@
+"""Similarity search over the embeddings table.
+
+- brute-force cosine top-k: the correctness baseline; one pass, no
+  shuffle beyond the final TakeOrdered. At 100 TB this is a full scan
+  per probe — fine for batch scoring, wrong for interactive lookup.
+- IVF (inverted-file) top-k: the scale path. Vectors are assigned to
+  the nearest of K centroids once (one shuffle, reusable); a probe
+  searches only the nprobe nearest cells, cutting the scanned fraction
+  to ~nprobe/K with recall controlled by nprobe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def probe_vector(embs: DataFrame, probe_id: int = 0) -> DataFrame:
+    """1-row probe DataFrame (broadcast into the scoring scan)."""
+    return embs.filter(F.col("vec_id") == probe_id).select(
+        F.col("embedding").alias("probe")
+    )
+
+
+def brute_force_topk(embs: DataFrame, probe: DataFrame, k: int = 10) -> DataFrame:
+    """Exact cosine top-k vs one probe vector. The probe is a broadcast
+    cross join (1 row); ranking is TakeOrderedAndProject — per-partition
+    heaps, no global sort."""
+    cos = _dot(F.col("embedding"), F.col("probe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("probe"))
+    )
+    return (
+        embs.crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def ivf_assign(embs: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Assign every vector to its nearest centroid. Centroids are the
+    first n_cells vectors (deterministic seeding — a k-means refinement
+    would drop in here without changing the query shape). Output is the
+    reusable inverted file: (cell_id, vec_id, embedding)."""
+    cents = (
+        embs.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    scored = embs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        (
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (_norm(F.col("embedding")) * _norm(F.col("centroid")))
+        ).alias("sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell_id", "vec_id", "embedding")
+    )
+
+
+def ivf_topk(
+    embs: DataFrame, probe: DataFrame, k: int = 10, n_cells: int = 16, nprobe: int = 4
+) -> DataFrame:
+    """IVF search: rank cells by probe-centroid similarity, scan only the
+    top nprobe cells, exact cosine within them."""
+    inverted = ivf_assign(embs, n_cells)
+    cents = (
+        embs.filter(F.col("vec_id") < n_cells)
+        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+    )
+    cell_rank = (
+        cents.crossJoin(F.broadcast(probe))
+        .select(
+            "cell_id",
+            (
+                _dot(F.col("centroid"), F.col("probe"))
+                / (_norm(F.col("centroid")) * _norm(F.col("probe")))
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    candidates = inverted.join(F.broadcast(cell_rank), "cell_id")
+    cos = _dot(F.col("embedding"), F.col("probe")) / (
+        _norm(F.col("embedding")) * _norm(F.col("probe"))
+    )
+    return (
+        candidates.crossJoin(F.broadcast(probe))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cosine", 4).alias("cosine"))
+    )

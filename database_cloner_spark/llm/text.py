@@ -1,0 +1,140 @@
+"""Text-analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+Cross-engine determinism rules: no transcendentals (exp/log differ at
+the last bit across libm implementations), integer/rational arithmetic
+only, explicit rounding at the output edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from database_cloner_spark.llm.textprep import tokens
+
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+# Polynomial rolling-hash parameters (shared with the DuckDB oracle —
+# both engines compute sum(ascii(ch_j) * B^j mod M) in int64, identical
+# bit-for-bit).
+FP_BASE = 257
+FP_MOD = 1_000_000_007
+FP_K = 8  # k-gram length in characters
+FP_POWS = [pow(FP_BASE, j, FP_MOD) for j in range(FP_K)]
+
+
+def token_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Corpus token frequencies, top-N (deterministic tie-break on token)."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(top_n)
+    )
+
+
+def lang_stats(docs: DataFrame) -> DataFrame:
+    """Per-language document stats."""
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.size(tokens(F.col("text")))), 2).alias("avg_tokens"),
+        )
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Heuristic quality scoring (length / stopword ratio / vocabulary
+    diversity) — rational arithmetic only, reproducible everywhere."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*STOPWORDS))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    quality = 0.5 * length_score + 0.3 * (1 - stop_ratio) + 0.2 * distinct_ratio
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def _trigrams(col):
+    """Distinct character trigrams of a string column."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(0))),
+            lambda i: col.substr(i, F.lit(3)),
+        )
+    )
+
+
+def language_id(docs: DataFrame, profile_size: int = 40) -> DataFrame:
+    """N-gram-heuristic language ID: build per-language character-trigram
+    profiles from a labeled corpus (here: the documents table itself),
+    then classify each doc by profile overlap. Two phases, both set
+    joins — the profile is tiny and broadcast. Deterministic tie-breaks
+    throughout (count desc, trigram asc / score desc, lang asc)."""
+    tri = docs.select(
+        "doc_id", "lang", F.explode(_trigrams(F.col("text"))).alias("tg")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
+    profiles = (
+        tri.groupBy("lang", "tg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= profile_size)
+        .select(F.col("lang").alias("profile_lang"), "tg")
+    )
+    scored = (
+        tri.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang", "profile_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w2 = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("lang").alias("actual_lang"),
+            F.col("profile_lang").alias("predicted_lang"),
+            "score",
+        )
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: minimum polynomial rolling hash over all
+    8-char-grams + distinct-gram count. The hash is engine-agnostic
+    (explicit int64 arithmetic), unlike xxhash64, so the DuckDB oracle
+    reproduces it exactly."""
+    text = F.col("text")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (FP_K - 1), F.lit(0))),
+        lambda i: text.substr(i, F.lit(FP_K)),
+    )
+    def polyhash(g):
+        terms = F.transform(
+            F.sequence(F.lit(1), F.lit(FP_K)),
+            lambda j: F.ascii(g.substr(j, F.lit(1))).cast("long")
+            * F.element_at(F.array(*[F.lit(p).cast("long") for p in FP_POWS]), j),
+        )
+        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % FP_MOD
+
+    hashes = F.transform(grams, polyhash)
+    return docs.select(
+        "doc_id",
+        F.array_min(hashes).alias("fp_min_hash"),
+        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+    )

@@ -12,4 +12,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     joins,
     windows,
     streaming_batch,
+    llm_ops,
 )

@@ -1,0 +1,237 @@
+"""§2.11 LLM-data-pipeline operators — registry entries + oracles.
+
+Oracle policy: operators whose output embeds engine-specific hashes
+(MinHash/SimHash signatures use xxhash64, which DuckDB lacks) are
+rows-only here and verified against ground truth in tests/test_llm.py
+(recall/precision vs the exact operator). Everything hash-free gets a
+full DuckDB oracle, including the fingerprint operator, whose rolling
+hash is explicit int64 arithmetic reproduced identically in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_cloner_spark.llm import dedup, similarity, text as llmtext
+from database_cloner_spark.llm.multimodal import assets_from_documents
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+_ORACLE_DEDUP_EXACT = """
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT MIN(doc_id) AS doc_id,
+       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+       COUNT(*) AS n_copies
+FROM doubled
+GROUP BY 2
+"""
+
+
+@register("q_dedup_exact", oracle=_ORACLE_DEDUP_EXACT, tier="X")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a doubled corpus (simulating re-crawled docs):
+    one survivor per normalized text, multiplicity 2 everywhere."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dedup(doubled)
+
+
+_ORACLE_DEDUP_FUZZY = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      / (len(a.shingles) + len(b.shingles)
+         - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+"""
+
+
+@register("q_dedup_fuzzy", oracle=_ORACLE_DEDUP_FUZZY, tier="X")
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.4 via
+    explode+join (the oracle brute-forces the same definition)."""
+    return dedup.shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_minhash", oracle=None, tier="X")
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: signatures use xxhash64;
+    recall/precision vs q_dedup_fuzzy asserted in tests/test_llm.py)."""
+    return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+
+
+@register("q_dedup_simhash", oracle=None, tier="X")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 3 (rows-only; properties
+    asserted in tests)."""
+    return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
+         AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+@register("q_dedup_embedding", oracle=_ORACLE_DEDUP_EMBEDDING, tier="X")
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force baseline)."""
+    return dedup.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
+
+
+_ORACLE_SIM_TOPK = """
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_inner_product(embedding::DOUBLE[], p::DOUBLE[])
+             / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_inner_product(p::DOUBLE[], p::DOUBLE[]))), 4) AS cosine
+FROM embeddings, probe
+ORDER BY list_inner_product(embedding::DOUBLE[], p::DOUBLE[])
+         / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_inner_product(p::DOUBLE[], p::DOUBLE[]))) DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("q_sim_topk", oracle=_ORACLE_SIM_TOPK, tier="X")
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cosine neighbors of vec 0 — exact brute force."""
+    embs = load(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(embs, similarity.probe_vector(embs))
+
+
+@register("q_sim_ivf_topk", oracle=None, tier="X")
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 (nprobe=4 of 16 cells) — the scale path; recall vs
+    brute force asserted in tests/test_llm.py."""
+    embs = load(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(embs, similarity.probe_vector(embs))
+
+
+_ORACLE_TEXT_TOKENS = """
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT 20
+"""
+
+
+@register("q_text_tokens", oracle=_ORACLE_TEXT_TOKENS, tier="X")
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus tokens by frequency."""
+    return llmtext.token_stats(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_LANG_STATS = """
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars,
+       ROUND(AVG(len(string_split(trim(text), ' '))), 2) AS avg_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+@register("q_text_lang_stats", oracle=_ORACLE_LANG_STATS, tier="X")
+def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document statistics."""
+    return llmtext.lang_stats(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_TEXT_QUALITY = """
+WITH t AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+)
+SELECT doc_id,
+  len(ts) AS n_tokens,
+  ROUND(len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts), 4)
+    AS stopword_ratio,
+  ROUND(len(list_distinct(ts))::DOUBLE / len(ts), 4) AS distinct_ratio,
+  ROUND(0.5 * least(len(ts) / 50.0, 1.0)
+        + 0.3 * (1 - len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts))
+        + 0.2 * (len(list_distinct(ts))::DOUBLE / len(ts)), 4) AS quality
+FROM t
+"""
+
+
+@register("q_text_quality", oracle=_ORACLE_TEXT_QUALITY, tier="X")
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scores (length/stopword/diversity)."""
+    return llmtext.quality_scores(load(spark, sf_dir, "documents"))
+
+
+@register("q_text_langid", oracle=None, tier="X")
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram-profile language ID (rows-only: two-phase
+    profile build + classify; determinism asserted in tests)."""
+    return llmtext.language_id(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_FINGERPRINT = f"""
+WITH grams AS (
+  SELECT doc_id,
+         [text[i:i+{llmtext.FP_K - 1}] for i in range(1, len(text) - {llmtext.FP_K - 2})] AS gs
+  FROM documents
+)
+SELECT doc_id,
+  list_min(list_transform(gs, g ->
+    list_sum([ascii(g[j:j])::BIGINT * ([{", ".join(str(p) for p in llmtext.FP_POWS)}]::BIGINT[])[j]
+              for j in range(1, {llmtext.FP_K + 1})]) % {llmtext.FP_MOD})) AS fp_min_hash,
+  len(list_distinct(gs)) AS n_distinct_grams
+FROM grams
+"""
+
+
+@register("q_text_fingerprint", oracle=_ORACLE_FINGERPRINT, tier="X")
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (engine-agnostic polynomial
+    hash — the oracle reproduces it bit-for-bit in SQL)."""
+    return llmtext.fingerprints(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS asset_id,
+       (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       left(hex(encode(text)), 8) AS magic
+FROM documents
+"""
+
+
+@register("q_multimodal_meta", oracle=_ORACLE_MULTIMODAL_META, tier="X")
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads: filters/pruning happen
+    on this struct BEFORE any decode at scale."""
+    assets = assets_from_documents(load(spark, sf_dir, "documents"))
+    return assets.select(
+        "asset_id",
+        "media_type",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.magic").alias("magic"),
+    )
