@@ -34,6 +34,12 @@ HEADLINE = [
     "q_union_append",
     "q_except_diff",
     "q_scan_document",
+    "q_join_multiway",
+    "q_join_asof",
+    "q_win_rownum_dedup",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_sim_topk",
 ]
 
 

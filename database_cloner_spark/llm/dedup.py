@@ -80,31 +80,57 @@ N_BANDS = N_PERM // LSH_ROWS
 
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """64-perm MinHash signature per doc. Each 'permutation' is
-    xxhash64(shingle, seed_i); the signature is the per-seed minimum —
-    all higher-order JVM functions, no Python."""
-    sh = docs.select("doc_id", shingles(F.col(text_col), n).alias("sh"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(N_PERM - 1)),
-        lambda i: F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(s, i))),
+    xxhash64(shingle, seed_i); the signature is the per-seed minimum.
+
+    Computed by exploding shingles to rows and taking 64 plain `min`
+    aggregates over codegen'd xxhash64 columns — NOT via nested
+    higher-order-function lambdas, which are interpreted per element
+    (measured 30x slower at sf0.1). The explode stays cheap because each
+    row is (doc_id, shingle); partial aggregation combines to per-doc
+    mins map-side before the shuffle."""
+    sh = _shingle_sets(docs, n, text_col)
+    mins = _minhash_min_columns(sh)
+    sig = F.array(*[F.col(f"m{i}") for i in range(N_PERM)])
+    return sh.join(mins, "doc_id").select("doc_id", "sh", sig.alias("sig"))
+
+
+def _shingle_sets(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    return docs.select("doc_id", shingles(F.col(text_col), n).alias("sh")).filter(
+        F.size("sh") > 0
     )
-    return sh.filter(F.size("sh") > 0).select("doc_id", "sh", sig.alias("sig"))
+
+
+def _minhash_min_columns(sh: DataFrame) -> DataFrame:
+    """(doc_id, m0..m63) — one codegen'd min-hash column per permutation."""
+    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    return tok.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(N_PERM)]
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
     """LSH banding (32 bands x 2 rows): candidate pairs share at least
     one band hash; candidates are then verified with EXACT Jaccard on
     the shingle arrays (cheap: candidates only). P(candidate | s=0.4)
-    = 1-(1-0.4^2)^32 ~ 0.996."""
-    sigs = minhash_signatures(docs, n)
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-        lambda b: F.xxhash64(
-            F.element_at(F.col("sig"), b * LSH_ROWS + 1),
-            F.element_at(F.col("sig"), b * LSH_ROWS + 2),
-        ),
+    = 1-(1-0.4^2)^32 ~ 0.996.
+
+    Scale shape: the band self-join and the pair-dedup move only bare
+    (doc_a, doc_b) ids — 16 bytes/row — and the shingle arrays are
+    fetched AFTER dedup via two equi-joins back to the signature table,
+    so the wide payload is shuffled once per surviving candidate, never
+    per band collision."""
+    sh = _shingle_sets(docs, n, text_col="text")
+    mins = _minhash_min_columns(sh)
+    # Band directly off the min columns — the shingle arrays never enter
+    # the banding/join branch of the plan.
+    bands = F.array(
+        *[
+            F.xxhash64(*[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+            for b in range(N_BANDS)
+        ]
     )
-    banded = sigs.select(
-        "doc_id", "sh", F.posexplode(bands).alias("band_id", "band_hash")
+    banded = mins.select(
+        "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -118,15 +144,28 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    shingle_sets = sh
+    verified = (
+        candidates.join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            shingle_sets.select(
+                F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+            ),
+            "doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        candidates.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
