@@ -25,6 +25,28 @@ FP_K = 8  # k-gram length in characters
 FP_POWS = [pow(FP_BASE, j, FP_MOD) for j in range(FP_K)]
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to constructs RE2
+# (DuckDB) and java.util.regex (Spark) evaluate identically: contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# No lookahead (RE2 lacks it), no \p classes (ASCII corpus).
+BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_token_counts(docs: DataFrame) -> DataFrame:
+    """Per-doc token counts under two tokenizers: bare whitespace and the
+    BPE-ish regex pre-tokenizer (the LLM-training-relevant count). Both
+    are single-pass codegen expressions — at 100 TB this is a pure
+    map-side op, no shuffle at all."""
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PATTERN), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("n_tokens_ws"),
+        bpe.alias("n_tokens_bpe"),
+        F.round(bpe.cast("double") / ws, 4).alias("bpe_per_word"),
+    )
+
+
 def token_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
     """Corpus token frequencies, top-N (deterministic tie-break on token)."""
     return (

@@ -149,6 +149,25 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.token_stats(load(spark, sf_dir, "documents"))
 
 
+_BPE_SQL = llmtext.BPE_PATTERN.replace("'", "''")
+
+_ORACLE_TOKENS_RE = f"""
+SELECT doc_id,
+       len(string_split(trim(text), ' ')) AS n_tokens_ws,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
+       ROUND(len(regexp_extract_all(text, '{_BPE_SQL}'))::DOUBLE
+             / len(string_split(trim(text), ' ')), 4) AS bpe_per_word
+FROM documents
+"""
+
+
+@register("q_text_tokens_re", oracle=_ORACLE_TOKENS_RE, tier="X")
+def q_text_tokens_re(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc whitespace vs BPE-ish-regex token counts (GPT-2-style
+    pre-tokenizer restricted to RE2/Java-identical constructs)."""
+    return llmtext.bpe_token_counts(load(spark, sf_dir, "documents"))
+
+
 _ORACLE_LANG_STATS = """
 SELECT lang, COUNT(*) AS n_docs,
        ROUND(AVG(n_chars), 2) AS avg_chars,

@@ -115,3 +115,19 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     doubled = ev.unionByName(ev)
     return ops.dedup_events(doubled)
+
+
+_ORACLE_STATEFUL_TOTALS = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q_stream_stateful_totals", oracle=_ORACLE_STATEFUL_TOTALS, tier="X")
+def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals — batch twin of the custom
+    applyInPandasWithState operator (streaming/ops.py:
+    user_running_totals_stream); stream-equals-batch is asserted in
+    tests/test_streaming.py."""
+    return ops.user_running_totals_batch(load(spark, sf_dir, "events"))

@@ -72,6 +72,57 @@ def with_watermark_filter(events: DataFrame, tolerance: str = "10 minutes") -> D
     )
 
 
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
+_RUNNING_STATE_SCHEMA = "n long, s double"
+
+
+def user_running_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum) maintained in keyed state across
+    micro-batches; each batch emits the updated totals for the users it
+    touched.
+
+    This is the escape hatch for stateful semantics the built-in
+    windowed aggregations can't express (per-key accumulators, custom
+    eviction, ML feature state). State is one (long, double) pair per
+    user — bounded by key cardinality, not stream length; batches cross
+    the JVM/Python boundary as Arrow frames, never row-at-a-time.
+
+    Batch twin (same result set once the stream is drained):
+    user_running_totals_batch below — that form carries the DuckDB
+    oracle; stream-equals-batch is asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_running_totals_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of user_running_totals_stream (drained-stream state)."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def dedup_events(events: DataFrame, within_watermark: bool = False) -> DataFrame:
     """Stateful dedup on event_id. Streaming: dropDuplicatesWithinWatermark
     bounds the key state; batch: plain dropDuplicates (same result set)."""

@@ -92,6 +92,61 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert n2 == 100  # replayed duplicates dropped by keyed state
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    # Two micro-batches over disjoint row halves: the keyed state must
+    # carry batch-1 counts into batch-2 emissions, and the final totals
+    # must equal the batch twin over the full input.
+    src_dir = str(tmp_path / "state_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events")
+    half1 = ev.filter(F.col("event_id") % 2 == 0)
+    half2 = ev.filter(F.col("event_id") % 2 == 1)
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    totals = ops.user_running_totals_stream(stream)
+    name = f"rt_{uuid.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT user_id, n_events, sum_value FROM {name}"
+    ).collect()
+    q.stop()
+    # last emission per user wins (update mode appends each batch's rows
+    # to the memory sink in order)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n_events, r.sum_value)
+    want = {
+        r.user_id: (r.n_events, r.sum_value)
+        for r in ops.user_running_totals_batch(ev).collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, s) in want.items():
+        gn, gs = final[uid]
+        assert gn == n
+        assert abs(gs - s) < 1e-6
+
+
 def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # Batch 1 advances the watermark far ahead; batch 2 is entirely
     # before (max_ts - tolerance) and must not create/extend windows.
