@@ -1,0 +1,69 @@
+"""Vector math over `array<float>` embedding columns.
+
+Two implementations of the same semantics:
+
+- JVM higher-order-function expressions (dot/norm/cosine): zero
+  Python, exact DuckDB-oracle parity (deterministic left-to-right
+  summation). HOF lambdas are interpreted per element, so per-row cost
+  is ~dim * interpreter overhead — fine for one probe against a scan,
+  measurable for all-pairs work.
+- Arrow-batched pandas scoring (cosine_topk_pandas): the throughput
+  path. Each Arrow batch becomes one numpy matrix-vector product
+  (BLAS), ~dim-independent per-row overhead. Float summation order
+  differs from the HOF form, so results are rounded at the edge and
+  verified against the exact form with tolerance, not hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float-array columns (JVM, deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    """L2 norm of a float-array column."""
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk_pandas(
+    embs: DataFrame, probe: list[float], k: int = 10, vec_col: str = "embedding"
+) -> DataFrame:
+    """Top-k cosine vs a driver-side probe vector, scored in numpy via
+    mapInPandas (one BLAS matvec per Arrow batch), ranked by
+    TakeOrderedAndProject. The probe travels as a closure constant —
+    at 100 TB this is the batch-scoring fast path; for many probes at
+    once, stack them into a matrix and this becomes a tall-skinny GEMM
+    per batch."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    p = np.asarray(probe, dtype=np.float64)
+    p_unit = p / np.linalg.norm(p)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ p_unit) / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": np.round(cos, 4)})
+
+    scored = embs.select("vec_id", vec_col).mapInPandas(
+        score, schema="vec_id long, cosine double"
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -15,17 +15,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+from database_cloner_spark.functions.vector import dot as _dot
+from database_cloner_spark.functions.vector import norm as _norm
 
 
 def probe_vector(embs: DataFrame, probe_id: int = 0) -> DataFrame:

@@ -105,6 +105,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
 
 
+@register("q_dedup_embedding_bucketed", oracle=None, tier="X")
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup — the scale path (within-cell
+    pairs only; rows-only here, recall vs exact asserted in tests)."""
+    return dedup.embedding_neardup_bucketed(load(spark, sf_dir, "embeddings"))
+
+
+@register("q_sim_topk_pandas", oracle=None, tier="X")
+def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy cosine top-10 (throughput path; equality with
+    the exact JVM form asserted in tests, rows-only at the driver since
+    BLAS summation order differs in the last ulp)."""
+    from database_cloner_spark.functions.vector import cosine_topk_pandas
+
+    embs = load(spark, sf_dir, "embeddings")
+    probe = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return cosine_topk_pandas(embs, list(probe))
+
+
 _ORACLE_SIM_TOPK = """
 WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,

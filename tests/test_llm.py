@@ -53,6 +53,43 @@ def test_embedding_neardup_symmetric_bounds(spark):
         assert 0.35 <= r.cosine <= 1.0
 
 
+def test_bucketed_embedding_neardup_recall(spark):
+    embs = load(spark, SF, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(embs).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_bucketed(embs).collect()
+    }
+    assert exact, "corpus should contain semantic near-dups"
+    # within-cell pairs are scored exactly -> perfect precision, and
+    # every reported cosine matches the brute-force value
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
+    # The fixture's near-dups are all weak (cos 0.35-0.45; no true dups),
+    # the hardest case for cell-sharing — 0.7 is the measured floor at
+    # nprobe=3/16 cells. True dups (cos >= 0.9) bucket near-perfectly.
+    assert len(bucketed) / len(exact) >= 0.7, (
+        f"bucketed recall too low: {len(bucketed)}/{len(exact)}"
+    )
+
+
+def test_pandas_cosine_topk_matches_exact(spark):
+    from database_cloner_spark.functions.vector import cosine_topk_pandas
+
+    embs = load(spark, SF, "embeddings")
+    probe_df = similarity.probe_vector(embs)
+    exact = similarity.brute_force_topk(embs, probe_df, k=10).collect()
+    probe = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    fast = cosine_topk_pandas(embs, list(probe), k=10).collect()
+    assert [r.vec_id for r in fast] == [r.vec_id for r in exact]
+    for f, e in zip(fast, exact):
+        assert abs(f.cosine - e.cosine) <= 1e-4
+
+
 def test_ivf_recall_vs_brute_force(spark):
     embs = load(spark, SF, "embeddings")
     probe = similarity.probe_vector(embs)
