@@ -301,3 +301,31 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_elem"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
     )
+
+
+@register("q_rand_string", oracle=None, tier="C")
+def q_rand_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random 16-char alnum string per row (clone_databases.sh:256-261:
+    /dev/urandom | tr -dc 'A-Za-z0-9' | head -c 16) as a PURE JVM
+    expression: each character is charset[xxhash64(key, i) % 62].
+    Hash-keyed instead of rand() so re-runs and task retries produce
+    identical rows at any partitioning (a determinism requirement the
+    reference can't meet); rows-only at the driver, length/charset/
+    determinism asserted in tests/test_udfs.py. Contrast q_udf_password:
+    same semantics through the Python-UDF surface."""
+    charset = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    nat = load(spark, sf_dir, "nation")
+    chars = [
+        F.substring(
+            F.lit(charset),
+            (F.pmod(F.xxhash64(F.col("n_nationkey"), F.lit(i)), F.lit(62)) + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for i in range(16)
+    ]
+    return nat.select(
+        F.concat(F.lit("clone_"), F.col("n_name")).alias("target_db"),
+        F.concat(*chars).alias("password"),
+    )

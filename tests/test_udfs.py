@@ -29,3 +29,18 @@ def test_mask_never_leaks_password(spark, sf_dir):
     for m in masked:
         assert "s3cret" not in m
         assert "****:****@" in m
+
+
+def test_rand_string_expression_properties(spark, sf_dir):
+    from database_cloner_spark.registry import get_query
+
+    build = get_query("q_rand_string").builder
+    a = {r.target_db: r.password for r in build(spark, sf_dir).collect()}
+    assert len(a) == 25
+    for pw in a.values():
+        assert re.fullmatch(r"[A-Za-z0-9]{16}", pw)
+    # deterministic across runs AND across repartitioning (hash-keyed,
+    # unlike rand())
+    b = {r.target_db: r.password for r in build(spark, sf_dir).collect()}
+    assert a == b
+    assert len(set(a.values())) == 25  # no collisions across keys
