@@ -1,0 +1,75 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+runtime skew, but two shapes still need explicit salting at 100 TB:
+
+- aggregation where one key holds a large fraction of all rows (AQE
+  splits skewed JOIN partitions, not skewed AGG partitions);
+- joins against a side too big to broadcast where a handful of keys
+  dominate (salt the skewed side, explode the other).
+
+Both helpers are pure DataFrame rewrites — results are exactly equal to
+the unsalted form (asserted in tests/test_skew.py), they just bound the
+per-task key volume to ~1/n_salts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation with an explicit salt: rows are first
+    aggregated on (keys..., salt) — n_salts partial states per hot key,
+    spread across tasks — then the partials are combined on the true
+    keys. Only works for decomposable aggregates; the caller passes the
+    PARTIAL aggregate expressions and this function re-aggregates each
+    aliased partial column with sum() in phase 2 (count/sum; min/max
+    would re-aggregate with min/max — extend as needed).
+
+    Spark's own hash aggregate is already two-phase per PARTITION; the
+    salt additionally splits a single hot key's final-phase state across
+    n_salts reducers, removing the one-reducer bottleneck.
+    """
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*keys, "__salt")
+        .agg(*aggs)
+    )
+    partial_cols = [c for c in partial.columns if c not in (*keys, "__salt")]
+    return partial.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in partial_cols]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where `skewed` has hot values of `on` and `other` is
+    too big to broadcast: append a random salt to the skewed side's key
+    and replicate `other` n_salts times (explode), so one hot key's rows
+    land in n_salts different shuffle partitions instead of one.
+    Replication multiplies the small side's shuffle volume by n_salts —
+    use only when AQE's skew splitting isn't available (e.g. the join is
+    followed by an aggregation that must see the skewed key whole).
+    Result is exactly the unsalted join (column set preserved)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    left = skewed.withColumn("__salt", salt.cast("int"))
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = left.join(right, [on, "__salt"], how)
+    return out.drop("__salt")

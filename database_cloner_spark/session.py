@@ -45,6 +45,12 @@ def get_spark(app_name: str = "database_cloner_spark", cpus: str | None = None) 
         # Write standard TIMESTAMP_MICROS, not deprecated INT96 (which
         # pyarrow reports as nanos, confusing footer-driven readers).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # Bucketed-table storage (sources/bucketed.py) lives outside the
+        # repo; a real deployment points this at shared storage.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
