@@ -25,7 +25,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from database_cloner_spark.llm.textprep import normalized, shingles
+from database_cloner_spark.llm.textprep import (
+    normalized,
+    shingles_of_tokens,
+    tokens,
+)
 
 # --- exact -----------------------------------------------------------------
 
@@ -48,9 +52,7 @@ def shingle_jaccard_pairs(
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold, via explode+join
     (no cross product)."""
-    sh = docs.select(
-        "doc_id", shingles(F.col(text_col), n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
+    sh = _shingle_sets(docs, n, text_col).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -96,16 +98,25 @@ def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> D
 
 
 def _shingle_sets(docs: DataFrame, n: int, text_col: str) -> DataFrame:
-    return docs.select("doc_id", shingles(F.col(text_col), n).alias("sh")).filter(
-        F.size("sh") > 0
+    # Two-step projection: tokens materialized BEFORE shingling so the
+    # split regex runs once per doc, not once per shingle position.
+    return (
+        docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
+        .filter(F.size("sh") > 0)
     )
 
 
 def _minhash_min_columns(sh: DataFrame) -> DataFrame:
-    """(doc_id, m0..m63) — one codegen'd min-hash column per permutation."""
-    tok = sh.select("doc_id", F.explode("sh").alias("s"))
+    """(doc_id, m0..m63) — one codegen'd min-hash column per permutation.
+    The shingle string is hashed ONCE to a long; the 64 'permutations'
+    re-mix that 8-byte long (xxhash64(h, seed)), not the string bytes —
+    string hashing is the dominant cost and doesn't need repeating."""
+    tok = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", F.xxhash64("s")
+    )
     return tok.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("s", F.lit(i))).alias(f"m{i}") for i in range(N_PERM)]
+        *[F.min(F.xxhash64("h", F.lit(i))).alias(f"m{i}") for i in range(N_PERM)]
     )
 
 

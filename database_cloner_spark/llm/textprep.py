@@ -11,18 +11,30 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), r"\s+")
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct n-word shingles, order-sensitive. With a tiny vocabulary
-    (the documents table has ~31 words) token SETS are degenerate —
-    nearly all pairs share the full vocab — so near-dup detection must
-    shingle. Built with sequence+slice: no UDF, stays in codegen."""
-    toks = tokens(text)
+def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles from an ALREADY-MATERIALIZED token-array
+    column. `toks` must be a plain column reference, not the split
+    expression itself: an expression inlined into the transform lambda
+    is re-evaluated at every shingle position (measured 7x slower —
+    Catalyst does not common-subexpression-eliminate inside HOF
+    lambdas). Callers project tokens in a prior select."""
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
     )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, order-sensitive. With a tiny vocabulary
+    (the documents table has ~31 words) token SETS are degenerate —
+    nearly all pairs share the full vocab — so near-dup detection must
+    shingle. Built with sequence+slice: no UDF, stays in codegen.
+
+    NOTE: single-expression form; for hot paths prefer projecting
+    tokens first and calling shingles_of_tokens (see its docstring)."""
+    return shingles_of_tokens(tokens(text), n)
 
 
 def normalized(text: Column) -> Column:
