@@ -72,8 +72,11 @@ def lang_stats(docs: DataFrame) -> DataFrame:
 
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring (length / stopword ratio / vocabulary
-    diversity) — rational arithmetic only, reproducible everywhere."""
-    toks = tokens(F.col("text"))
+    diversity) — rational arithmetic only, reproducible everywhere.
+    Tokens are projected first so the split runs once per doc, not once
+    per derived metric (see textprep.shingles_of_tokens)."""
+    docs = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     n_tokens = F.size(toks)
     stop_hits = F.size(
         F.filter(toks, lambda t: t.isin(*STOPWORDS))
