@@ -94,6 +94,41 @@ def fake_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
     )
 
 
+def resize_images(
+    assets: DataFrame, target_bytes: int = 256, batch_hint: int | None = None
+) -> DataFrame:
+    """'Resize' images over mapInPandas. A real deployment decodes with a
+    codec and resamples (PIL.Image.resize); neither codec exists in this
+    container, so the transform is a deterministic fake — truncate/pad
+    the payload to target_bytes — while everything Spark-side is real:
+    media-type pruning BEFORE the Python boundary, Arrow batch transfer,
+    binary-in/binary-out schema, and per-batch (not per-row) work."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                resized = b[:target_bytes] if len(b) >= target_bytes else b.ljust(
+                    target_bytes, b"\x00"
+                )
+                out.append(resized)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "payload": out,
+                    "orig_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    images = assets.filter(F.col("media_type") == "image").select(
+        "asset_id", "payload"
+    )
+    return images.mapInPandas(
+        resize, schema="asset_id long, payload binary, orig_bytes long"
+    )
+
+
 def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the opaque payload: byte offsets every N bytes
     (the video-frame analogue; a real decoder would seek timestamps).

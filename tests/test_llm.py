@@ -137,6 +137,18 @@ def test_decode_stub_raises(spark):
         decode_image(b"\x89PNG")
 
 
+def test_resize_images_plumbing(spark):
+    from database_cloner_spark.llm.multimodal import resize_images
+
+    assets = assets_from_documents(_docs(spark))
+    out = resize_images(assets, target_bytes=128).collect()
+    n_images = assets.filter(F.col("media_type") == "image").count()
+    assert len(out) == n_images  # non-images pruned before the UDF
+    for r in out:
+        assert len(r.payload) == 128
+        assert r.orig_bytes > 0
+
+
 def test_frame_sample_plan(spark):
     assets = assets_from_documents(_docs(spark))
     plan = frame_sample_plan(assets, every_n_bytes=64).collect()
