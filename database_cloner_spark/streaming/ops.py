@@ -72,6 +72,30 @@ def with_watermark_filter(events: DataFrame, tolerance: str = "10 minutes") -> D
     )
 
 
+def stream_to_log(sdf: DataFrame, path: str):
+    """Append a stream into the engine's log-sink layout (ts, level,
+    message — pipeline/reports.py LogSink) via foreachBatch: the
+    reference's `tee -a` log (clone_databases.sh:24-34) generalized to a
+    stream. foreachBatch reuses the BATCH writer per micro-batch, so the
+    sink layout and any future sink (JDBC, Delta) need exactly one
+    implementation for both modes. Returns the DataStreamWriter
+    (caller .start()s it)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.date_format("ts", TS_FMT).alias("ts"),
+            F.lit("EVENT").alias("level"),
+            F.concat(
+                F.lit("event_id="),
+                F.col("event_id").cast("string"),
+                F.lit(" type="),
+                F.col("event_type"),
+            ).alias("message"),
+        ).write.mode("append").parquet(path)
+
+    return sdf.writeStream.foreachBatch(write_batch).outputMode("append")
+
+
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
 _RUNNING_STATE_SCHEMA = "n long, s double"
 

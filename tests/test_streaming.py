@@ -92,6 +92,25 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert n2 == 100  # replayed duplicates dropped by keyed state
 
 
+def test_stream_to_log_sink(spark, tmp_path):
+    # The streaming log feed must land in the exact LogSink layout and
+    # cover every input row once.
+    log_path = str(tmp_path / "stream_log")
+    stream = events_stream(spark, SF)
+    q = (
+        ops.stream_to_log(stream, log_path)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(log_path)
+    assert got.columns == ["ts", "level", "message"]
+    assert got.count() == load(spark, SF, "events").count()
+    assert got.filter(F.col("level") != "EVENT").count() == 0
+
+
 def test_stateful_running_totals_across_batches(spark, tmp_path):
     # Two micro-batches over disjoint row halves: the keyed state must
     # carry batch-1 counts into batch-2 emissions, and the final totals
