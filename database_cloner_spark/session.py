@@ -45,6 +45,16 @@ def get_spark(app_name: str = "database_cloner_spark", cpus: str | None = None) 
         # Write standard TIMESTAMP_MICROS, not deprecated INT96 (which
         # pyarrow reports as nanos, confusing footer-driven readers).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # InferFiltersFromGenerate clones the generator's input expression
+        # into a pushed-down `size(input) > 0` predicate. For cheap inputs
+        # that skips rows early; for computed inputs (shingle arrays,
+        # trigrams) it evaluates the whole array-construction expression
+        # TWICE per row — measured 3x slowdown on the dedup family at
+        # sf0.1. Explicit cheap filters (size(tokens) >= n) replace it.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Bucketed-table storage (sources/bucketed.py) lives outside the
         # repo; a real deployment points this at shared storage.
         .config(
