@@ -143,23 +143,42 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Document fingerprint: minimum polynomial rolling hash over all
     8-char-grams + distinct-gram count. The hash is engine-agnostic
     (explicit int64 arithmetic), unlike xxhash64, so the DuckDB oracle
-    reproduces it exactly."""
-    text = F.col("text")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(text) - (FP_K - 1), F.lit(0))),
-        lambda i: text.substr(i, F.lit(FP_K)),
-    )
-    def polyhash(g):
-        terms = F.transform(
-            F.sequence(F.lit(1), F.lit(FP_K)),
-            lambda j: F.ascii(g.substr(j, F.lit(1))).cast("long")
-            * F.element_at(F.array(*[F.lit(p).cast("long") for p in FP_POWS]), j),
-        )
-        return F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x) % FP_MOD
+    reproduces it exactly.
 
-    hashes = F.transform(grams, polyhash)
-    return docs.select(
+    Shape: explode grams to rows, hash each gram with a PLAIN column
+    expression (8 fixed ascii*power terms — whole-stage codegen), then
+    min/countDistinct aggregates with map-side combine. The nested-HOF
+    form (transform of polyhash over the gram array) ran in the lambda
+    interpreter — measured 9x slower (same pathology as MinHash, see
+    SCALE.md expression pitfalls)."""
+    # Explode gram START POSITIONS (a cheap int sequence), then cut the
+    # gram with substring in codegen — building the gram ARRAY via
+    # transform(...substr...) runs in the lambda interpreter instead.
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col("text")) - (FP_K - 1), F.lit(0))
+    )
+    exploded = docs.select(
+        "doc_id", "text", F.explode(positions).alias("i")
+    ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(FP_K)).alias("g"))
+    gram_hash = (
+        sum(
+            F.ascii(F.substring("g", j + 1, 1)).cast("long") * F.lit(FP_POWS[j]).cast("long")
+            for j in range(FP_K)
+        )
+        % FP_MOD
+    )
+    agg = (
+        exploded.withColumn("h", gram_hash)
+        .groupBy("doc_id")
+        .agg(
+            F.min("h").alias("fp_min_hash"),
+            F.countDistinct("g").alias("n_distinct_grams"),
+        )
+    )
+    # Docs shorter than FP_K chars have no grams: explode drops them, but
+    # the contract (and the oracle) keeps them with NULL hash / 0 grams.
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
         "doc_id",
-        F.array_min(hashes).alias("fp_min_hash"),
-        F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
+        "fp_min_hash",
+        F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias("n_distinct_grams"),
     )
