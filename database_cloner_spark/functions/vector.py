@@ -4,9 +4,12 @@ Two implementations of the same semantics:
 
 - JVM higher-order-function expressions (dot/norm/cosine): zero
   Python, exact DuckDB-oracle parity (deterministic left-to-right
-  summation). HOF lambdas are interpreted per element, so per-row cost
-  is ~dim * interpreter overhead — fine for one probe against a scan,
-  measurable for all-pairs work.
+  summation). Measured note: for PRIMITIVE double arrays the
+  zip_with+aggregate fold is efficient — unrolling to dim explicit
+  element_at terms was tried and ran 2x SLOWER (per-call null/bounds
+  checks beat the fold's tight loop). The interpreter pathology that
+  hurt MinHash applies to nested lambdas over strings, not to
+  primitive-array folds.
 - Arrow-batched pandas scoring (cosine_topk_pandas): the throughput
   path. Each Arrow batch becomes one numpy matrix-vector product
   (BLAS), ~dim-independent per-row overhead. Float summation order
