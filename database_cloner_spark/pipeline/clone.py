@@ -48,6 +48,11 @@ class CloneConfig:
     tables: str | list[str] | None = None
     create_backup_before_clone: bool = False
     backup_dir: str | None = None
+    # table -> partition column: clones written partitionBy(col) so
+    # downstream reads get partition pruning (PartitionFilters at the
+    # scan). The 100 TB lever the reference's byte-copy can't offer:
+    # re-layout during the clone.
+    partition_by: dict[str, str] | None = None
     parallelism: int = 8
     verify_clone: bool = True
     overwrite: bool = False  # False => skip-if-exists (reference semantics)
@@ -128,7 +133,11 @@ class ClonePipeline:
                 self._backup(tgt_path, table)
 
             src = load(self.spark, self.cfg.source_dir, table)
-            src.write.mode("overwrite").parquet(tgt_path)
+            writer = src.write.mode("overwrite")
+            part_col = (self.cfg.partition_by or {}).get(table)
+            if part_col:
+                writer = writer.partitionBy(part_col)
+            writer.parquet(tgt_path)
 
             dst = self.spark.read.parquet(tgt_path)
             verified: bool | None = None

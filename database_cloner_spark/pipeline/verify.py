@@ -29,12 +29,13 @@ class TableFingerprint:
 
 
 def _hashable_cols(df: DataFrame) -> list:
-    cols = []
-    for f in df.schema.fields:
-        # Arrays/maps/structs hash fine with xxhash64; floats are stable
-        # here because a clone is byte-identical, not recomputed.
-        cols.append(F.col(f.name))
-    return cols
+    # Sorted by NAME, not schema position: a partitioned write moves the
+    # partition column to the end of the read-back schema, and
+    # xxhash64(a,b,c) != xxhash64(c,a,b) — identical content must
+    # fingerprint identically regardless of column order.
+    # Arrays/maps/structs hash fine with xxhash64; floats are stable
+    # here because a clone is byte-identical, not recomputed.
+    return [F.col(name) for name in sorted(df.columns)]
 
 
 def fingerprint(df: DataFrame) -> TableFingerprint:

@@ -98,3 +98,28 @@ def test_failed_table_isolated(spark, tmp_path):
     by_name = {r.table: r for r in result.results}
     assert by_name["region"].status == "cloned"
     assert by_name["nope_missing_table"].status == "failed"
+
+
+def test_partitioned_clone_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    target = str(tmp_path / "part_target")
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=target,
+        tables=["lineitem"],
+        partition_by={"lineitem": "l_returnflag"},
+        parallelism=1,
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok
+    assert result.results[0].verified is True  # column-order-proof fingerprint
+
+    clone = spark.read.parquet(os.path.join(target, "clone_lineitem.parquet"))
+    pruned = clone.filter(F.col("l_returnflag") == "A")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or (
+        "PartitionFilters" in plan and "l_returnflag" in plan.split("PartitionFilters")[1][:120]
+    ), f"no partition pruning:\n{plan[:1500]}"
+    want = load(spark, SF, "lineitem").filter(F.col("l_returnflag") == "A").count()
+    assert pruned.count() == want
