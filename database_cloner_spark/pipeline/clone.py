@@ -53,6 +53,11 @@ class CloneConfig:
     # scan). The 100 TB lever the reference's byte-copy can't offer:
     # re-layout during the clone.
     partition_by: dict[str, str] | None = None
+    # table -> sort column: rows sorted within write partitions so
+    # parquet row-group min/max stats become tight, selective ranges —
+    # point/range predicates then skip whole row groups at scan time
+    # (data skipping; complements partition pruning at finer grain).
+    sort_within_partitions_by: dict[str, str] | None = None
     parallelism: int = 8
     verify_clone: bool = True
     overwrite: bool = False  # False => skip-if-exists (reference semantics)
@@ -133,7 +138,11 @@ class ClonePipeline:
                 self._backup(tgt_path, table)
 
             src = load(self.spark, self.cfg.source_dir, table)
-            writer = src.write.mode("overwrite")
+            out = src
+            sort_col = (self.cfg.sort_within_partitions_by or {}).get(table)
+            if sort_col:
+                out = out.sortWithinPartitions(sort_col)
+            writer = out.write.mode("overwrite")
             part_col = (self.cfg.partition_by or {}).get(table)
             if part_col:
                 writer = writer.partitionBy(part_col)

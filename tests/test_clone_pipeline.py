@@ -123,3 +123,41 @@ def test_partitioned_clone_prunes(spark, tmp_path):
     ), f"no partition pruning:\n{plan[:1500]}"
     want = load(spark, SF, "lineitem").filter(F.col("l_returnflag") == "A").count()
     assert pruned.count() == want
+
+
+def test_sorted_clone_has_tight_rowgroup_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    target = str(tmp_path / "sorted_target")
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=target,
+        tables=["orders"],
+        sort_within_partitions_by={"orders": "o_orderkey"},
+        parallelism=1,
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok and result.results[0].verified is True
+
+    # Within every output file, consecutive row groups must cover
+    # non-overlapping, increasing o_orderkey ranges — the property that
+    # lets a point/range predicate skip whole row groups.
+    out_dir = os.path.join(target, "clone_orders.parquet")
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert files
+    checked = 0
+    for fname in files:
+        md = pq.ParquetFile(os.path.join(out_dir, fname)).metadata
+        idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "o_orderkey"
+        )
+        prev_max = None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            assert stats.min <= stats.max
+            if prev_max is not None:
+                assert stats.min >= prev_max  # sorted => disjoint ranges
+            prev_max = stats.max
+            checked += 1
+    assert checked >= len(files)
