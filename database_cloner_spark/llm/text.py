@@ -94,24 +94,26 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     )
 
 
-def _trigrams(col):
-    """Distinct character trigrams of a string column."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(col) - 2, F.lit(0))),
-            lambda i: col.substr(i, F.lit(3)),
-        )
-    )
-
-
 def language_id(docs: DataFrame, profile_size: int = 40) -> DataFrame:
     """N-gram-heuristic language ID: build per-language character-trigram
     profiles from a labeled corpus (here: the documents table itself),
     then classify each doc by profile overlap. Two phases, both set
     joins — the profile is tiny and broadcast. Deterministic tie-breaks
-    throughout (count desc, trigram asc / score desc, lang asc)."""
-    tri = docs.select(
-        "doc_id", "lang", F.explode(_trigrams(F.col("text"))).alias("tg")
+    throughout (count desc, trigram asc / score desc, lang asc).
+
+    Trigram rows come from exploding integer positions and cutting with
+    substring in codegen (the array_distinct(transform(...)) form runs
+    in the lambda interpreter and this subtree executes twice — once for
+    profiles, once for scoring); per-doc distinctness via dropDuplicates."""
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col("text")) - 2, F.lit(0))
+    )
+    tri = (
+        docs.select("doc_id", "lang", "text", F.explode(positions).alias("i"))
+        .select(
+            "doc_id", "lang", F.col("text").substr(F.col("i"), F.lit(3)).alias("tg")
+        )
+        .dropDuplicates(["doc_id", "tg"])
     )
     w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
     profiles = (
