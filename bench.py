@@ -40,6 +40,8 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_sim_topk",
+    "q_corr_subquery",
+    "q_sample_split",
 ]
 
 

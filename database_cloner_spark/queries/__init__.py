@@ -13,4 +13,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     windows,
     streaming_batch,
     llm_ops,
+    sampling,
 )

@@ -1,0 +1,202 @@
+"""Reproducible sampling, splitting, pivoting, and decorrelation.
+
+Training-data-pipeline tier ([X], north star): a 100 TB corpus pipeline
+needs *deterministic* sampling — `df.sample()` draws differently per
+retry/repartition, which silently changes the training set. Every
+operator here derives its randomness from a multiplicative hash of a
+stable key, so the same row lands in the same split on any cluster, any
+partitioning, any retry. Reference grounding for the shape of the need:
+the reference's only "sampling" is the work-list subset it clones
+(clone_databases.sh:1025) — deterministic by construction; we preserve
+that property at scale.
+
+Hash choice: Knuth multiplicative hash `(key * 2654435761) % 1000000007`
+in plain int64 arithmetic — identical in Spark and DuckDB, so these ops
+are fully oracle-checkable (unlike xxhash64, which DuckDB lacks). At
+petabyte key ranges swap in `F.xxhash64` (same structure, rows-only
+oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+_KNUTH = 2654435761
+_MOD = 1000000007
+
+
+def _split_hash(key):
+    """Deterministic per-row draw in [0, _MOD): stable under retries,
+    repartitioning, and cluster size — unlike rand()/df.sample()."""
+    return (F.col(key) * F.lit(_KNUTH)) % F.lit(_MOD)
+
+
+_ORACLE_SPLIT = f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN (doc_id * {_KNUTH}) % {_MOD} % 10 < 8 THEN 'train'
+              WHEN (doc_id * {_KNUTH}) % {_MOD} % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 2) AS avg_chars
+FROM assigned GROUP BY split, lang
+"""
+
+
+@register("q_sample_split", oracle=_ORACLE_SPLIT, tier="X")
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test split by hash of doc_id — the canonical
+    reproducible dataset split. Pure map-side projection (no shuffle to
+    assign); the per-split stats are one hash-agg. A row's split never
+    changes when the corpus is re-partitioned or rows are added."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = _split_hash("doc_id") % 10
+    return (
+        docs.withColumn(
+            "split",
+            F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+    )
+
+
+_ORACLE_STRATIFIED = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE (doc_id * {_KNUTH}) % {_MOD} % 100 <
+      CASE WHEN lang = 'en' THEN 5 ELSE 50 END
+"""
+
+
+@register("q_sample_stratified", oracle=_ORACLE_STRATIFIED, tier="X")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (rebalance a
+    corpus dominated by one language: keep 5% of 'en', 50% of the rest).
+    Deterministic analogue of `df.sampleBy` — a pure filter, pushable to
+    the scan, zero shuffle; rates live in a CASE expression (or a
+    broadcast-joined rate table for many strata)."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 5).otherwise(50)
+    return docs.filter(_split_hash("doc_id") % 100 < rate).select("doc_id", "lang")
+
+
+_ORACLE_SHUFFLE = f"""
+SELECT doc_id, (doc_id * {_KNUTH}) % {_MOD} AS shuffle_key
+FROM documents
+ORDER BY shuffle_key
+"""
+
+
+@register("q_shuffle_deterministic", oracle=_ORACLE_SHUFFLE, tier="X")
+def q_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle for training-order randomization:
+    total order by hash(key). Spark plans this as a range-partitioned
+    sort (sampled range boundaries, then per-partition sort) — fully
+    distributed, no single-reducer bottleneck, and the order is
+    identical on every run/cluster, unlike ORDER BY rand()."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _split_hash("doc_id").alias("shuffle_key")
+    ).orderBy("shuffle_key")
+
+
+_ORACLE_PIVOT = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events GROUP BY user_id
+"""
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register("q_pivot_events", oracle=_ORACLE_PIVOT, tier="X")
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type pivot (feature matrix for the events table).
+    Pivot values passed explicitly: without them Spark runs an extra
+    distinct-collect job on the driver to discover columns — at 100 TB
+    that is a full scan before the real one. One hash-agg, map-side
+    partials, no second pass."""
+    ev = load(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+    )
+    return out
+
+
+_ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_agg_cube", oracle=_ORACLE_CUBE, tier="X")
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id to tell a
+    real NULL group from a subtotal row. Companion of q_agg_rollup;
+    Spark expands the cube map-side (Expand operator) then one
+    hash-agg — partials still combine before the shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+_ORACLE_CORR_SUBQUERY = """
+SELECT l.l_partkey AS partkey,
+       COUNT(*) AS n_small,
+       ROUND(SUM(l.l_extendedprice), 2) AS small_revenue
+FROM lineitem l
+WHERE l.l_quantity < (
+  SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey
+)
+GROUP BY l.l_partkey
+"""
+
+
+@register("q_corr_subquery", oracle=_ORACLE_CORR_SUBQUERY, tier="X")
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems with
+    quantity below half their part's average. Expressed decorrelated —
+    per-part avg as a grouped agg joined back on partkey — which is
+    exactly the plan Catalyst rewrites the correlated form into; writing
+    it decorrelated keeps the self-join explicit (one shuffle on
+    l_partkey reused by both the agg and the join side under AQE)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgs = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(avgs, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+    )
