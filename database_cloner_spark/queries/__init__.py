@@ -14,4 +14,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     streaming_batch,
     llm_ops,
     sampling,
+    analytics_ext,
 )

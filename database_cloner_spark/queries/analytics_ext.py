@@ -1,0 +1,163 @@
+"""Distribution stats, upsert/merge, and corpus relevance ([X] tier).
+
+Three capability gaps a 100 TB deployment hits early:
+- percentile profiling of a corpus (exact, not approx — the approx
+  variant q_agg_approx_distinct's cousin `approx_percentile` trades
+  away oracle-checkability; both belong in the library);
+- key-based upsert (the reference's clone is always a full overwrite,
+  clone_databases.sh:817-818 `--drop`; an incremental refresh needs
+  merge-by-key semantics — Spark without a lakehouse format expresses
+  SCD-1 as a full-outer join with changed-side precedence);
+- TF-IDF-style term relevance over documents (the training-data
+  pipeline's classic keyword extractor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+_ORACLE_PERCENTILE = """
+SELECT lang,
+       ROUND(quantile_cont(n_chars, 0.50), 3) AS p50,
+       ROUND(quantile_cont(n_chars, 0.90), 3) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 3) AS p99,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+@register("q_agg_percentile", oracle=_ORACLE_PERCENTILE, tier="X")
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of document length per
+    language. Exact percentile sorts within each group — fine for
+    per-group profiling where groups fit a reducer; for a global
+    percentile over 100 TB use `approx_percentile` (t-digest, mergeable
+    map-side, bounded error) instead."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.50)), 3).alias("p50"),
+        F.round(F.percentile("n_chars", F.lit(0.90)), 3).alias("p90"),
+        F.round(F.percentile("n_chars", F.lit(0.99)), 3).alias("p99"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+_ORACLE_MERGE = """
+WITH updates AS (
+  SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT -1 * o_orderkey AS o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       COALESCE(u.o_totalprice, ROUND(b.o_totalprice, 2)) AS o_totalprice,
+       (u.o_orderkey IS NOT NULL) AS from_update
+FROM (SELECT o_orderkey, o_totalprice FROM orders) b
+FULL OUTER JOIN updates u ON b.o_orderkey = u.o_orderkey
+"""
+
+
+@register("q_merge_upsert", oracle=_ORACLE_MERGE, tier="X")
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 upsert (MERGE INTO without a lakehouse format): updates win
+    over base rows, unmatched updates are inserts. One shuffle on the
+    merge key for both sides; at scale, bucket the base table on the key
+    so only the (small) update side shuffles. The update set here is a
+    deterministic slice of orders: 10% price-bumped, 1% re-keyed as
+    inserts — simulating an incremental clone refresh (the reference
+    only supports full overwrite, clone_databases.sh:817-818)."""
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    # *2 not *1.1: doubling a double is binary-exact, so the rounded
+    # value never sits on a .xx5 boundary where Spark (BigDecimal
+    # HALF_UP on the shortest decimal repr) and DuckDB (raw-double
+    # round) disagree.
+    bumped = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 2, 2).alias("o_totalprice")
+    )
+    inserts = base.filter(F.col("o_orderkey") % 100 == 0).select(
+        (F.col("o_orderkey") * -1).alias("o_orderkey"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    updates = bumped.unionByName(inserts)
+    b = base.select(
+        F.col("o_orderkey").alias("b_key"), F.round("o_totalprice", 2).alias("b_price")
+    )
+    u = updates.select(
+        F.col("o_orderkey").alias("u_key"), F.col("o_totalprice").alias("u_price")
+    )
+    return b.join(u, b.b_key == u.u_key, "full_outer").select(
+        F.coalesce("u_key", "b_key").alias("o_orderkey"),
+        F.coalesce("u_price", "b_price").alias("o_totalprice"),
+        F.col("u_key").isNotNull().alias("from_update"),
+    )
+
+
+# Rational idf (N+1)/(df+1) instead of log-idf: identical bit-for-bit in
+# any engine (no libm), so ranking ties resolve the same way everywhere.
+# Swap in log() at production — ranking semantics are unchanged.
+_ORACLE_TFIDF = """
+WITH terms AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms
+  WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, ROUND(score, 4) AS tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+"""
+
+
+@register("q_text_tfidf", oracle=_ORACLE_TFIDF, tier="X")
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Three aggregations sharing the
+    (doc_id, term) shuffle: term frequency, document frequency (joined
+    back on term — at 100 TB the df table is vocabulary-sized, usually
+    broadcastable), corpus size (scalar, cross-joined). Per-doc top-3 is
+    a rank-limit window: WindowGroupLimit keeps per-partition heaps of 3
+    before the final shuffle, so no full sort materializes."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias(
+                "score"
+            ),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("score", 4).alias("tfidf"))
+    )
