@@ -99,7 +99,11 @@ def q_except_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_databases.sh:246 copy contract)."""
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
     li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
-    return orders.exceptAll(li.distinct()).distinct()
+    # subtract = EXCEPT DISTINCT: plans as one anti-join + one distinct.
+    # The previous exceptAll(li.distinct()).distinct() shuffled the big
+    # side twice (pre-distinct, then the except) — at scale that doubles
+    # the dominant shuffle.
+    return orders.subtract(li)
 
 
 _ORACLE_INTERSECT = """

@@ -1,0 +1,63 @@
+"""Properties the sampling tier promises beyond oracle parity:
+assignment is a pure function of the key — invariant under
+repartitioning, row order, and cluster layout (the reason these
+operators exist instead of df.sample())."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import get_query
+from database_cloner_spark.sources import load
+
+
+def test_split_invariant_under_repartition(spark, sf_dir):
+    # Recompute the split over a differently-partitioned input: every
+    # row must land in the same split (df.sample() fails this).
+    docs = load(spark, sf_dir, "documents")
+    knuth, mod = 2654435761, 1000000007
+    bucket = (F.col("doc_id") * knuth) % mod % 10
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    a = docs.select("doc_id", split.alias("split"))
+    b = docs.repartition(7, "lang").select("doc_id", split.alias("split"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_split_fractions(spark, sf_dir):
+    rows = get_query("q_sample_split").builder(spark, sf_dir).collect()
+    totals = {}
+    for r in rows:
+        totals[r["split"]] = totals.get(r["split"], 0) + r["n_docs"]
+    n = sum(totals.values())
+    assert set(totals) == {"train", "val", "test"}
+    assert 0.70 <= totals["train"] / n <= 0.90
+    assert totals["val"] / n <= 0.20 and totals["test"] / n <= 0.20
+
+
+def test_split_partition_of_corpus(spark, sf_dir):
+    rows = get_query("q_sample_split").builder(spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+
+
+def test_stratified_subset_and_rates(spark, sf_dir):
+    out = get_query("q_sample_stratified").builder(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    # sample is a subset: every sampled doc_id exists, with its lang
+    assert out.join(docs, ["doc_id", "lang"], "left_anti").count() == 0
+    # 'en' is downsampled far below the others
+    kept = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert kept["en"] / base["en"] < 0.15
+    for lang in kept:
+        if lang != "en":
+            assert 0.3 < kept[lang] / base[lang] < 0.7
+
+
+def test_shuffle_deterministic_is_stable(spark, sf_dir):
+    q = get_query("q_shuffle_deterministic").builder
+    first = [r["doc_id"] for r in q(spark, sf_dir).collect()]
+    second = [r["doc_id"] for r in q(spark, sf_dir).collect()]
+    assert first == second
+    # it actually reorders (not identity order)
+    assert first != sorted(first)
