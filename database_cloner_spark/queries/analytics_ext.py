@@ -161,3 +161,66 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("score", 4).alias("tfidf"))
     )
+
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark, executor-side) and RE2 (DuckDB oracle): character classes,
+# bounded repetition, \d, \b. No lookarounds/backrefs (RE2 lacks them).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_LONG_DIGITS_RE = "\\b\\d{9,}\\b"
+
+_ORACLE_PII = f"""
+WITH tainted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' contact user' || doc_id ||
+                   '@example.com or call 190055501' || (doc_id % 10)
+              ELSE text END AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{_LONG_DIGITS_RE}', '[NUMBER]', 'g') AS clean_text,
+         len(regexp_extract_all(text, '{_EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{_LONG_DIGITS_RE}')) AS n_redactions
+  FROM tainted
+)
+SELECT doc_id, clean_text, n_redactions FROM scrubbed
+"""
+
+
+@register("q_text_pii_scrub", oracle=_ORACLE_PII, tier="X")
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents (emails, long digit runs) — the
+    standard scrub pass before a corpus becomes training data. A
+    deterministic 20% slice is first tainted with synthetic PII so the
+    operator's effect is visible and oracle-checked. Pure map-side
+    regexp expressions in codegen — no shuffle, no Python; patterns use
+    only the Java-regex/RE2 common subset so engine and oracle agree."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tainted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call 190055501"),
+                (F.col("doc_id") % 10).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_red = F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0))) + F.size(
+        F.regexp_extract_all("text", F.lit(_LONG_DIGITS_RE), F.lit(0))
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "[EMAIL]"), _LONG_DIGITS_RE, "[NUMBER]"
+    )
+    return tainted.select(
+        "doc_id", clean.alias("clean_text"), n_red.alias("n_redactions")
+    )

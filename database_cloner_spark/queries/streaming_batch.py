@@ -131,3 +131,26 @@ def q_stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_running_totals_stream); stream-equals-batch is asserted in
     tests/test_streaming.py."""
     return ops.user_running_totals_batch(load(spark, sf_dir, "events"))
+
+
+_ORACLE_INTERVAL_JOIN = """
+SELECT
+  p.event_id AS purchase_id,
+  c.event_id AS click_id,
+  p.user_id  AS user_id,
+  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+"""
+
+
+@register("q_stream_interval_join", oracle=_ORACLE_INTERVAL_JOIN, tier="X")
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join (all same-user
+    clicks within the hour before each purchase); the streaming form is
+    exercised with watermarks in tests/test_streaming.py."""
+    return ops.purchase_click_interval_join(load(spark, sf_dir, "events"))

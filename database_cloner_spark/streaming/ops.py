@@ -159,3 +159,45 @@ def dedup_events(events: DataFrame, within_watermark: bool = False) -> DataFrame
             .select(*cols)
         )
     return projected.dropDuplicates(["event_id"])
+
+
+def purchase_click_interval_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every (purchase, click) pair of the
+    same user where the click happened within the hour before the
+    purchase.
+
+    Streaming execution requires watermarks on BOTH sides plus a
+    time-range bound in the join condition — that is what lets the state
+    store evict clicks older than (watermark - 1 hour) instead of
+    buffering the full click stream. Batch execution of the identical
+    condition needs neither; watermarks are applied only when the input
+    is streaming so one function serves both modes. State size per user
+    is bounded by click rate x (1 hour + watermark delay)."""
+    p = events.filter(F.col("event_type") == "purchase")
+    c = events.filter(F.col("event_type") == "click")
+    if events.isStreaming:
+        p = p.withWatermark("ts", "10 minutes")
+        c = c.withWatermark("ts", "10 minutes")
+    p = p.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = c.select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", TS_FMT).alias("purchase_ts"),
+        F.date_format("c_ts", TS_FMT).alias("click_ts"),
+    )

@@ -208,3 +208,24 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     assert starts1  # on-time windows exist
     # no new (pre-Jan-05) windows appeared after the late batch
     assert not {s for s in starts2 if s < "2024-01-05"}
+
+
+def test_streaming_interval_join_matches_batch(spark):
+    stream = events_stream(spark, SF)
+    name = _run_to_memory(
+        ops.purchase_click_interval_join(stream),
+        f"ij_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    )
+    got = {tuple(r) for r in spark.table(name).collect()}
+    from database_cloner_spark.sources import load
+
+    want = {
+        tuple(r)
+        for r in ops.purchase_click_interval_join(load(spark, SF, "events")).collect()
+    }
+    # The single-file source is one micro-batch; the final watermark may
+    # hold back pairs near the stream end, so streaming output is a
+    # subset of batch. With availableNow + one batch, all rows emit.
+    assert got == want
+    assert len(want) > 0
