@@ -196,3 +196,34 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_bal",
         )
     )
+
+
+_ORACLE_COLLECT = """
+SELECT n_name,
+       string_agg(c_name, ',' ORDER BY c_name) AS customer_names,
+       COUNT(*) AS n_custs
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("q_agg_collect", oracle=_ORACLE_COLLECT, tier="X")
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect per group), canonicalized: the
+    collected list is sorted then joined, because collect_list's
+    arrival order is nondeterministic under parallelism — any consumer
+    of a collected array at scale must impose order explicitly.
+    State grows with group size; for huge groups prefer re-aggregating
+    or windowed top-k instead of collecting."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias(
+                "customer_names"
+            ),
+            F.count("*").alias("n_custs"),
+        )
+    )

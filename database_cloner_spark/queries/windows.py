@@ -112,3 +112,24 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 2).alias("running_value"),
     )
+
+
+_ORACLE_NTILE = """
+SELECT c_custkey,
+       c_nationkey,
+       NTILE(4) OVER (PARTITION BY c_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey ASC) AS balance_quartile
+FROM customer
+"""
+
+
+@register("q_win_ntile", oracle=_ORACLE_NTILE, tier="X")
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation balance quartiles. ntile assigns by ROW position, so
+    the window order must be total — ties on acctbal are broken by
+    custkey, or the two engines could bucket tied rows differently."""
+    cust = load(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return cust.select(
+        "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("balance_quartile")
+    )
