@@ -227,3 +227,25 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_custs"),
         )
     )
+
+
+# Same tolerance-verdict pattern as q_agg_approx_distinct: the sketch
+# estimate is not hash-comparable, the bounded-error CLAIM is.
+_ORACLE_APPROX_PERCENTILE = """
+SELECT TRUE AS within_tolerance
+"""
+
+
+@register("q_agg_approx_percentile", oracle=_ORACLE_APPROX_PERCENTILE, tier="X")
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate global percentile vs exact, as a tolerance verdict.
+    The approx form aggregates a fixed-size mergeable sketch map-side —
+    the global-scale path where q_agg_percentile's exact per-group sort
+    would need all values of the column on one reducer."""
+    li = load(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx"),
+        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact"),
+    )
+    ratio = F.col("approx") / F.col("exact")
+    return agg.select(((ratio > 0.98) & (ratio < 1.02)).alias("within_tolerance"))

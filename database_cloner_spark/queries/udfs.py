@@ -154,3 +154,45 @@ def q_udtf_explode_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv.getItem(0).alias("conf_key"),
         kv.getItem(1).alias("conf_value"),
     )
+
+
+_ORACLE_PY_UDTF = """
+SELECT doc_id,
+       unnest(string_split(text, ' ')) AS sentence_word,
+       lang
+FROM (SELECT doc_id, text, lang FROM documents WHERE doc_id % 50 = 0)
+"""
+
+
+@register("q_udtf_python", oracle=_ORACLE_PY_UDTF, tier="X")
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 4 `@udtf`): one input row -> many output
+    rows from arbitrary Python, the escape hatch when a lateral
+    expansion can't be written as explode-of-an-expression. Arrow moves
+    batches across the Python boundary; the UDTF itself is row-wise
+    Python, so this stays the SLOW path — the sibling
+    q_udtf_explode_config shows the codegen formulation to prefer
+    whenever the expansion IS expressible. Input is pre-filtered to 2%
+    of docs so the Python boundary sees only the rows it must."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.functions import lit  # noqa: F401  (exercised via lateral join)
+
+    @udtf(returnType="sentence_word: string")
+    class SplitWords:
+        def eval(self, text: str):
+            for w in text.split(" "):
+                yield (w,)
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", "text", "lang")
+    )
+    docs.createOrReplaceTempView("_udtf_docs_in")
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.sentence_word, d.lang
+        FROM _udtf_docs_in d, LATERAL split_words(d.text) t
+        """
+    )
