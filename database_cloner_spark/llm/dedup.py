@@ -124,7 +124,12 @@ def _minhash_min_columns(sh: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_band_bucket: int | None = None,
+) -> DataFrame:
     """LSH banding (32 bands x 2 rows): candidate pairs share at least
     one band hash; candidates are then verified with EXACT Jaccard on
     the shingle arrays (cheap: candidates only). P(candidate | s=0.4)
@@ -148,6 +153,24 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4, n: int = 3) -> Da
     banded = mins.select(
         "doc_id", F.posexplode(bands).alias("band_id", "band_hash")
     )
+    if max_band_bucket is not None:
+        # Hot-bucket cap: a band hash shared by k docs yields k^2
+        # candidates, so one boilerplate-text bucket of 100k docs is
+        # 10^10 pairs out of a single reducer. Dropping buckets over the
+        # bound loses only near-dup GROUPS bigger than the bound —
+        # deliberately acceptable at web scale (those groups are caught
+        # by exact dedup on normalized text, and each doc keeps 31 other
+        # bands). Cost: one extra groupBy on the 16-byte band key.
+        bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("__bucket_n")
+        )
+        banded = (
+            banded.join(
+                bucket_sizes.filter(F.col("__bucket_n") <= max_band_bucket),
+                ["band_id", "band_hash"],
+            )
+            .drop("__bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     candidates = (

@@ -157,3 +157,22 @@ def test_frame_sample_plan(spark):
         assert r.frame_offsets[0] == 0
         assert all(o % 64 == 0 for o in r.frame_offsets)
         assert len(r.frame_offsets) == r.n_bytes // 64 + 1
+
+
+def test_minhash_band_bucket_cap(spark, sf_dir):
+    """A generous cap changes nothing; a cap of 1 kills every candidate
+    (any candidate pair implies a bucket of >= 2)."""
+    from database_cloner_spark.llm import dedup
+    from database_cloner_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(docs, max_band_bucket=10_000).collect()
+    }
+    assert capped == uncapped
+    assert dedup.minhash_lsh_pairs(docs, max_band_bucket=1).count() == 0
