@@ -10,11 +10,16 @@ the reference's only "sampling" is the work-list subset it clones
 (clone_databases.sh:1025) — deterministic by construction; we preserve
 that property at scale.
 
-Hash choice: Knuth multiplicative hash `(key * 2654435761) % 1000000007`
-in plain int64 arithmetic — identical in Spark and DuckDB, so these ops
-are fully oracle-checkable (unlike xxhash64, which DuckDB lacks). At
-petabyte key ranges swap in `F.xxhash64` (same structure, rows-only
-oracle).
+Hash choice: Knuth multiplicative hash `((key % 1000000007) * 2654435761)
+% 1000000007` in plain int64 arithmetic — identical in Spark and DuckDB,
+so these ops are fully oracle-checkable (unlike xxhash64, which DuckDB
+lacks). The inner `% MOD` is load-bearing: it bounds the multiplicand so
+the product stays under 2^63 for EVERY int64 key — the naive
+`key * KNUTH` overflows past key ~3.5e9 (Spark ANSI mode and DuckDB both
+raise on bigint overflow), and by modular congruence the reduced form
+yields the exact same bucket. Agreement across engines, including
+negative keys (dividend-sign `%` in both), is pinned in
+tests/test_sampling.py.
 """
 
 from __future__ import annotations
@@ -30,16 +35,17 @@ _MOD = 1000000007
 
 
 def _split_hash(key):
-    """Deterministic per-row draw in [0, _MOD): stable under retries,
-    repartitioning, and cluster size — unlike rand()/df.sample()."""
-    return (F.col(key) * F.lit(_KNUTH)) % F.lit(_MOD)
+    """Deterministic per-row draw, stable under retries, repartitioning,
+    and cluster size — unlike rand()/df.sample(). The inner % bounds the
+    multiplicand so the product never overflows int64 (see module doc)."""
+    return ((F.col(key) % F.lit(_MOD)) * F.lit(_KNUTH)) % F.lit(_MOD)
 
 
 _ORACLE_SPLIT = f"""
 WITH assigned AS (
   SELECT lang, n_chars,
-         CASE WHEN (doc_id * {_KNUTH}) % {_MOD} % 10 < 8 THEN 'train'
-              WHEN (doc_id * {_KNUTH}) % {_MOD} % 10 = 8 THEN 'val'
+         CASE WHEN ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD} % 10 < 8 THEN 'train'
+              WHEN ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD} % 10 = 8 THEN 'val'
               ELSE 'test' END AS split
   FROM documents
 )
@@ -73,7 +79,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_STRATIFIED = f"""
 SELECT doc_id, lang
 FROM documents
-WHERE (doc_id * {_KNUTH}) % {_MOD} % 100 <
+WHERE ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD} % 100 <
       CASE WHEN lang = 'en' THEN 5 ELSE 50 END
 """
 
@@ -91,7 +97,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_SHUFFLE = f"""
-SELECT doc_id, (doc_id * {_KNUTH}) % {_MOD} AS shuffle_key
+SELECT doc_id, ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD} AS shuffle_key
 FROM documents
 ORDER BY shuffle_key
 """

@@ -16,7 +16,7 @@ def test_split_invariant_under_repartition(spark, sf_dir):
     # row must land in the same split (df.sample() fails this).
     docs = load(spark, sf_dir, "documents")
     knuth, mod = 2654435761, 1000000007
-    bucket = (F.col("doc_id") * knuth) % mod % 10
+    bucket = ((F.col("doc_id") % mod) * knuth) % mod % 10
     split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     a = docs.select("doc_id", split.alias("split"))
     b = docs.repartition(7, "lang").select("doc_id", split.alias("split"))
@@ -61,3 +61,28 @@ def test_shuffle_deterministic_is_stable(spark, sf_dir):
     assert first == second
     # it actually reorders (not identity order)
     assert first != sorted(first)
+
+
+def test_split_hash_extreme_keys_match_oracle(spark):
+    """The overflow-safe hash form must (a) not raise for ANY int64 key
+    — the naive key*KNUTH overflows past ~3.5e9, which both Spark ANSI
+    mode and DuckDB reject — and (b) bucket negative keys identically in
+    both engines (dividend-sign %, Java/C semantics; Python's % differs,
+    so a reimplementation via Python arithmetic would drift)."""
+    import duckdb
+
+    int64_max = 2**63 - 1
+    keys = [
+        -int64_max - 1, -(10**12) - 7, -987654321, -11, -1,
+        0, 1, 11, 987654321, 10**12 + 7, int64_max,
+    ]
+    knuth, mod = 2654435761, 1000000007
+    sdf = spark.createDataFrame([(k,) for k in keys], "doc_id long").select(
+        "doc_id", (((F.col("doc_id") % mod) * knuth) % mod % 10).alias("bucket")
+    )
+    got = {r["doc_id"]: r["bucket"] for r in sdf.collect()}
+    want = {
+        k: duckdb.sql(f"SELECT (({k} % {mod}) * {knuth}) % {mod} % 10").fetchone()[0]
+        for k in keys
+    }
+    assert got == want
