@@ -48,12 +48,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.4, n: int = 3, text_col: str = "text"
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """All pairs with shingle-Jaccard >= threshold, via explode+join
-    (no cross product)."""
+    (no cross product).
+
+    `max_shingle_df` is the hot-shingle skew cap (the shingle twin of
+    `minhash_lsh_pairs(max_band_bucket=...)`): a boilerplate shingle
+    shared by k docs yields k^2 join rows into ONE reducer, so at web
+    scale a single header/footer shingle is a job-killer. Shingles with
+    document frequency above the cap are dropped from the join side
+    only — set sizes (na/nb) still count them, so capped pairs can only
+    LOSE intersection weight (jaccard under- never over-estimated;
+    pairs held together solely by boilerplate fall below threshold,
+    which is the curation-desirable direction). Cost: one extra groupBy
+    on the shingle key, combined map-side."""
     sh = _shingle_sets(docs, n, text_col).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("doc_id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        shingle_df = exploded.groupBy("shingle").agg(F.count("*").alias("__df"))
+        exploded = (
+            exploded.join(
+                shingle_df.filter(F.col("__df") <= max_shingle_df), "shingle"
+            )
+            .drop("__df")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

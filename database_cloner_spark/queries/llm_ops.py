@@ -68,8 +68,16 @@ WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
 @register("q_dedup_fuzzy", oracle=_ORACLE_DEDUP_FUZZY, tier="X")
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard >= 0.4 via
-    explode+join (the oracle brute-forces the same definition)."""
-    return dedup.shingle_jaccard_pairs(load(spark, sf_dir, "documents"))
+    explode+join (the oracle brute-forces the same definition).
+
+    Registered WITH the hot-shingle document-frequency cap so the
+    driver-checked plan is the skew-safe one. The cap (10k) exceeds any
+    possible df at oracle scale (500-5000 docs), so results here are
+    provably identical to the uncapped oracle; at web scale it bounds
+    the worst reducer at cap^2 rows per hot shingle."""
+    return dedup.shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
 
 
 @register("q_dedup_minhash", oracle=None, tier="X")
@@ -86,13 +94,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
-_ORACLE_DEDUP_EMBEDDING = """
+# Brute-force cosine is O(n^2): the registered entry is EXPLICITLY input-
+# capped (first EMB_BRUTE_CAP vec_ids) so no registered operator carries an
+# unbounded all-pairs plan. The uncapped form stays available as the test
+# oracle for the bucketed scale path (embedding_neardup_bucketed).
+EMB_BRUTE_CAP = 4096
+
+_ORACLE_DEDUP_EMBEDDING = f"""
+WITH capped AS (SELECT * FROM embeddings WHERE vec_id < {EMB_BRUTE_CAP})
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
              / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                 * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
          AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM capped a JOIN capped b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
@@ -101,8 +116,13 @@ WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 @register("q_dedup_embedding", oracle=_ORACLE_DEDUP_EMBEDDING, tier="X")
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force baseline)."""
-    return dedup.embedding_neardup_pairs(load(spark, sf_dir, "embeddings"))
+    """Embedding-cosine near-dup pairs — capped-input brute-force
+    baseline (vec_id < EMB_BRUTE_CAP on both Spark and oracle sides;
+    the scale path is q_dedup_embedding_bucketed)."""
+    embs = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMB_BRUTE_CAP
+    )
+    return dedup.embedding_neardup_pairs(embs)
 
 
 @register("q_dedup_embedding_bucketed", oracle=None, tier="X")

@@ -56,6 +56,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     back here; sub-microsecond precision is truncated (testdata is
     microsecond-granular, so lossless)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Runtime-settable SQL conf — MUST be set here, not only in the
+    # session factory: harnesses that build their own plain SparkSession
+    # (e.g. the correctness driver) would otherwise die with
+    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     spark_types = dict(df.dtypes)
     for c in _nanos_timestamp_cols(path):

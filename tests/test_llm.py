@@ -176,3 +176,24 @@ def test_minhash_band_bucket_cap(spark, sf_dir):
     }
     assert capped == uncapped
     assert dedup.minhash_lsh_pairs(docs, max_band_bucket=1).count() == 0
+
+
+def test_shingle_df_cap(spark, sf_dir):
+    """Hot-shingle document-frequency cap: a generous cap changes
+    nothing (no shingle's df can exceed the corpus size); a cap of 1
+    drops every shared shingle, so no pair retains any intersection."""
+    from database_cloner_spark.llm import dedup
+    from database_cloner_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    uncapped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.shingle_jaccard_pairs(docs).collect()
+    }
+    assert uncapped, "corpus should contain planted near-dups"
+    capped = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.shingle_jaccard_pairs(docs, max_shingle_df=10_000).collect()
+    }
+    assert capped == uncapped
+    assert dedup.shingle_jaccard_pairs(docs, max_shingle_df=1).count() == 0
