@@ -75,6 +75,45 @@ def q_scan_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_scan_json: dynamic-schema JSON collection scan (CS:810,:774) --------
+
+_ORACLE_SCAN_JSON = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       MIN(user_id) AS min_user,
+       SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_scan_json", oracle=_ORACLE_SCAN_JSON, tier="C")
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan an ACTUAL semi-structured JSON collection with NO declared
+    schema — the real mongodump analogue (clone_databases.sh:810,:774):
+    events are exported once as nested line-delimited JSON documents
+    (scalars + a nested `meta` object), then read back via
+    `spark.read.json` whose inference discovers the nested StructType
+    from the documents themselves. The aggregate proves the inferred
+    nested fields (`meta.k`, `meta.user_id`) carry the same data as the
+    relational original."""
+    from database_cloner_spark.sources.json import (
+        events_document_export,
+        load_json,
+    )
+
+    path = events_document_export(spark, sf_dir)
+    docs = load_json(spark, path)
+    return docs.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.col("meta.k")).alias("min_k"),
+        F.max(F.col("meta.k")).alias("max_k"),
+        F.min(F.col("meta.user_id")).alias("min_user"),
+        F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).alias("n_high"),
+    )
+
+
 # --- q_scan_delim: `:`-delimited record parse (CS:574, CS:972) -------------
 
 _ORACLE_SCAN_DELIM = """

@@ -69,3 +69,34 @@ def test_catalog_tables_and_columns(spark):
     cdf = catalog.columns_df(spark, sf)
     li_cols = [r.column_name for r in cdf.filter(cdf.table_name == "lineitem").collect()]
     assert "l_orderkey" in li_cols and len(li_cols) == 11
+
+
+def test_json_source_nested_inference(spark, tmp_path):
+    """spark.read.json infers a nested StructType from the documents
+    themselves (the mongodump analogue — no declared schema)."""
+    from database_cloner_spark.sources.json import export_json, load_json
+
+    p = str(tmp_path / "coll")
+    src = spark.createDataFrame(
+        [(1, "a", (10, 5.5)), (2, "b", (20, 6.5))],
+        "doc_id bigint, tag string, meta struct<k: bigint, score: double>",
+    )
+    export_json(src, p)
+    df = load_json(spark, p)
+    assert df.schema["meta"].dataType.typeName() == "struct"
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1].meta.k == 10 and rows[2].meta.score == 6.5
+
+
+def test_json_source_corrupt_records_survive(spark, tmp_path):
+    """PERMISSIVE mode: malformed lines land in _corrupt_record instead
+    of failing the job (a 100 TB ingest must tolerate bad lines)."""
+    from database_cloner_spark.sources.json import CORRUPT_COL, load_json
+
+    p = tmp_path / "coll.json"
+    p.write_text('{"doc_id": 1, "v": 2}\n{not json at all\n{"doc_id": 3, "v": 4}\n')
+    df = load_json(spark, str(p)).cache()
+    good = df.filter(df[CORRUPT_COL].isNull())
+    bad = df.filter(df[CORRUPT_COL].isNotNull())
+    assert good.count() == 2 and bad.count() == 1
+    assert {r.doc_id for r in good.collect()} == {1, 3}
