@@ -34,6 +34,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
+from database_cloner_spark.pipeline import admission
 from database_cloner_spark.pipeline import principals as prin
 from database_cloner_spark.pipeline import reports, verify
 from database_cloner_spark.sources.parquet import load, table_names
@@ -61,6 +62,12 @@ class CloneConfig:
     parallelism: int = 8
     verify_clone: bool = True
     overwrite: bool = False  # False => skip-if-exists (reference semantics)
+    # Admission control (clone_databases.sh:625-708): refuse to mutate a
+    # target table while the active-writers registry holds entries for it.
+    # force=True mirrors the operator choosing to proceed anyway after
+    # reading the kill advice — it does NOT clear the registry.
+    admission_control: bool = True
+    force: bool = False
     host: str = "pg-lb.internal"
     port: int = 5432
     seed: int = 42
@@ -134,6 +141,19 @@ class ClonePipeline:
             if os.path.exists(tgt_path) and not self.cfg.overwrite:
                 self.log.info(f"Database {tgt_name} already exists, skipping clone")
                 return TableResult(table, tgt_name, "skipped")
+            # Admission gate (clone_databases.sh:645): refuse while the
+            # target table has registered active writers.
+            if self.cfg.admission_control and not self.cfg.force:
+                writers = admission.active_writers(self.cfg.target_dir, tgt_name)
+                if writers:
+                    advice = admission.kill_advice(writers)
+                    self.log.error(
+                        f"Cannot clone {table} -> {tgt_name}: {advice}"
+                    )
+                    return TableResult(
+                        table, tgt_name, "failed",
+                        error=f"active writers on {tgt_name}: {advice}",
+                    )
             if os.path.exists(tgt_path) and self.cfg.create_backup_before_clone:
                 self._backup(tgt_path, table)
 

@@ -161,3 +161,46 @@ def test_sorted_clone_has_tight_rowgroup_stats(spark, tmp_path):
             prev_max = stats.max
             checked += 1
     assert checked >= len(files)
+
+
+def test_admission_gate_refuses_then_proceeds(spark, tmp_path):
+    """Reference clone_databases.sh:625-708: refuse to clone while the
+    target has active writers; proceed once they're gone."""
+    from database_cloner_spark.pipeline import admission
+
+    target = str(tmp_path / "gated")
+    cfg = CloneConfig(source_dir=SF, target_dir=target, tables=["region"])
+    os.makedirs(target, exist_ok=True)
+    admission.acquire(target, holder="etl-job-7", table="clone_region")
+
+    refused = ClonePipeline(spark, cfg).run()
+    assert not refused.ok
+    r = refused.results[0]
+    assert r.status == "failed" and "active writer" in r.error
+    assert "etl-job-7" in r.error  # kill advice names the holder
+    # Refusal must not have touched the target.
+    assert not os.path.exists(os.path.join(target, "clone_region.parquet"))
+
+    # Registry is queryable metadata (principals-table pattern).
+    writers = admission.active_writers_df(spark, target)
+    assert writers.count() == 1
+    assert writers.collect()[0].holder == "etl-job-7"
+
+    assert admission.release(target, holder="etl-job-7") == 1
+    ok = ClonePipeline(spark, cfg).run()
+    assert ok.ok and ok.results[0].status == "cloned"
+
+
+def test_admission_gate_force_overrides(spark, tmp_path):
+    from database_cloner_spark.pipeline import admission
+
+    target = str(tmp_path / "forced")
+    os.makedirs(target, exist_ok=True)
+    admission.acquire(target, holder="stuck-writer", table="clone_nation")
+    cfg = CloneConfig(
+        source_dir=SF, target_dir=target, tables=["nation"], force=True
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok and result.results[0].status == "cloned"
+    # force proceeds but does NOT clear the registry.
+    assert len(admission.active_writers(target)) == 1
