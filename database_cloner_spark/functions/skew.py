@@ -21,11 +21,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _content_salt(df: DataFrame, n_salts: int, salt_cols: Sequence[str] | None) -> Column:
+    """Salt derived from STABLE row content, never from
+    monotonically_increasing_id(): mid-ids depend on partition layout, so
+    if a shuffle-map task is recomputed after a partial fetch, rows would
+    re-salt into different reducers and be double-counted or lost. A
+    content hash assigns every row the same salt on every recomputation
+    (the determinism-under-retry rule sampling.py follows). Identical
+    rows share a salt — harmless for aggregation (their partials merge
+    anyway) and bounded for joins by payload diversity."""
+    cols = list(salt_cols) if salt_cols else df.columns
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salts))
+
+
 def salted_agg(
     df: DataFrame,
     keys: Sequence[str],
     aggs: Sequence[Column],
     n_salts: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation with an explicit salt: rows are first
     aggregated on (keys..., salt) — n_salts partial states per hot key,
@@ -39,7 +53,7 @@ def salted_agg(
     salt additionally splits a single hot key's final-phase state across
     n_salts reducers, removing the one-reducer bottleneck.
     """
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = _content_salt(df, n_salts, salt_cols)
     partial = (
         df.withColumn("__salt", salt)
         .groupBy(*keys, "__salt")
@@ -57,6 +71,7 @@ def salted_join(
     on: str,
     n_salts: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join where `skewed` has hot values of `on` and `other` is
     too big to broadcast: append a random salt to the skewed side's key
@@ -66,7 +81,7 @@ def salted_join(
     use only when AQE's skew splitting isn't available (e.g. the join is
     followed by an aggregation that must see the skewed key whole).
     Result is exactly the unsalted join (column set preserved)."""
-    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    salt = _content_salt(skewed, n_salts, salt_cols)
     left = skewed.withColumn("__salt", salt.cast("int"))
     right = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -17,13 +17,23 @@ def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     expression itself: an expression inlined into the transform lambda
     is re-evaluated at every shingle position (measured 7x slower —
     Catalyst does not common-subexpression-eliminate inside HOF
-    lambdas). Callers project tokens in a prior select."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    lambdas). Callers project tokens in a prior select.
+
+    Safe for SHORT inputs: with fewer than n tokens the raw
+    sequence(1, size-(n-1)) would be sequence(1, 0), which Spark
+    evaluates as the DESCENDING range [1, 0], and slice(toks, 0, n)
+    then throws INVALID_PARAMETER_VALUE.START — so the whole transform
+    is gated behind size(toks) >= n and short docs yield an empty
+    shingle set instead of a runtime crash (ADVICE r1)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles(text: Column, n: int = 3) -> Column:

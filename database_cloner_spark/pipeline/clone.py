@@ -70,7 +70,9 @@ class CloneConfig:
     force: bool = False
     host: str = "pg-lb.internal"
     port: int = 5432
-    seed: int = 42
+    # Password seed: None (default) => OS CSPRNG, like the reference's
+    # /dev/urandom. Set ONLY for reproducible test fixtures.
+    seed: int | None = None
 
 
 @dataclass

@@ -65,10 +65,18 @@ class DbPrincipals:
     app_password: str
 
 
-def generate_password(seed: int, length: int = 16) -> str:
-    """Seeded twin of `tr -dc 'A-Za-z0-9' < /dev/urandom | head -c 16`
-    (clone_databases.sh:256-261). Driver-side (one per database, not per
-    row — the per-row vectorized form lives in queries/udfs.py)."""
+def generate_password(seed: int | None = None, length: int = 16) -> str:
+    """Twin of `tr -dc 'A-Za-z0-9' < /dev/urandom | head -c 16`
+    (clone_databases.sh:256-261). SECURE BY DEFAULT: seed=None draws
+    from the OS CSPRNG like the reference does; a seed is an explicit
+    test/reproducibility override only — a seeded default would make
+    every provisioned credential derivable from the db name (ADVICE r1).
+    Driver-side (one per database, not per row — the per-row vectorized
+    form lives in queries/udfs.py)."""
+    if seed is None:
+        import secrets
+
+        return "".join(secrets.choice(_CHARSET) for _ in range(length))
     import numpy as np
 
     rng = np.random.RandomState(seed & 0x7FFFFFFF)
@@ -81,24 +89,29 @@ def make_principals(
     db_prefix: str,
     app_role_prefix: str = "app_role_",
     owner_role_prefix: str = "owner_role_",
-    seed: int = 42,
+    seed: int | None = None,
 ) -> DbPrincipals:
     """Derive the principal set for one target database
-    (clone_databases.sh:297-316)."""
+    (clone_databases.sh:297-316). Passwords come from the OS CSPRNG
+    unless a seed is explicitly given (tests/oracle fixtures)."""
     import zlib
 
     base = target_db[len(db_prefix):] if target_db.startswith(db_prefix) else target_db
-    # crc32, not hash(): Python's hash is salted per process and would make
-    # passwords non-reproducible across runs.
-    db_seed = seed ^ zlib.crc32(target_db.encode())
+    if seed is None:
+        owner_pw, app_pw = generate_password(), generate_password()
+    else:
+        # crc32, not hash(): Python's hash is salted per process and would
+        # make seeded passwords non-reproducible across runs.
+        db_seed = seed ^ zlib.crc32(target_db.encode())
+        owner_pw, app_pw = generate_password(db_seed), generate_password(db_seed + 1)
     return DbPrincipals(
         target_db=target_db,
         owner_user=f"{db_prefix}{base}_user_owner",
         app_user=f"{db_prefix}{base}_user",
         app_role=f"{app_role_prefix}{db_prefix}{base}",
         owner_role=f"{owner_role_prefix}{db_prefix}{base}",
-        owner_password=generate_password(db_seed),
-        app_password=generate_password(db_seed + 1),
+        owner_password=owner_pw,
+        app_password=app_pw,
     )
 
 

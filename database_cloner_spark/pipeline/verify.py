@@ -18,14 +18,15 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 @dataclass(frozen=True)
 class TableFingerprint:
     n_rows: int
     row_hash_sum: str  # decimal sum of per-row xxhash64 — order-insensitive
-    numeric_sums: dict[str, float]
+    # No floating numeric sums: a double sum's partition-order drift can
+    # exceed any rounding at scale (spurious mismatch), and the decimal
+    # row-hash sum already covers content exactly.
 
 
 def _hashable_cols(df: DataFrame) -> list:
@@ -44,34 +45,55 @@ def fingerprint(df: DataFrame) -> TableFingerprint:
     duplicate-sensitive (unlike XOR, two identical rows don't cancel).
     Scales as a single partial-aggregated reduction — constant-size state
     per partition regardless of table size."""
-    num_cols = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, (T.LongType, T.IntegerType, T.DoubleType, T.FloatType))
-    ]
-    aggs = [
+    row = df.agg(
         F.count("*").alias("__n"),
         F.sum(F.xxhash64(*_hashable_cols(df)).cast("decimal(38,0)")).alias("__h"),
-    ] + [F.round(F.sum(F.col(c).cast("double")), 2).alias(f"__s_{c}") for c in num_cols]
-    row = df.agg(*aggs).collect()[0]
-    return TableFingerprint(
-        n_rows=row["__n"],
-        row_hash_sum=str(row["__h"]),
-        numeric_sums={c: row[f"__s_{c}"] for c in num_cols},
+    ).collect()[0]
+    return TableFingerprint(n_rows=row["__n"], row_hash_sum=str(row["__h"]))
+
+
+def _align_to(src: DataFrame, dst: DataFrame) -> DataFrame:
+    """Cast dst's columns to src's types, by name. A partitioned write
+    moves the partition column into directory names; read-back type
+    inference returns int where the source was bigint, and xxhash64 is
+    TYPE-sensitive (xxhash64(5::int) != xxhash64(5::bigint)) — so
+    content-identical clones would spuriously fail without this."""
+    src_types = {f.name: f.dataType for f in src.schema.fields}
+    return dst.select(
+        *[F.col(n).cast(src_types[n]) for n in dst.columns if n in src_types]
     )
 
 
 def diff_counts(src: DataFrame, dst: DataFrame) -> tuple[int, int]:
     """(rows only in src, rows only in dst) — exact multiset diff via
-    exceptAll. Shuffles both sides on the full row; use fingerprint()
-    first and only diff on mismatch."""
+    exceptAll. Columns are selected in sorted NAME order first:
+    exceptAll resolves positionally, and a partitioned write reorders
+    the read-back schema. Shuffles both sides on the full row; use
+    fingerprint() first and only diff on mismatch."""
+    if set(src.columns) == set(dst.columns):
+        cols = sorted(src.columns)
+        src = src.select(*cols)
+        dst = dst.select(*cols)
     only_src = src.exceptAll(dst).count()
     only_dst = dst.exceptAll(src).count()
     return only_src, only_dst
 
 
 def verify_clone(src: DataFrame, dst: DataFrame, deep: bool = False) -> dict:
-    """Fingerprint compare; optional deep multiset diff."""
+    """Fingerprint compare; optional deep multiset diff.
+
+    The deep diff is AUTHORITATIVE: a clean two-way exceptAll with equal
+    row counts IS multiset equality, so it overrides a fingerprint-only
+    mismatch (and, conversely, a dirty diff fails the clone even if a
+    hash collision made fingerprints agree)."""
+    if set(src.columns) != set(dst.columns):
+        return {
+            "match": False,
+            "src_rows": None,
+            "dst_rows": None,
+            "error": f"column sets differ: {sorted(src.columns)} vs {sorted(dst.columns)}",
+        }
+    dst = _align_to(src, dst)
     fs, fd = fingerprint(src), fingerprint(dst)
     ok = fs == fd
     result = {
@@ -85,7 +107,9 @@ def verify_clone(src: DataFrame, dst: DataFrame, deep: bool = False) -> dict:
         only_src, only_dst = diff_counts(src, dst)
         result["only_in_src"] = only_src
         result["only_in_dst"] = only_dst
-        result["match"] = ok and only_src == 0 and only_dst == 0
+        result["match"] = (
+            only_src == 0 and only_dst == 0 and fs.n_rows == fd.n_rows
+        )
     return result
 
 

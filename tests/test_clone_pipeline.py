@@ -204,3 +204,37 @@ def test_admission_gate_force_overrides(spark, tmp_path):
     assert result.ok and result.results[0].status == "cloned"
     # force proceeds but does NOT clear the registry.
     assert len(admission.active_writers(target)) == 1
+
+
+def test_partitioned_clone_bigint_column_verifies(spark, tmp_path):
+    """ADVICE r1: partitionBy on an integer-typed column writes it into
+    directory names; read-back inference returns int where the source
+    was bigint, and xxhash64 is type-sensitive — verification must cast
+    back to the source schema instead of reporting a false mismatch."""
+    target = str(tmp_path / "bigint_part")
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=target,
+        tables=["nation"],
+        partition_by={"nation": "n_regionkey"},  # bigint in the source
+        parallelism=1,
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok
+    assert result.results[0].verified is True
+
+
+def test_passwords_secure_by_default_seeded_on_request():
+    """ADVICE r1: default passwords come from the OS CSPRNG (two draws
+    differ); a seed is an explicit reproducibility override."""
+    from database_cloner_spark.pipeline.principals import make_principals
+
+    a = make_principals("clone_db1", "clone_")
+    b = make_principals("clone_db1", "clone_")
+    assert a.owner_password != b.owner_password  # 1/62^16 false-fail odds
+    assert a.owner_password != a.app_password
+
+    s1 = make_principals("clone_db1", "clone_", seed=7)
+    s2 = make_principals("clone_db1", "clone_", seed=7)
+    assert s1.owner_password == s2.owner_password
+    assert s1.app_password == s2.app_password

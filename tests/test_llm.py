@@ -197,3 +197,16 @@ def test_shingle_df_cap(spark, sf_dir):
     }
     assert capped == uncapped
     assert dedup.shingle_jaccard_pairs(docs, max_shingle_df=1).count() == 0
+
+
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    """ADVICE r1: inputs with fewer than n tokens must produce an empty
+    shingle array, not INVALID_PARAMETER_VALUE.START."""
+    from database_cloner_spark.llm.textprep import shingles
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, ""), (3, "a b c d")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r.sh for r in df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert rows[1] == [] and rows[2] == []
+    assert rows[3] == ["a b c", "b c d"]

@@ -47,3 +47,20 @@ def test_salted_join_equals_plain(spark):
         for r in salted_join(orders, cust, "o_custkey").collect()
     )
     assert salted == plain
+
+
+def test_salt_is_content_deterministic(spark):
+    """ADVICE r1: salts must derive from row content, not
+    monotonically_increasing_id — a task retry or repartitioning must
+    re-assign every row the SAME salt or salted aggs double-count."""
+    from database_cloner_spark.functions.skew import _content_salt
+
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    s1 = orders.withColumn("__salt", _content_salt(orders, 16, None))
+    # Same content, radically different partitioning => same salts.
+    reparted = orders.repartition(13)
+    s2 = reparted.withColumn("__salt", _content_salt(reparted, 16, None))
+    m1 = {r["o_orderkey"]: r["__salt"] for r in s1.collect()}
+    m2 = {r["o_orderkey"]: r["__salt"] for r in s2.collect()}
+    assert m1 == m2
+    assert len(set(m1.values())) > 1  # actually spreads
