@@ -1,0 +1,107 @@
+"""Incremental clone: chunked fingerprint diff, partial rewrite only."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from database_cloner_spark.pipeline.incremental import (
+    CHUNK_COL,
+    changed_chunks,
+    incremental_clone,
+)
+from database_cloner_spark.pipeline.verify import verify_clone
+from database_cloner_spark.sources import load
+
+SF = "/root/testdata/sf0.001"
+N_CHUNKS = 16
+
+
+def _chunk_mtimes(target: str) -> dict[str, float]:
+    out = {}
+    for d in os.listdir(target):
+        if d.startswith(f"{CHUNK_COL}="):
+            full = os.path.join(target, d)
+            out[d] = max(
+                os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)
+            )
+    return out
+
+
+def test_incremental_clone_full_then_noop_then_partial(spark, tmp_path):
+    target = str(tmp_path / "inc_orders")
+    src = load(spark, SF, "orders")
+
+    # 1) First run: full chunked write.
+    r1 = incremental_clone(spark, src, target, key_col="o_orderkey", n_chunks=N_CHUNKS)
+    assert r1["mode"] == "full"
+    back = spark.read.parquet(target).drop(CHUNK_COL)
+    assert verify_clone(src, back)["match"]
+
+    # 2) Unchanged source: no chunk rewritten, no file touched.
+    before = _chunk_mtimes(target)
+    r2 = incremental_clone(spark, src, target, key_col="o_orderkey", n_chunks=N_CHUNKS)
+    assert r2 == {
+        "mode": "noop", "n_chunks": N_CHUNKS, "changed": 0, "rows_rewritten": 0,
+    }
+    assert _chunk_mtimes(target) == before
+
+    # 3) Modify a handful of rows -> only their chunks rewritten.
+    touched_keys = [r.o_orderkey for r in src.select("o_orderkey").limit(3).collect()]
+    modified = src.withColumn(
+        "o_orderpriority",
+        F.when(
+            F.col("o_orderkey").isin(touched_keys), F.lit("9-UPDATED")
+        ).otherwise(F.col("o_orderpriority")),
+    )
+    want_changed = changed_chunks(modified, back, "o_orderkey", N_CHUNKS)
+    assert 1 <= len(want_changed) <= 3
+
+    r3 = incremental_clone(
+        spark, modified, target, key_col="o_orderkey", n_chunks=N_CHUNKS
+    )
+    assert r3["mode"] == "incremental"
+    assert r3["changed"] == len(want_changed)
+
+    after = _chunk_mtimes(target)
+    rewritten = {d for d in after if after[d] != before.get(d)}
+    assert rewritten == {f"{CHUNK_COL}={c}" for c in want_changed}
+
+    final = spark.read.parquet(target).drop(CHUNK_COL)
+    assert verify_clone(modified, final)["match"]
+
+
+def test_incremental_clone_handles_inserts_and_deletes(spark, tmp_path):
+    target = str(tmp_path / "inc_nation")
+    src = load(spark, SF, "nation")
+    incremental_clone(spark, src, target, key_col="n_nationkey", n_chunks=4)
+
+    # Delete one nation, insert a new one.
+    nxt = src.filter(F.col("n_nationkey") != 0).unionByName(
+        spark.createDataFrame(
+            [(99, "ATLANTIS", 0)],
+            "n_nationkey bigint, n_name string, n_regionkey bigint",
+        )
+    )
+    r = incremental_clone(spark, nxt, target, key_col="n_nationkey", n_chunks=4)
+    assert r["mode"] == "incremental" and r["changed"] >= 1
+    final = spark.read.parquet(target).drop(CHUNK_COL)
+    assert verify_clone(nxt.select(*sorted(nxt.columns)), final)["match"]
+
+
+def test_incremental_clone_chunk_fully_deleted(spark, tmp_path):
+    """A chunk whose rows ALL disappear must be removed, not left stale
+    (dynamic overwrite alone would never touch it)."""
+    target = str(tmp_path / "inc_region")
+    src = load(spark, SF, "region")
+    incremental_clone(spark, src, target, key_col="r_regionkey", n_chunks=8)
+
+    kept = src.filter(F.col("r_regionkey") != 3)
+    # region has 5 rows over 8 chunks: key 3 very likely owns its chunk
+    # alone; assert on content equality either way.
+    r = incremental_clone(spark, kept, target, key_col="r_regionkey", n_chunks=8)
+    assert r["mode"] == "incremental"
+    final = spark.read.parquet(target).drop(CHUNK_COL)
+    assert verify_clone(kept, final)["match"]
+    assert final.filter(F.col("r_regionkey") == 3).count() == 0
