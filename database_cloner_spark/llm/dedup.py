@@ -97,6 +97,72 @@ def shingle_jaccard_pairs(
     )
 
 
+# --- character n-gram Jaccard ---------------------------------------------
+
+
+def char_ngram_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, gs) — distinct lowercase character n-grams per doc.
+    Character grams catch typo/edit-level near-dups that word shingles
+    miss (one changed word kills 3 word-shingles but only ~n char
+    grams). Short texts (< n chars) yield an empty set, same guard as
+    shingles_of_tokens."""
+    t = docs.select("doc_id", F.lower(F.trim(F.col(text_col))).alias("__t"))
+    grams = F.when(
+        F.length("__t") >= n,
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, length(__t) - {n - 1}),"
+                f" i -> substr(__t, i, {n}))"
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.select("doc_id", grams.alias("gs"))
+
+
+def char_ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    max_ngram_df: int | None = None,
+) -> DataFrame:
+    """All pairs with char-n-gram Jaccard >= threshold via explode+join
+    (same skeleton as shingle_jaccard_pairs, including the hot-gram
+    document-frequency cap). Char grams have a SMALL vocabulary, so df
+    skew is worse than for word shingles: at any real scale set
+    `max_ngram_df` (or go through MinHash over the gram sets) — the
+    uncapped form is the correctness oracle."""
+    gs = char_ngram_sets(docs, n, text_col).withColumn("n_g", F.size("gs"))
+    exploded = gs.select("doc_id", "n_g", F.explode("gs").alias("gram"))
+    if max_ngram_df is not None:
+        gram_df = exploded.groupBy("gram").agg(F.count("*").alias("__df"))
+        exploded = exploded.join(
+            gram_df.filter(F.col("__df") <= max_ngram_df), "gram"
+        ).drop("__df")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_g").alias("na"),
+            F.col("b.n_g").alias("nb"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 N_PERM = 64

@@ -80,6 +80,44 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Char grams have a tiny vocabulary => every pair shares grams, so the
+# brute-force pair space is dense; like the embedding baseline this entry
+# is explicitly input-capped, with the df-cap + MinHash-over-grams as the
+# scale path (see char_ngram_jaccard_pairs docstring).
+NGRAM_BRUTE_CAP = 64
+
+_ORACLE_DEDUP_NGRAM = f"""
+WITH capped AS (
+  SELECT doc_id, lower(trim(text)) AS t FROM documents
+  WHERE doc_id < {NGRAM_BRUTE_CAP}
+),
+g AS (
+  SELECT doc_id,
+         list_distinct([t[i:i+2] for i in range(1, len(t) - 1)]) AS gs
+  FROM capped WHERE len(t) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
+             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4)
+         AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
+      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6
+"""
+
+
+@register("q_dedup_ngram", oracle=_ORACLE_DEDUP_NGRAM, tier="X")
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-3-gram Jaccard near-dup pairs (edit/typo-level dedup —
+    one changed word costs ~3 char grams but kills 3 whole word
+    shingles). Capped-input brute force on both Spark and oracle sides;
+    scale path = df cap + MinHash over the gram sets."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < NGRAM_BRUTE_CAP
+    )
+    return dedup.char_ngram_jaccard_pairs(docs, threshold=0.6)
+
+
 @register("q_dedup_minhash", oracle=None, tier="X")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: signatures use xxhash64;

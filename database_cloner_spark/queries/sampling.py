@@ -170,6 +170,36 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n_rows,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+@register("q_agg_grouping_sets", oracle=_ORACLE_GROUPING_SETS, tier="X")
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube specialize
+    (here: detail + per-flag subtotal + grand total, i.e. the ROLLUP
+    sets written out by hand). Same Expand-then-one-hash-agg physical
+    shape as cube: each input row fans out to its matching sets
+    map-side, partials combine before the single shuffle — no
+    multi-pass union of separate aggregations."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 _ORACLE_CORR_SUBQUERY = """
 SELECT l.l_partkey AS partkey,
        COUNT(*) AS n_small,

@@ -114,6 +114,51 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_MOVING_AVG = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             / COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_in_frame
+FROM events
+"""
+
+
+@register("q_win_moving_avg", oracle=_ORACLE_MOVING_AVG, tier="X")
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame: 4-event moving average per user (ROWS
+    BETWEEN 3 PRECEDING AND CURRENT ROW). A bounded ROWS frame keeps
+    O(frame) state per row during the single user_id shuffle — the
+    smoothing primitive for event-rate monitoring. The window order is
+    total (ts, event_id), so both engines fold the same 4 doubles in
+    the same order. The average is an EXPLICIT sum/count (not AVG):
+    engines differ in how their windowed AVG accumulates, but an
+    order-identical sum divided by the same count is bit-identical.
+    Rounded to 4dp, not 2: the inputs are 2dp values, so sum/2 and
+    sum/4 land EXACTLY on .xx5 half-cent boundaries where HALF_UP
+    (Spark, on the decimal repr) and raw-double rounding (DuckDB)
+    disagree; at 4dp those quotients are exactly representable and no
+    boundary is ever hit (sum/3 can't reach a 4dp half-boundary from
+    2dp inputs)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w) / F.count("*").over(w), 4).alias("moving_avg"),
+        F.count("*").over(w).alias("n_in_frame"),
+    )
+
+
 _ORACLE_NTILE = """
 SELECT c_custkey,
        c_nationkey,

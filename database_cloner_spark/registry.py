@@ -97,6 +97,10 @@ _ROTATION_PRIORITY = [
     "q_sim_ivf_topk",
     "q_text_tokens",
     "q_text_langid",
+    # Round-2 additions (positions 51+: rotate in as slots free up)
+    "q_win_moving_avg",
+    "q_agg_grouping_sets",
+    "q_dedup_ngram",
 ]
 
 
