@@ -1,0 +1,105 @@
+"""CLI entry point — the `./clone_databases.sh` surface, Spark-first.
+
+The reference is invoked as a shell command that sources a key=value
+conf, optionally takes a database list, runs the clone loop, prints a
+per-db progress narrative, and exits 0 iff every database succeeded
+(clone_databases.sh:1008-1118, exit contract :1095-1103). This module
+is that surface for the Spark engine:
+
+    python -m database_cloner_spark --conf clone.conf \
+        --source-dir /data/src --target-dir /data/tgt [db1,db2 ...]
+
+Conf keys honored (postgresql_db_clone.conf.example:6-45 naming):
+DATABASES_TO_CLONE (comma list), DB_PREFIX, CREATE_BACKUP_BEFORE_CLONE
+(true/false), PG_HOST, PG_PORT. CLI positional databases override the
+conf list (same precedence as the reference's "$@" over
+DATABASES_TO_CLONE, clone_databases.sh:1019-1030).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m database_cloner_spark",
+        description="Clone a parquet namespace with verification, "
+        "principals provisioning, and reports.",
+    )
+    p.add_argument("databases", nargs="?", default=None,
+                   help="comma-separated table list (overrides conf DATABASES_TO_CLONE)")
+    p.add_argument("--conf", default=None, help="key=value config file (clone.conf)")
+    p.add_argument("--source-dir", required=True)
+    p.add_argument("--target-dir", required=True)
+    p.add_argument("--db-prefix", default=None, help="default clone_ (conf DB_PREFIX)")
+    p.add_argument("--overwrite", action="store_true",
+                   help="overwrite existing targets (default: skip-if-exists)")
+    p.add_argument("--backup", action="store_true",
+                   help="timestamped backup before overwrite (conf CREATE_BACKUP_BEFORE_CLONE)")
+    p.add_argument("--force", action="store_true",
+                   help="proceed despite registered active writers")
+    p.add_argument("--no-verify", action="store_true")
+    p.add_argument("--parallelism", type=int, default=8)
+    p.add_argument("--seed", type=int, default=None,
+                   help="password seed (reproducible fixtures only; default CSPRNG)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from database_cloner_spark.pipeline import CloneConfig, ClonePipeline
+    from database_cloner_spark.session import get_spark
+
+    spark = get_spark("database-cloner-cli")
+
+    conf: dict[str, str] = {}
+    if args.conf:
+        from database_cloner_spark.sources.kv_config import read_config
+
+        conf = read_config(spark, args.conf)
+
+    tables = args.databases or conf.get("DATABASES_TO_CLONE") or None
+    truthy = ("true", "1", "yes")
+    cfg = CloneConfig(
+        source_dir=args.source_dir,
+        target_dir=args.target_dir,
+        db_prefix=args.db_prefix or conf.get("DB_PREFIX", "clone_"),
+        tables=tables,
+        create_backup_before_clone=(
+            args.backup
+            or conf.get("CREATE_BACKUP_BEFORE_CLONE", "").lower() in truthy
+        ),
+        parallelism=args.parallelism,
+        verify_clone=not args.no_verify,
+        overwrite=args.overwrite,
+        force=args.force,
+        host=conf.get("PG_HOST", "pg-lb.internal"),
+        port=int(conf.get("PG_PORT", "5432")),
+        seed=args.seed,
+    )
+    result = ClonePipeline(spark, cfg).run()
+
+    # Per-db narrative + summary, mirroring the reference's output
+    # (clone_databases.sh:1040-1103).
+    for r in result.results:
+        mark = {"cloned": "OK", "skipped": "SKIP", "failed": "FAIL"}[r.status]
+        line = f"[{mark:4}] {r.table} -> {r.target_table}"
+        if r.status == "cloned":
+            line += f" ({r.rows} rows" + (
+                ", verified)" if r.verified else ")"
+            )
+        elif r.error:
+            line += f": {r.error}"
+        print(line)
+    print(
+        f"Cloning process finished: {result.success_count}/{result.total_count} successful"
+    )
+    # Exit contract (clone_databases.sh:1095-1103).
+    return 0 if result.ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
