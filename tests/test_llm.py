@@ -210,3 +210,23 @@ def test_shingles_short_docs_yield_empty_not_crash(spark):
     rows = {r.doc_id: r.sh for r in df.select("doc_id", shingles(F.col("text"), 3).alias("sh")).collect()}
     assert rows[1] == [] and rows[2] == []
     assert rows[3] == ["a b c", "b c d"]
+
+
+def test_ivf_persisted_index_matches_and_prunes(spark, tmp_path):
+    """build_ivf_index + ivf_topk_indexed: same results as the stateless
+    ivf_topk, and the probe's cell filter reaches the scan as partition
+    pruning (the index-reuse story: storage reads ~ nprobe/n_cells)."""
+    embs = load(spark, SF, "embeddings")
+    idx = str(tmp_path / "ivf_index")
+    similarity.build_ivf_index(embs, idx, n_cells=16)
+
+    probe = similarity.probe_vector(embs)
+    stateless = [(r.vec_id, r.cosine) for r in similarity.ivf_topk(embs, probe).collect()]
+    indexed_df = similarity.ivf_topk_indexed(spark, idx, probe, nprobe=4)
+    indexed = [(r.vec_id, r.cosine) for r in indexed_df.collect()]
+    assert indexed == stateless
+
+    plan = indexed_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1][:200], (
+        f"cell filter not pruning partitions:\n{plan[:1500]}"
+    )
