@@ -42,15 +42,74 @@ def brute_force_topk(embs: DataFrame, probe: DataFrame, k: int = 10) -> DataFram
     )
 
 
-def ivf_assign(embs: DataFrame, n_cells: int = 16) -> DataFrame:
-    """Assign every vector to its nearest centroid. Centroids are the
-    first n_cells vectors (deterministic seeding — a k-means refinement
-    would drop in here without changing the query shape). Output is the
-    reusable inverted file: (cell_id, vec_id, embedding)."""
-    cents = (
-        embs.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
+def seed_centroids(embs: DataFrame, n_cells: int = 16) -> DataFrame:
+    """Deterministic seeding: the first n_cells vectors as centroids."""
+    return embs.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
+
+
+def kmeans_centroids(
+    embs: DataFrame, n_cells: int = 16, iters: int = 2
+) -> DataFrame:
+    """Lloyd's refinement of the seeded centroids, as pure DataFrame ops
+    (drop-in for seed_centroids — same (cell_id, centroid) schema).
+
+    Per iteration: assign every vector to its max-cosine centroid
+    (broadcast of n_cells rows against the scan), then recompute each
+    centroid as the element-wise mean of its members — posexplode to
+    (cell_id, dim, value), one partial-aggregated avg per (cell, dim),
+    re-assembled in dim order. Shuffle payload per iteration is
+    n_cells × dims partial states, never the vectors themselves. The
+    iteration count is a small driver-side loop (the MLlib pattern);
+    each iteration is one Spark job, so total cost = iters scans.
+    Refined centroids balance cell sizes, which directly bounds the
+    worst within-cell join cost of the bucketed near-dup
+    (~Σcell²) and evens IVF probe latency."""
+    cents = seed_centroids(embs, n_cells)
+    for _ in range(iters):
+        scored = embs.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "embedding",
+            "cell_id",
+            (
+                _dot(F.col("embedding"), F.col("centroid"))
+                / (_norm(F.col("embedding")) * _norm(F.col("centroid")))
+            ).alias("sim"),
+        )
+        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("cell_id", "embedding")
+        )
+        dims = assigned.select(
+            "cell_id", F.posexplode("embedding").alias("dim", "v")
+        )
+        means = dims.groupBy("cell_id", "dim").agg(F.avg("v").alias("m"))
+        cents = (
+            means.groupBy("cell_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", "m"))
+                ).alias("__dm")
+            )
+            .select(
+                "cell_id",
+                F.transform(F.col("__dm"), lambda s: s["m"]).alias("centroid"),
+            )
+        )
+    return cents
+
+
+def ivf_assign(
+    embs: DataFrame, n_cells: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Assign every vector to its nearest centroid. Default centroids
+    are the deterministic first-n seed (oracle-reproducible); pass
+    `kmeans_centroids(...)` output for refined cells. Output is the
+    reusable inverted file: (cell_id, vec_id, embedding)."""
+    cents = centroids if centroids is not None else seed_centroids(embs, n_cells)
     scored = embs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -68,22 +127,26 @@ def ivf_assign(embs: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
-def build_ivf_index(embs: DataFrame, path: str, n_cells: int = 16) -> None:
+def build_ivf_index(
+    embs: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    centroids: DataFrame | None = None,
+) -> None:
     """Materialize the IVF index at `path`: the inverted file written
     PARTITIONED BY cell_id (so a probe's cell filter becomes parquet
     partition pruning — only nprobe/n_cells of the bytes are ever read
     from storage), plus the tiny centroid table alongside. Build cost is
     one assignment pass; every subsequent probe pays only its cells.
     This is the index-reuse story `ivf_topk` (which re-assigns per call)
-    trades away for statelessness."""
+    trades away for statelessness. Pass `centroids=kmeans_centroids(...)`
+    to build on refined (cell-balanced) centroids."""
     import os
 
-    inverted = ivf_assign(embs, n_cells)
+    cents = centroids if centroids is not None else seed_centroids(embs, n_cells)
+    inverted = ivf_assign(embs, n_cells, centroids=cents)
     inverted.write.mode("overwrite").partitionBy("cell_id").parquet(
         os.path.join(path, "inverted")
-    )
-    cents = embs.filter(F.col("vec_id") < n_cells).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
     cents.coalesce(1).write.mode("overwrite").parquet(
         os.path.join(path, "centroids")

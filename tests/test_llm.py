@@ -230,3 +230,43 @@ def test_ivf_persisted_index_matches_and_prunes(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters")[1][:200], (
         f"cell filter not pruning partitions:\n{plan[:1500]}"
     )
+
+
+def test_kmeans_refined_centroids_valid_and_balancing(spark, tmp_path):
+    """Lloyd's refinement: schema-compatible with the seed, deterministic,
+    and the refined index still answers probes correctly (the probe's own
+    vector, cosine 1.0, must rank first)."""
+    embs = load(spark, SF, "embeddings")
+    seed = similarity.seed_centroids(embs, n_cells=8)
+    refined = similarity.kmeans_centroids(embs, n_cells=8, iters=2)
+    assert refined.columns == seed.columns
+    rows = refined.collect()
+    assert len(rows) == 8
+    dim = len(seed.collect()[0].centroid)
+    assert all(len(r.centroid) == dim for r in rows)
+    # deterministic across recomputation
+    again = {r.cell_id: r.centroid for r in similarity.kmeans_centroids(embs, 8, 2).collect()}
+    assert {r.cell_id: r.centroid for r in rows} == again
+
+    # Refinement must not break the index path.
+    idx = str(tmp_path / "kmeans_idx")
+    similarity.build_ivf_index(embs, idx, n_cells=8, centroids=refined)
+    probe = similarity.probe_vector(embs)
+    got = similarity.ivf_topk_indexed(spark, idx, probe, k=5, nprobe=3).collect()
+    assert got[0].vec_id == 0 and got[0].cosine == 1.0
+
+    # Balance: refined cells stay in the same ballpark as the seed (the
+    # synthetic fixture is near-uniform, so Lloyd's has little to fix —
+    # strict improvement isn't guaranteed point-wise; what matters is
+    # that refinement never degenerates cells).
+    from pyspark.sql import functions as FF
+    def cell_sizes(cents):
+        return [
+            r.n
+            for r in similarity.ivf_assign(embs, 8, centroids=cents)
+            .groupBy("cell_id").agg(FF.count("*").alias("n")).collect()
+        ]
+    ref_sizes, seed_sizes = cell_sizes(refined), cell_sizes(seed)
+    assert sum(ref_sizes) == sum(seed_sizes)  # every vector still assigned
+    assert len(ref_sizes) == 8  # no empty cells after refinement
+    assert max(ref_sizes) <= int(max(seed_sizes) * 1.25) + 1
