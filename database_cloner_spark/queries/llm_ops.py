@@ -311,6 +311,96 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.fingerprints(load(spark, sf_dir, "documents"))
 
 
+# The canonical end-to-end curation pass a training-data pipeline runs:
+# normalize -> exact-dedup -> quality-score -> language+quality filter ->
+# PII scrub. Composed entirely from the already-oracled building blocks,
+# so the whole pipeline stays hash-checkable.
+_CURATE_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_CURATE_DIGITS_RE = "\\b\\d{9,}\\b"
+
+_ORACLE_CURATE = f"""
+WITH deduped AS (
+  SELECT MIN(doc_id) AS doc_id,
+         arg_min(lang, doc_id) AS lang,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+         COUNT(*) AS n_copies
+  FROM documents
+  GROUP BY 3
+),
+scored AS (
+  SELECT *, string_split(norm_text, ' ') AS ts FROM deduped
+),
+q AS (
+  SELECT doc_id, lang, norm_text, n_copies,
+         len(ts) AS n_tokens,
+         ROUND(0.5 * least(len(ts) / 50.0, 1.0)
+             + 0.3 * (1 - len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts))
+             + 0.2 * (len(list_distinct(ts))::DOUBLE / len(ts)), 4) AS quality
+  FROM scored
+)
+SELECT doc_id, lang, n_copies, n_tokens, quality,
+       regexp_replace(
+         regexp_replace(norm_text, '{_CURATE_EMAIL_RE}', '[EMAIL]', 'g'),
+         '{_CURATE_DIGITS_RE}', '[NUMBER]', 'g') AS clean_text
+FROM q
+WHERE lang = 'en' AND quality >= 0.75
+"""
+
+
+@register("q_curate_corpus", oracle=_ORACLE_CURATE, tier="X")
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: normalize -> exact dedup (survivor =
+    min doc_id, language via min_by) -> rational quality score on the
+    normalized text -> keep English docs above threshold -> PII scrub.
+    One shuffle (the dedup groupBy); scoring, filtering, and scrubbing
+    are map-side codegen over the survivors. The composition of
+    q_dedup_exact + q_text_quality + q_text_pii_scrub semantics, kept
+    fully SQL-expressible so the driver hash-checks the whole pipeline."""
+    from database_cloner_spark.llm.text import STOPWORDS
+    from database_cloner_spark.llm.textprep import normalized
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    deduped = (
+        docs.select("doc_id", "lang", normalized(F.col("text")).alias("norm_text"))
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+    toks = F.split(F.col("norm_text"), " ")
+    scored = deduped.select(
+        "doc_id", "lang", "norm_text", "n_copies", toks.alias("__toks")
+    )
+    t = F.col("__toks")
+    n_tokens = F.size(t)
+    stop_ratio = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n_tokens
+    distinct_ratio = F.size(F.array_distinct(t)) / n_tokens
+    quality = F.round(
+        0.5 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + 0.3 * (1 - stop_ratio)
+        + 0.2 * distinct_ratio,
+        4,
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace("norm_text", _CURATE_EMAIL_RE, "[EMAIL]"),
+        _CURATE_DIGITS_RE,
+        "[NUMBER]",
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "n_copies",
+            n_tokens.alias("n_tokens"),
+            quality.alias("quality"),
+            clean.alias("clean_text"),
+        )
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.75))
+    )
+
+
 _ORACLE_MULTIMODAL_META = """
 SELECT doc_id AS asset_id,
        (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,

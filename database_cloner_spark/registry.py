@@ -101,6 +101,7 @@ _ROTATION_PRIORITY = [
     "q_win_moving_avg",
     "q_agg_grouping_sets",
     "q_dedup_ngram",
+    "q_curate_corpus",
 ]
 
 
