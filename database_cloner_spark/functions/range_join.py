@@ -1,0 +1,53 @@
+"""Big-big range join via grid bucketing.
+
+`q_join_range` broadcasts its tiny band table (the right shape when one
+side fits in memory). When BOTH sides are large — points vs millions of
+intervals — a nested-loop is |L|x|R| and Spark has no native interval
+index. The standard distributed formulation buckets the value domain
+into fixed-width grid cells:
+
+- each point lands in exactly ONE cell: floor(v / w);
+- each interval is exploded to EVERY cell it overlaps:
+  floor(lo / w) .. floor(hi / w);
+- cells equi-join (hash shuffle, AQE-skew-splittable), then the exact
+  containment predicate filters within the cell.
+
+A (point, interval) match appears in exactly one cell — the point's —
+so no dedup pass is needed. Cost: |R| is replicated by its average
+interval width / w (the knob: w ~ median interval width keeps the
+blowup ~2x), and the join is a plain equi-join instead of a cross
+product. Same pattern as the IVF near-dup bucketing (llm/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+CELL_COL = "__cell"
+
+
+def grid_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    cell_width: float,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows of `points` to rows of `intervals` where
+    lo <= value < hi, as a grid-cell equi-join. Column sets must be
+    disjoint (rename beforehand). `hi` is exclusive, matching
+    q_join_range's band semantics."""
+
+    def cell_of(c: Column) -> Column:
+        return F.floor(c / F.lit(cell_width)).cast("long")
+
+    p = points.withColumn(CELL_COL, cell_of(F.col(value_col)))
+    cells = F.sequence(cell_of(F.col(lo_col)), cell_of(F.col(hi_col)))
+    iv = intervals.withColumn(CELL_COL, F.explode(cells))
+    joined = p.join(iv, CELL_COL, how).filter(
+        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    )
+    return joined.drop(CELL_COL)

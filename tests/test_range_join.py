@@ -1,0 +1,53 @@
+"""Grid-bucketed range join vs the naive theta join (exact equality)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_cloner_spark.functions.range_join import grid_range_join
+from database_cloner_spark.sources import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sides(spark):
+    points = load(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+    # Overlapping, non-uniform intervals derived from region+nation keys
+    # (both sides "large" in shape: no broadcast hint anywhere).
+    nat = load(spark, SF, "nation").select("n_nationkey")
+    intervals = nat.select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 7000.0).alias("lo"),
+        (F.col("n_nationkey") * 7000.0 + 21000.0).alias("hi"),
+    )
+    return points, intervals
+
+
+def test_grid_range_join_equals_naive(spark):
+    points, intervals = _sides(spark)
+    naive = points.join(
+        intervals,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    want = sorted(
+        (r.o_orderkey, r.band_id) for r in naive.select("o_orderkey", "band_id").collect()
+    )
+    assert want, "fixture should produce matches"
+
+    for w in (1000.0, 7000.0, 50000.0):  # knob robustness incl. w > interval
+        got = grid_range_join(
+            points, intervals, "o_totalprice", "lo", "hi", cell_width=w
+        )
+        rows = [(r.o_orderkey, r.band_id) for r in got.select("o_orderkey", "band_id").collect()]
+        assert len(rows) == len(set(rows)), f"duplicates at w={w}"
+        assert sorted(rows) == want, f"mismatch at w={w}"
+
+
+def test_grid_range_join_left_keeps_unmatched(spark):
+    points, intervals = _sides(spark)
+    # hi-exclusive: a point above every interval must vanish in inner
+    # join but the plan stays an equi-join (no BroadcastNestedLoop).
+    got = grid_range_join(points, intervals, "o_totalprice", "lo", "hi", 7000.0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
