@@ -421,3 +421,50 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_bytes").alias("n_bytes"),
         F.col("meta.magic").alias("magic"),
     )
+
+
+# Transitive closure of the fuzzy-dup pair graph: DuckDB brute-forces it
+# with a recursive CTE (fine at oracle scale); the Spark side runs the
+# distributed min-label-propagation loop in dedup.connected_components.
+_ORACLE_DEDUP_CLUSTER = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM walk GROUP BY src
+"""
+
+
+@register("q_dedup_cluster", oracle=_ORACLE_DEDUP_CLUSTER, tier="X")
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components: per-doc cluster_id (min
+    doc_id of the component), the keep/drop decision layer above every
+    pairwise dedup op (keep doc_id == cluster_id). Distributed
+    min-label propagation vs the oracle's recursive-CTE closure."""
+    prs = dedup.shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
+    return dedup.connected_components(prs)

@@ -270,3 +270,35 @@ def test_kmeans_refined_centroids_valid_and_balancing(spark, tmp_path):
     assert sum(ref_sizes) == sum(seed_sizes)  # every vector still assigned
     assert len(ref_sizes) == 8  # no empty cells after refinement
     assert max(ref_sizes) <= int(max(seed_sizes) * 1.25) + 1
+
+
+def test_connected_components_path_graph(spark):
+    """A 6-node path (diameter 5) forces multiple propagation rounds:
+    every node must still end in the single min-labeled cluster."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {(v, 10) for v in range(10, 16)}
+
+
+def test_connected_components_multiple_components(spark):
+    """Disjoint components keep distinct min labels; cluster_id is
+    always a member of the component and <= every member."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 40)],
+        ["doc_a", "doc_b"],
+    )
+    rows = dedup.connected_components(pairs).collect()
+    got = {(r.doc_id, r.cluster_id) for r in rows}
+    assert got == {
+        (3, 3), (5, 3), (9, 3),
+        (20, 20), (21, 20),
+        (40, 40), (41, 40),
+    }
+    doc_ids = {r.doc_id for r in rows}
+    assert all(r.cluster_id in doc_ids and r.cluster_id <= r.doc_id for r in rows)
