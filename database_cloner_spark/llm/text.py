@@ -184,3 +184,68 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "fp_min_hash",
         F.coalesce("n_distinct_grams", F.lit(0).cast("long")).alias("n_distinct_grams"),
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    seg_len: int = 8,
+    max_df: int = 1,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-corpus boilerplate-segment removal (the CCNet/RefinedWeb
+    paragraph-dedup step, adapted to the flat-token testdata: a "line"
+    is a fixed non-overlapping run of `seg_len` tokens). Segments whose
+    document frequency exceeds `max_df` — headers, footers, license
+    blurbs repeated across crawls — are cut from every document; the
+    remainder is reassembled in order.
+
+    Output: (doc_id, clean_text, n_kept) for EVERY input doc (fully
+    boilerplate docs survive with clean_text = '').
+
+    100 TB story: segment df is one groupBy combined map-side, keyed on
+    xxhash64(segment) so the shuffle moves 8-byte keys, never segment
+    text; the survivors join is an equi-join on the same hash; doc
+    reassembly is one more groupBy on doc_id with a sort_array over
+    (pos, segment) structs. Three shuffles total, each on a compact
+    key, no window over the whole corpus.
+    """
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, (i - F.lit(1)) * seg_len + F.lit(1), F.lit(seg_len)), " "
+    )
+    # Guard the empty-doc case: sequence(1, 0) is DESCENDING in Spark,
+    # not empty (see textprep.shingles guard) — emit [] explicitly.
+    segs = F.when(
+        F.size(toks) > 0, F.transform(F.sequence(F.lit(1), n_segs), seg_at)
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = docs.select(
+        F.col("doc_id"), F.posexplode(segs).alias("pos", "seg")
+    ).withColumn("seg_h", F.xxhash64("seg"))
+    seg_df = seg_rows.groupBy("seg_h").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    kept = (
+        seg_rows.join(seg_df, "seg_h")
+        .filter(F.col("df") <= max_df)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        )
+    )

@@ -468,3 +468,43 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), max_shingle_df=10_000
     )
     return dedup.connected_components(prs)
+
+
+# CCNet-style boilerplate removal. "Lines" in the flat-token testdata are
+# fixed 8-token segments; a segment present in >= 2 documents is
+# boilerplate and removed everywhere. At sf0.01 that's 153 of 3434
+# distinct segments — non-trivial but far from degenerate.
+_ORACLE_LINE_DEDUP = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents),
+seglists AS (
+  SELECT doc_id,
+         [list_aggregate(ts[(i-1)*8+1:i*8], 'string_agg', ' ')
+          for i in range(1, CAST(ceil(len(ts)/8.0) AS INT) + 1)] AS segs
+  FROM toks
+),
+seg_rows AS (
+  SELECT doc_id, unnest(segs) AS seg, generate_subscripts(segs, 1) AS pos
+  FROM seglists
+),
+seg_df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg_rows GROUP BY seg),
+kept AS (
+  SELECT r.doc_id, r.pos, r.seg
+  FROM seg_rows r JOIN seg_df d ON r.seg = d.seg
+  WHERE d.df <= 1
+),
+agg AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@register("q_text_line_dedup", oracle=_ORACLE_LINE_DEDUP, tier="X")
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus boilerplate-segment removal (CCNet-style line dedup
+    over fixed 8-token segments, df >= 2 cut everywhere)."""
+    return llmtext.segment_dedup(load(spark, sf_dir, "documents"))

@@ -302,3 +302,40 @@ def test_connected_components_multiple_components(spark):
     }
     doc_ids = {r.doc_id for r in rows}
     assert all(r.cluster_id in doc_ids and r.cluster_id <= r.doc_id for r in rows)
+
+
+def test_segment_dedup_removes_boilerplate_keeps_unique(spark):
+    """A segment shared by two docs is cut from both; unique segments
+    survive verbatim and in order; a fully-boilerplate doc comes back
+    with empty clean_text rather than disappearing."""
+    from database_cloner_spark.llm.text import segment_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    u1 = " ".join(f"x{i}" for i in range(8))
+    u2 = " ".join(f"y{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1}"),
+            (2, f"{boiler} {u2}"),
+            (3, boiler),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.clean_text, r.n_kept) for r in segment_dedup(docs).collect()}
+    assert got == {1: (u1, 1), 2: (u2, 1), 3: ("", 0)}
+
+
+def test_segment_dedup_short_and_ragged_docs(spark):
+    """Docs shorter than one segment width and ragged tails are kept
+    whole when unique; ordering of multi-segment survivors is stable."""
+    from database_cloner_spark.llm.text import segment_dedup
+
+    s1 = " ".join(f"a{i}" for i in range(8))
+    s2 = " ".join(f"c{i}" for i in range(8))
+    tail = "t0 t1 t2"
+    docs = spark.createDataFrame(
+        [(1, f"{s1} {s2} {tail}"), (2, "solo")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: (r.clean_text, r.n_kept) for r in segment_dedup(docs).collect()}
+    assert got == {1: (f"{s1} {s2} {tail}", 3), 2: ("solo", 1)}
