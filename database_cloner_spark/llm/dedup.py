@@ -523,3 +523,44 @@ def connected_components(
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+# --- benchmark contamination -----------------------------------------------
+
+
+def benchmark_contamination(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-set contamination check: (train doc, benchmark doc)
+    pairs sharing >= `min_shared` distinct word-`n`-grams. The standard
+    pre-training hygiene step — benchmark items that leak into the
+    corpus inflate evals, so contaminated docs are quarantined before
+    training.
+
+    100 TB story: benchmark suites are tiny (MBs) while the corpus is
+    the 100 TB side, so the exploded benchmark shingle table is
+    BROADCAST — the contamination probe is a map-side hash join over
+    the corpus scan with zero shuffle of corpus data; the only shuffle
+    is the final groupBy on surviving (train_id, bench_id) pairs, a
+    frame bounded by actual contamination (tiny). Shingle sets are
+    deduped per doc before the join, so n_shared counts DISTINCT shared
+    n-grams exactly.
+    """
+    t = (
+        _shingle_sets(train, n, text_col)
+        .select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("shingle"))
+    )
+    b = (
+        _shingle_sets(bench, n, text_col)
+        .select(F.col("doc_id").alias("bench_id"), F.explode("sh").alias("shingle"))
+    )
+    return (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -508,3 +508,38 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus boilerplate-segment removal (CCNet-style line dedup
     over fixed 8-token segments, df >= 2 cut everywhere)."""
     return llmtext.segment_dedup(load(spark, sf_dir, "documents"))
+
+
+# Benchmark-contamination probe: docs sharing >= 2 distinct 3-word
+# shingles with the held-out "benchmark" slice (doc_id % 20 == 0).
+_ORACLE_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+t AS (SELECT doc_id AS train_id, unnest(shingles) AS shingle FROM sh
+      WHERE doc_id % 20 <> 0),
+b AS (SELECT doc_id AS bench_id, unnest(shingles) AS shingle FROM sh
+      WHERE doc_id % 20 = 0)
+SELECT t.train_id, b.bench_id, COUNT(*) AS n_shared
+FROM t JOIN b USING (shingle)
+GROUP BY t.train_id, b.bench_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("q_contamination", oracle=_ORACLE_CONTAMINATION, tier="X")
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination: training docs sharing >= 2 distinct
+    word-3-grams with any doc of the benchmark slice (doc_id % 20 == 0).
+    Benchmark shingles broadcast -> shuffle-free probe over the corpus."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.benchmark_contamination(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+    )

@@ -339,3 +339,23 @@ def test_segment_dedup_short_and_ragged_docs(spark):
     )
     got = {r.doc_id: (r.clean_text, r.n_kept) for r in segment_dedup(docs).collect()}
     assert got == {1: (f"{s1} {s2} {tail}", 3), 2: ("solo", 1)}
+
+
+def test_benchmark_contamination_counts_distinct_shared(spark):
+    """n_shared counts distinct shared shingles; pairs below min_shared
+    are excluded; the benchmark side is broadcast in the plan."""
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # shares 2 shingles w/ bench 100
+            (2, "alpha beta gamma zeta eta"),       # shares 1 shingle -> excluded
+            (3, "one two three four five"),         # shares none
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zzz")], ["doc_id", "text"]
+    )
+    out = dedup.benchmark_contamination(train, bench, min_shared=2)
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r.train_id, r.bench_id): r.n_shared for r in out.collect()}
+    assert got == {(1, 100): 3}
