@@ -543,3 +543,36 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 20 != 0),
         docs.filter(F.col("doc_id") % 20 == 0),
     )
+
+
+# Sequence packing: concat-and-chunk into 512-token contexts across 8
+# hash shards. The oracle reproduces the identical multiplicative-hash
+# order and per-shard running sum with SQL window functions.
+_ORACLE_PACK = """
+WITH base AS (
+  SELECT doc_id,
+         len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 AS h,
+         ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+  FROM documents
+),
+runs AS (
+  SELECT doc_id, n_tokens, shard,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, n_tokens, shard,
+       shard * 1000000 + CAST(floor(start / 512.0) AS BIGINT) AS pack_id,
+       start % 512 AS offset
+FROM runs
+"""
+
+
+@register("q_pack_sequences", oracle=_ORACLE_PACK, tier="X")
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 512-token contexts, 8 parallel hash
+    shards (window per shard, no global ordering)."""
+    from database_cloner_spark.llm.packing import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"))

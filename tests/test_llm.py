@@ -359,3 +359,25 @@ def test_benchmark_contamination_counts_distinct_shared(spark):
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
     got = {(r.train_id, r.bench_id): r.n_shared for r in out.collect()}
     assert got == {(1, 100): 3}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Per shard, docs laid end-to-end in hash order: each start equals
+    the previous start + previous length, offsets stay below ctx_len,
+    and pack ids never skip backwards."""
+    from database_cloner_spark.llm.packing import HASH_MOD, KNUTH, PACK_NS, pack_sequences
+
+    docs = load(spark, sf_dir, "documents")
+    rows = pack_sequences(docs, ctx_len=512, n_shards=8).collect()
+    assert len(rows) == docs.count()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) > 1  # sharding actually splits the corpus
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.doc_id * KNUTH) % HASH_MOD)
+        start = 0
+        for r in rs:
+            assert r.pack_id == shard * PACK_NS + start // 512
+            assert r.offset == start % 512
+            start += r.n_tokens
