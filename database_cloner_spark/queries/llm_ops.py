@@ -576,3 +576,15 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.llm.packing import pack_sequences
 
     return pack_sequences(load(spark, sf_dir, "documents"))
+
+
+@register("q_scan_binary", oracle=None, tier="X")
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-file ingestion (binaryFile source) over the sf_dir's
+    parquet files: location-independent manifest of (file_name,
+    n_bytes, content_hash). Rows-only at the driver (the static oracle
+    SQL cannot parameterize file paths); byte lengths are asserted
+    against os.stat ground truth in tests/test_sources.py."""
+    from database_cloner_spark.sources.binary import binary_manifest
+
+    return binary_manifest(spark, sf_dir)

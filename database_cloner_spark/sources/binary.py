@@ -1,0 +1,63 @@
+"""Opaque-file ingestion via Spark's `binaryFile` source — the entry
+point for multimodal corpora (images/audio/video arrive as whole files,
+not rows; reference parity: the mongodump staging directory of raw BSON
+files, clone_databases.sh:810-818, is the closest reference analogue of
+"a directory of opaque blobs").
+
+Scale notes:
+- one task per file; tiny-file corpora should be compacted upstream
+  (pipeline/compact.py) or read through a manifest + mapInPandas fetch.
+- COLUMN PRUNING IS THE WHOLE GAME: `content` is only materialized if
+  selected, so metadata passes (path/length filtering, sampling,
+  dedup-by-size) read zero payload bytes. Filter on `length`/`path`
+  BEFORE any select of `content`.
+- `pathGlobFilter` prunes at listing time; `spark.sql.sources.
+  binaryFile.maxLength` guards executor memory against oversized blobs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_binary(
+    spark: SparkSession, sf_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """Read every file matching `glob` under `sf_dir` as one row:
+    (path, modificationTime, length, content:binary)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(sf_dir)
+    )
+
+
+def binary_manifest(
+    spark: SparkSession, sf_dir: str, glob: str = "*.parquet"
+) -> DataFrame:
+    """Stable per-file manifest: basename, byte length, content hash.
+    Drops path prefixes and mtimes so output is location-independent;
+    the hash is computed distributed (xxhash64 over the binary column),
+    one file per task."""
+    df = load_binary(spark, sf_dir, glob)
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return (
+        df.select(
+            base.alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.xxhash64("content").alias("content_hash"),
+        )
+        .orderBy("file_name")
+    )
+
+
+def local_manifest(sf_dir: str, glob_suffix: str = ".parquet") -> dict[str, int]:
+    """Driver-side ground truth for tests: {basename: byte length}."""
+    return {
+        n: os.stat(os.path.join(sf_dir, n)).st_size
+        for n in os.listdir(sf_dir)
+        if n.endswith(glob_suffix)
+    }

@@ -100,3 +100,24 @@ def test_json_source_corrupt_records_survive(spark, tmp_path):
     bad = df.filter(df[CORRUPT_COL].isNotNull())
     assert good.count() == 2 and bad.count() == 1
     assert {r.doc_id for r in good.collect()} == {1, 3}
+
+
+def test_binary_manifest_matches_os_stat(spark, sf_dir):
+    """binaryFile ingestion: one row per file, byte lengths identical
+    to os.stat, hashes present and distinct across distinct files."""
+    from database_cloner_spark.sources.binary import binary_manifest, local_manifest
+
+    rows = binary_manifest(spark, sf_dir).collect()
+    truth = local_manifest(sf_dir)
+    assert {r.file_name: r.n_bytes for r in rows} == truth
+    assert len({r.content_hash for r in rows}) == len(rows)
+
+
+def test_binary_metadata_only_prunes_content(spark, sf_dir):
+    """Selecting only path/length must not read file payloads: the
+    scan's ReadSchema excludes the content column entirely."""
+    from database_cloner_spark.sources.binary import load_binary
+
+    meta = load_binary(spark, sf_dir).select("path", "length")
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
