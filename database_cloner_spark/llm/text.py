@@ -249,3 +249,36 @@ def segment_dedup(
             F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         )
     )
+
+
+def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    repetition filters): fraction of duplicate tokens and duplicate
+    word-`n`-grams inside each doc. Degenerate looping text — a failure
+    mode of both crawls and model-generated data — scores high and is
+    flagged.
+
+    Pure map-side array HOFs over one tokens projection: zero shuffle,
+    whole-stage codegen, trivially linear at 100 TB. Rational
+    arithmetic + explicit rounding keeps it oracle-reproducible.
+    """
+    from database_cloner_spark.llm.textprep import shingles_of_tokens
+
+    docs = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
+    n_tokens = F.size(toks)
+    grams = shingles_of_tokens(toks, n)  # distinct n-grams
+    n_gram_pos = F.greatest(n_tokens - (n - 1), F.lit(0))
+    dup_tok = F.round(
+        (n_tokens - F.size(F.array_distinct(toks))) / n_tokens, 4
+    )
+    dup_gram = F.when(n_gram_pos > 0, F.round((n_gram_pos - F.size(grams)) / n_gram_pos, 4)).otherwise(
+        F.lit(0.0)
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup_tok.alias("dup_token_frac"),
+        dup_gram.alias("dup_ngram_frac"),
+        (dup_gram > 0.2).alias("is_repetitive"),
+    )

@@ -588,3 +588,35 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.sources.binary import binary_manifest
 
     return binary_manifest(spark, sf_dir)
+
+
+# Within-doc repetition (Gopher-style repetition filters): duplicate-token
+# and duplicate-3-gram fractions, rational arithmetic rounded at the edge.
+_ORACLE_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+fr AS (
+  SELECT doc_id,
+         len(ts) AS n_tokens,
+         ROUND((len(ts) - len(list_distinct(ts))) / len(ts)::DOUBLE, 4)
+           AS dup_token_frac,
+         CASE WHEN len(ts) >= 3 THEN
+           ROUND((len(ts) - 2 - len(list_distinct(
+               [list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                for i in range(1, len(ts) - 1)])))
+             / (len(ts) - 2)::DOUBLE, 4)
+         ELSE 0.0 END AS dup_ngram_frac
+  FROM toks
+)
+SELECT doc_id, n_tokens, dup_token_frac, dup_ngram_frac,
+       dup_ngram_frac > 0.2 AS is_repetitive
+FROM fr
+"""
+
+
+@register("q_text_repetition", oracle=_ORACLE_REPETITION, tier="X")
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition signals: duplicate-token and duplicate-
+    3-gram fractions + repetitive flag. Pure map-side HOFs, no shuffle."""
+    return llmtext.repetition_scores(load(spark, sf_dir, "documents"))

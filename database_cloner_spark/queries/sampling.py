@@ -236,3 +236,51 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
         )
     )
+
+
+_ORACLE_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+),
+m AS (SELECT MIN(n_src) AS n_min FROM counts)
+SELECT d.doc_id, d.source
+FROM documents d JOIN counts c USING (source) CROSS JOIN m
+WHERE ((d.doc_id % {_MOD}) * {_KNUTH}) % {_MOD} % 1000000
+      < sqrt(m.n_min::DOUBLE / c.n_src) * 1000000.0
+"""
+
+
+def mixture_sample(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Temperature-based mixture resampling (the data-mixing step of
+    pre-training: downweight dominant sources toward a sqrt-flattened
+    distribution). Per-source acceptance rate = sqrt(n_min / n_src), so
+    the rarest source is kept whole and a source k times larger keeps
+    sqrt(1/k) of its docs.
+
+    Two passes over the corpus: one hash-agg for per-source counts,
+    then the per-source rate table (rows = #sources, tiny) is BROADCAST
+    back and the accept test is a map-side filter on the deterministic
+    Knuth draw — no corpus shuffle at any point. sqrt is IEEE-754
+    correctly rounded, so Spark and DuckDB agree bit-for-bit (the
+    engine rule banning transcendentals allows sqrt for exactly this
+    reason)."""
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n_src"))
+    n_min = counts.agg(F.min("n_src").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        (F.sqrt(F.col("n_min").cast("double") / F.col("n_src")) * 1000000.0).alias(
+            "__cut"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .filter(_split_hash("doc_id") % 1000000 < F.col("__cut"))
+        .select("doc_id", group_col)
+    )
+
+
+@register("q_sample_mixture", oracle=_ORACLE_MIXTURE, tier="X")
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqrt-temperature mixture resampling over documents.source (see
+    mixture_sample)."""
+    return mixture_sample(load(spark, sf_dir, "documents"))

@@ -381,3 +381,25 @@ def test_pack_sequences_invariants(spark, sf_dir):
             assert r.pack_id == shard * PACK_NS + start // 512
             assert r.offset == start % 512
             start += r.n_tokens
+
+
+def test_repetition_scores_literals(spark):
+    """Degenerate looping text scores high; all-distinct text scores 0;
+    docs shorter than the gram width don't crash and report 0."""
+    from database_cloner_spark.llm.text import repetition_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a a"),
+            (2, "v w x y z"),
+            (3, "hi"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in repetition_scores(docs).collect()}
+    assert got[1].dup_token_frac == 0.8
+    assert got[1].dup_ngram_frac == round(2 / 3, 4)
+    assert got[1].is_repetitive
+    assert got[2].dup_token_frac == 0.0 and got[2].dup_ngram_frac == 0.0
+    assert not got[2].is_repetitive
+    assert got[3].dup_ngram_frac == 0.0 and not got[3].is_repetitive

@@ -86,3 +86,19 @@ def test_split_hash_extreme_keys_match_oracle(spark):
         for k in keys
     }
     assert got == want
+
+
+def test_mixture_keeps_rare_source_whole_and_flattens(spark):
+    """sqrt-temperature mixture: the rarest source survives intact; a
+    source 100x larger keeps ~sqrt(1/100)=10% of its docs; the draw is
+    deterministic across invocations."""
+    from database_cloner_spark.queries.sampling import mixture_sample
+
+    rows = [(i, f"t{i}", "big") for i in range(1000)]
+    rows += [(10_000 + i, f"r{i}", "rare") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    kept = mixture_sample(docs)
+    by_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src.get("rare") == 10  # rarest source kept whole
+    assert 60 <= by_src.get("big", 0) <= 140  # ~10% of 1000, hash-uniform
+    assert kept.collect() == kept.collect()  # deterministic
