@@ -1,0 +1,105 @@
+"""Physical-plan regression guards — the scale properties the engine
+claims (pushdown, pruning, broadcasts, no accidental cross products)
+asserted as tests, so a refactor that silently degrades a plan fails CI
+rather than surfacing at 100 TB.
+
+The full-registry sweep only *builds* plans (explain, no execution), so
+it stays cheap even as the inventory grows; a handful of queries run
+driver-side index/profile builds at plan time, which is their
+documented behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_cloner_spark.registry import all_queries, get_query
+
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin:
+# every one broadcasts a bounded tiny frame (a 1-row scalar — probe
+# vector / corpus count / backend pid / min source count — or a <=25-row
+# dim for a banded range join or capped brute-force baseline). A BNLJ
+# against an UNBOUNDED side is the bug this list guards against.
+BNLJ_ALLOWED = {
+    "q_filter_notpid",           # 1-row backend-pid frame
+    "q_join_range",              # 5-row band dim, broadcast by design
+    "q_text_tfidf",              # 1-row corpus doc count
+    "q_dedup_embedding",         # capped brute-force baseline (EMB_BRUTE_CAP)
+    "q_dedup_embedding_bucketed",  # 1-row centroid-seed frame
+    "q_sim_topk",                # 1-row probe vector
+    "q_sim_ivf_topk",            # 1-row probe vector
+    "q_sample_mixture",          # 1-row min-source-count frame
+}
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = all_queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered operator may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is restricted to the audited allowlist."""
+    offenders = {}
+    for name, fn in all_queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
+            offenders[name] = "unexpected BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
+def test_flagship_pushdown_and_partial_agg(spark):
+    """q1: the shipdate filter reaches the parquet scan and aggregation
+    is two-phase (partial before the shuffle)."""
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_star_join_broadcasts_dims(spark):
+    """The multiway star join must broadcast its small dims, never
+    shuffle the fact table against nation/region."""
+    plan = _plan(spark, "q_join_multiway")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_never_global_sorts(spark):
+    """Top-k is a TakeOrderedAndProject (per-partition heaps), not a
+    global Sort + Limit."""
+    plan = _plan(spark, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_window_dedup_uses_group_limit(spark):
+    """row_number()<=1 dedup must plan the WindowGroupLimit pushdown
+    (rank filter applied before the full window materializes)."""
+    plan = _plan(spark, "q_win_rownum_dedup")
+    assert "WindowGroupLimit" in plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    plan = _plan(spark, "q_contamination")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_projection_prunes_columns(spark):
+    """A 2-column projection over lineitem must not read all 16 columns:
+    ReadSchema carries only what q_project selects (events loader) —
+    checked on the parquet scan line."""
+    plan = _plan(spark, "q_project")
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines, "no scan with ReadSchema in plan"
+    for ln in scan_lines:
+        assert "payload" not in ln  # events' widest column stays unread
+
+
+@pytest.mark.parametrize("name", ["q_dedup_exact", "q_text_line_dedup"])
+def test_dedup_aggs_partial_before_shuffle(spark, name):
+    """Corpus-wide dedup/df aggregations must combine map-side (two
+    HashAggregate phases), not ship raw rows to one reducer."""
+    plan = _plan(spark, name)
+    assert plan.count("HashAggregate") >= 2
