@@ -224,3 +224,56 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tainted.select(
         "doc_id", clean.alias("clean_text"), n_red.alias("n_redactions")
     )
+
+
+# Winsorization: clamp per-group outliers to the [p05, p95] band before
+# computing robust statistics — standard pre-training corpus hygiene
+# (one pathological 10 MB doc otherwise dominates a source's mean).
+_ORACLE_WINSORIZE = """
+WITH cuts AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.05) AS lo,
+         quantile_cont(n_chars, 0.95) AS hi
+  FROM documents GROUP BY lang
+)
+SELECT d.lang,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN d.n_chars < c.lo OR d.n_chars > c.hi THEN 1 ELSE 0 END)
+         AS n_clamped,
+       ROUND(AVG(d.n_chars), 3) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(d.n_chars::DOUBLE, c.lo), c.hi)), 3)
+         AS mean_winsorized
+FROM documents d JOIN cuts c USING (lang)
+GROUP BY d.lang
+"""
+
+
+@register("q_agg_winsorize", oracle=_ORACLE_WINSORIZE, tier="X")
+def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorized length stats: clamp n_chars to the
+    group's [p05, p95], report raw vs clamped means and the clamp
+    count. Two passes: per-group cuts (one small agg, rows = #groups)
+    are BROADCAST back onto the corpus, so the clamp itself is a
+    map-side expression; no corpus re-shuffle beyond the final
+    per-group agg."""
+    docs = load(spark, sf_dir, "documents")
+    cuts = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    clamped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("lo")), F.col("hi")
+    )
+    return (
+        docs.join(F.broadcast(cuts), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+                .cast("long")
+            ).alias("n_clamped"),
+            F.round(F.avg("n_chars"), 3).alias("mean_raw"),
+            F.round(F.avg(clamped), 3).alias("mean_winsorized"),
+        )
+    )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from database_cloner_spark import catalog
 from database_cloner_spark.sources.delimited import (
     MONGO_CREDENTIAL_SCHEMA,
@@ -121,3 +123,54 @@ def test_binary_metadata_only_prunes_content(spark, sf_dir):
     meta = load_binary(spark, sf_dir).select("path", "length")
     plan = meta._jdf.queryExecution().executedPlan().toString()
     assert "content" not in plan
+
+
+def test_zone_map_manifest_prunes_files(spark, sf_dir, tmp_path):
+    """Range-clustered files have disjoint zone maps: a narrow predicate
+    keeps a strict subset of files, and the pruned read returns exactly
+    the rows of a full-scan filter."""
+    from database_cloner_spark.sources import load
+    from database_cloner_spark.sources.manifest import build_manifest, pruned_read
+
+    target = str(tmp_path / "orders_clustered")
+    orders = load(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.parquet(target)
+    )
+    man = build_manifest(spark, target, ["o_orderkey"])
+    n_files = man.count()
+    assert n_files == 8
+
+    lo, hi = 100, 500
+    survivors = man.filter(
+        ~((F.col("o_orderkey_max") < lo) | (F.col("o_orderkey_min") > hi))
+    ).count()
+    assert survivors < n_files  # pruning actually happened
+
+    got = sorted(
+        r.o_orderkey
+        for r in pruned_read(spark, man, "o_orderkey", lo, hi).collect()
+    )
+    want = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(target)
+        .filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi))
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_zone_map_empty_band_returns_empty_with_schema(spark, sf_dir, tmp_path):
+    from database_cloner_spark.sources import load
+    from database_cloner_spark.sources.manifest import build_manifest, pruned_read
+
+    target = str(tmp_path / "orders_clustered2")
+    load(spark, sf_dir, "orders").repartitionByRange(4, "o_orderkey").write.parquet(
+        target
+    )
+    man = build_manifest(spark, target, ["o_orderkey"])
+    out = pruned_read(spark, man, "o_orderkey", -10_000, -9_999)
+    assert out.count() == 0
+    assert "o_orderkey" in out.columns
