@@ -620,3 +620,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-doc repetition signals: duplicate-token and duplicate-
     3-gram fractions + repetitive flag. Pure map-side HOFs, no shuffle."""
     return llmtext.repetition_scores(load(spark, sf_dir, "documents"))
+
+
+@register("q_sim_pq_topk", oracle=None, tier="X")
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10: 8x16 codebooks, ADC shortlist over
+    8-byte codes (64x compression), exact rerank of the shortlist only.
+    Rows-only at the driver; recall floor vs brute force pinned in
+    tests/test_llm.py."""
+    embs = load(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(embs, similarity.probe_vector(embs))

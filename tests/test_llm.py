@@ -403,3 +403,28 @@ def test_repetition_scores_literals(spark):
     assert got[2].dup_token_frac == 0.0 and got[2].dup_ngram_frac == 0.0
     assert not got[2].is_repetitive
     assert got[3].dup_ngram_frac == 0.0 and not got[3].is_repetitive
+
+
+def test_pq_codeword_vectors_encode_to_themselves(spark, sf_dir):
+    """With unrefined (seeded) codebooks, vector k < 16 IS codeword k in
+    every subspace: its ADC self-distance is exactly 0 and it ranks
+    first against its own probe."""
+    embs = load(spark, sf_dir, "embeddings")
+    cb = similarity.pq_codebooks(embs, iters=0)
+    codes = similarity.pq_encode(embs, cb)
+    row = codes.filter(F.col("vec_id") == 3).head()
+    assert row.codes == [3] * 8
+    top = similarity.pq_adc_topk(codes, cb, similarity.probe_vector(embs, 0)).head()
+    assert top.vec_id == 0 and top.adc_dist == 0.0
+
+
+def test_pq_topk_recall_floor(spark, sf_dir):
+    """The deployed PQ pipeline (ADC shortlist 5x + exact rerank) must
+    recover most of the exact top-10 even on random vectors (PQ's worst
+    case); threshold leaves ulp-tie headroom under the measured 8/10."""
+    embs = load(spark, sf_dir, "embeddings")
+    probe = similarity.probe_vector(embs)
+    got = {r.vec_id for r in similarity.pq_topk(embs, probe).collect()}
+    exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
+    assert len(got & exact) >= 6
+    assert len(got) == 10
