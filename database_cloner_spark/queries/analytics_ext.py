@@ -277,3 +277,77 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(clamped), 3).alias("mean_winsorized"),
         )
     )
+
+
+# Ordered-funnel analysis: view -> click after it -> purchase after that.
+# Each stage's cutoff depends on the previous stage's result, so the
+# funnel is two user-keyed join rounds — every join and agg shares ONE
+# partitioning on user_id (no re-shuffle between stages under AQE).
+_ORACLE_FUNNEL = """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS v_us FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_us
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) >= v.v_us
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= c.c_us
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_click_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
+       ROUND((SELECT COUNT(*) FROM p)::DOUBLE
+             / (SELECT COUNT(*) FROM v), 4) AS view_to_purchase
+"""
+
+
+@register("q_funnel", oracle=_ORACLE_FUNNEL, tier="X")
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users with a view, a click at-or-after
+    their first view, and a purchase at-or-after that first click.
+    Stage cutoffs chain through two user-keyed joins; all stages hash
+    on user_id so the funnel costs one logical partitioning."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") >= F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("c_us"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") >= F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_click_after_view"))
+    np_ = p.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 4
+            ).alias("view_to_purchase"),
+        )
+    )

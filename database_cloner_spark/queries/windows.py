@@ -178,3 +178,57 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey", "c_nationkey", F.ntile(4).over(w).alias("balance_quartile")
     )
+
+
+SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6h inactivity ends a session
+
+_ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, us, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       COUNT(*) AS n_events,
+       MAX(us) - MIN(us) AS duration_us,
+       ROUND(SUM(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
+@register("q_win_sessionize", oracle=_ORACLE_SESSIONIZE, tier="X")
+def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 6h starts a new session): the
+    lag-flag + running-sum idiom — the batch twin of the streaming
+    session_window operator (q_stream_session). Both windows share ONE
+    partitioning on user_id (one shuffle total); session stats are a
+    partial-aggregated groupBy on (user, session)."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy(us, F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id",
+        us.alias("us"),
+        "value",
+        F.sum(is_new).over(wsum).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
