@@ -101,6 +101,26 @@ def incremental_clone(
         }
 
     dst = spark.read.parquet(target_path).drop(CHUNK_COL)
+    # Schema drift: a plain-parquet target cannot hold mixed per-chunk
+    # physical schemas (Spark refuses to merge int/bigint file schemas),
+    # so ANY drift triggers one explicit migration rewrite — detected
+    # up front from metadata, never discovered mid-sync as a hash storm
+    # of spuriously-"changed" chunks (xxhash64 is type-sensitive).
+    # Table formats with per-file schema metadata would instead cast at
+    # read via evolve.conform and keep the rewrite incremental.
+    from database_cloner_spark.pipeline.evolve import schema_drift
+
+    drift = schema_drift(src.schema, dst.schema)
+    if drift["added"] or drift["dropped"] or drift["retyped"]:
+        out = with_chunk(src, key_col, n_chunks)
+        out.write.mode("overwrite").partitionBy(CHUNK_COL).parquet(target_path)
+        return {
+            "mode": "schema_migration",
+            "n_chunks": n_chunks,
+            "changed": n_chunks,
+            "rows_rewritten": -1,
+            "drift": drift,
+        }
     chunks = changed_chunks(src, dst, key_col, n_chunks)
     if not chunks:
         return {

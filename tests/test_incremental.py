@@ -79,9 +79,12 @@ def test_incremental_clone_handles_inserts_and_deletes(spark, tmp_path):
 
     # Delete one nation, insert a new one.
     nxt = src.filter(F.col("n_nationkey") != 0).unionByName(
+        # Types must match the source exactly (int, not bigint): a
+        # widened union schema would be REAL retype drift and correctly
+        # route to schema_migration instead of the incremental path.
         spark.createDataFrame(
             [(99, "ATLANTIS", 0)],
-            "n_nationkey bigint, n_name string, n_regionkey bigint",
+            "n_nationkey int, n_name string, n_regionkey int",
         )
     )
     r = incremental_clone(spark, nxt, target, key_col="n_nationkey", n_chunks=4)
@@ -105,3 +108,52 @@ def test_incremental_clone_chunk_fully_deleted(spark, tmp_path):
     final = spark.read.parquet(target).drop(CHUNK_COL)
     assert verify_clone(kept, final)["match"]
     assert final.filter(F.col("r_regionkey") == 3).count() == 0
+
+
+def test_schema_drift_classification(spark):
+    from database_cloner_spark.pipeline.evolve import schema_drift
+
+    a = spark.createDataFrame([(1, "x", 2)], ["k", "s", "old"]).schema
+    b_df = spark.createDataFrame([(1, "x")], ["k", "s"])
+    b = b_df.withColumn("k", b_df.k.cast("int")).schema
+    drift = schema_drift(a, b)
+    assert drift["added"] == ["old"]
+    assert drift["dropped"] == []
+    assert drift["retyped"] == [("k", "int", "bigint")]
+
+
+def test_conform_projects_casts_and_nulls(spark):
+    from database_cloner_spark.pipeline.evolve import conform
+
+    src_schema = spark.createDataFrame([(1, "x", 2.0)], ["k", "s", "w"]).schema
+    dst = spark.createDataFrame([("x", 7, True)], ["s", "k", "extra"])
+    out = conform(dst.withColumn("k", dst.k.cast("int")), src_schema)
+    assert out.schema == src_schema  # order, names, types all conformed
+    row = out.head()
+    assert (row.k, row.s, row.w) == (7, "x", None)
+
+
+def test_incremental_schema_migration_on_drift(spark, sf_dir, tmp_path):
+    """A retyped source column triggers ONE declared migration rewrite
+    (not a hash-storm of 'changed' chunks); the target afterwards holds
+    the new schema and subsequent syncs are noop."""
+    from database_cloner_spark.pipeline.incremental import incremental_clone
+
+    target = str(tmp_path / "t")
+    src_v1 = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .withColumn("n_nationkey", F.col("n_nationkey").cast("int"))
+    )
+    r1 = incremental_clone(spark, src_v1, target, "n_nationkey", n_chunks=8)
+    assert r1["mode"] == "full"
+
+    src_v2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name"
+    )
+    r2 = incremental_clone(spark, src_v2, target, "n_nationkey", n_chunks=8)
+    assert r2["mode"] == "schema_migration"
+    assert r2["drift"]["retyped"] == [("n_nationkey", "int", "bigint")]
+
+    r3 = incremental_clone(spark, src_v2, target, "n_nationkey", n_chunks=8)
+    assert r3["mode"] == "noop"
