@@ -103,3 +103,18 @@ def test_dedup_aggs_partial_before_shuffle(spark, name):
     HashAggregate phases), not ship raw rows to one reducer."""
     plan = _plan(spark, name)
     assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q18_large_orders"])
+def test_composite_queries_broadcast_and_take_ordered(spark, name):
+    """The composite analytics queries must broadcast their reduced
+    sides and take top-k with per-partition heaps."""
+    plan = _plan(spark, name)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_filters_reach_scans(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "GreaterThan(l_shipdate" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
