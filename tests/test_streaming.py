@@ -229,3 +229,108 @@ def test_streaming_interval_join_matches_batch(spark):
     # subset of batch. With availableNow + one batch, all rows emit.
     assert got == want
     assert len(want) > 0
+
+
+def test_cdc_batch_apply_merges_and_prunes(spark, tmp_path):
+    """CDC apply: upsert-over, insert, delete in one batch; untouched
+    chunks' files are not rewritten (mtime-stable)."""
+    from database_cloner_spark.pipeline.incremental import CHUNK_COL
+    from database_cloner_spark.streaming.cdc import apply_cdc_batch
+
+    target = str(tmp_path / "cdc_target")
+    seed = spark.createDataFrame(
+        [("upsert", 1, k, f"v{k}") for k in range(20)],
+        "op string, seq long, k long, val string",
+    )
+    r1 = apply_cdc_batch(seed, target, "k", n_chunks=8)
+    assert r1["upserts"] == 20 and r1["deletes"] == 0
+
+    import glob
+    import os as _os
+
+    mtimes_before = {
+        p: _os.stat(p).st_mtime
+        for p in glob.glob(f"{target}/{CHUNK_COL}=*/*.parquet")
+    }
+
+    batch2 = spark.createDataFrame(
+        [
+            ("upsert", 10, 3, "v3-new"),      # update existing
+            ("upsert", 11, 100, "v100"),      # insert new key
+            ("delete", 12, 7, None),          # delete existing
+            ("upsert", 13, 8, "ghost"),       # upsert then delete, same batch:
+            ("delete", 14, 8, None),          # highest seq (delete) wins
+        ],
+        "op string, seq long, k long, val string",
+    )
+    r2 = apply_cdc_batch(batch2, target, "k", n_chunks=8)
+    assert r2["upserts"] == 2 and r2["deletes"] == 2
+
+    final = {
+        r.k: r.val
+        for r in spark.read.parquet(target).select("k", "val").collect()
+    }
+    want = {k: f"v{k}" for k in range(20) if k not in (3, 7, 8)}
+    want[3] = "v3-new"
+    want[100] = "v100"
+    assert final == want
+
+    from database_cloner_spark.pipeline.incremental import with_chunk
+
+    touched = set(r2["touched"])
+    for p, old_mtime in mtimes_before.items():
+        chunk = int(p.split(f"{CHUNK_COL}=")[1].split("/")[0])
+        if chunk not in touched and _os.path.exists(p):
+            assert _os.stat(p).st_mtime == old_mtime, f"untouched chunk rewritten: {p}"
+
+
+def test_cdc_stream_applies_microbatches(spark, tmp_path):
+    """Two change files arriving as separate micro-batches leave the
+    target equal to applying both batches in order."""
+    from pyspark.sql import types as T
+
+    from database_cloner_spark.streaming.cdc import cdc_stream_writer
+
+    src_dir = str(tmp_path / "changes")
+    os.makedirs(src_dir)
+    target = str(tmp_path / "cdc_target")
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("val", T.StringType()),
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [("upsert", 1, k, f"a{k}") for k in range(10)], schema
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b1.parquet"))
+
+    stream = spark.readStream.schema(schema).format("parquet").load(src_dir + "/*")
+    q = (
+        cdc_stream_writer(
+            stream, target, "k", n_chunks=8,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+
+    b2 = spark.createDataFrame(
+        [("delete", 2, 0, None), ("upsert", 3, 5, "a5-new"), ("upsert", 4, 42, "a42")],
+        schema,
+    )
+    b2.coalesce(1).write.mode("overwrite").parquet(os.path.join(src_dir, "b2.parquet"))
+    q.processAllAvailable()
+    q.stop()
+
+    final = {
+        r.k: r.val
+        for r in spark.read.parquet(target).select("k", "val").collect()
+    }
+    want = {k: f"a{k}" for k in range(1, 10)}
+    want[5] = "a5-new"
+    want[42] = "a42"
+    assert final == want
