@@ -630,3 +630,27 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_llm.py."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.pq_topk(embs, similarity.probe_vector(embs))
+
+
+# Frame-offset sampling plan over video assets; the byte-offset math is
+# reproduced exactly in SQL (real decoders would seek timestamps; the
+# container has no codec, so the PLAN is the testable contract).
+_ORACLE_MULTIMODAL_FRAMES = """
+SELECT doc_id AS asset_id,
+       octet_length(encode(text)) AS n_bytes,
+       [64 * i for i in range(0, octet_length(encode(text)) // 64 + 1)]
+         AS frame_offsets
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+
+@register("q_multimodal_frames", oracle=_ORACLE_MULTIMODAL_FRAMES, tier="X")
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan for video assets: byte offsets every 64 bytes
+    from typed metadata only — planning happens BEFORE any payload
+    decode, so at scale the planner touches metadata structs, never
+    media bytes."""
+    from database_cloner_spark.llm.multimodal import frame_sample_plan
+
+    assets = assets_from_documents(load(spark, sf_dir, "documents"))
+    return frame_sample_plan(assets)
