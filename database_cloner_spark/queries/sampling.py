@@ -284,3 +284,36 @@ def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sqrt-temperature mixture resampling over documents.source (see
     mixture_sample)."""
     return mixture_sample(load(spark, sf_dir, "documents"))
+
+
+_ORACLE_SALTED = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("q_agg_salted", oracle=_ORACLE_SALTED, tier="X")
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation on a LOW-cardinality hot key (event_type:
+    5 values over the whole corpus — exactly the shape where one
+    reducer would own 20% of 100 TB). Two-phase with an explicit
+    content-derived salt: partials on (key, salt) spread each hot key
+    over 16 reducers, then 16 constant-size partials combine per key.
+    The oracle is the PLAIN group-by — salting must be output-invisible."""
+    from database_cloner_spark.functions.skew import salted_agg
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_agg(
+        ev,
+        keys=["event_type"],
+        aggs=[
+            F.count("*").alias("n"),
+            F.sum("value").alias("total_value"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n"),
+        F.round("total_value", 2).alias("total_value"),
+    )
