@@ -176,3 +176,29 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+# One ANSI-SQL text, two engines: registered as BOTH the Spark-side
+# implementation (spark.sql over a temp view) and the DuckDB oracle.
+# Guards the engine's SQL entry path — a user of the reference writes
+# SQL, not DataFrame calls, and this proves the dialect-common subset
+# (timestamp literals, ROUND, positional GROUP BY) runs unchanged.
+_SQL_COMMON_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("q_sql_surface", oracle=_SQL_COMMON_PRICING, tier="C")
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() entry path: the IDENTICAL SQL text the oracle
+    runs, executed by Spark SQL over a temp view of the same scan.
+    Catalyst plans it exactly like the DataFrame form of q1 (pushed
+    filter, two-phase agg) — API surface parity, not a new operator."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_COMMON_PRICING)
