@@ -68,6 +68,36 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+
+    # Clone-pipeline throughput (the BASELINE.md protocol's second
+    # figure): clone the whole sf namespace to a scratch dir, report
+    # rows/sec. Verification off here — it is timed separately by its
+    # own tests; this measures the copy path the reference's
+    # dump/restore corresponds to.
+    import shutil
+    import tempfile
+
+    from database_cloner_spark.pipeline.clone import CloneConfig, ClonePipeline
+
+    scratch = tempfile.mkdtemp(prefix="dcs_bench_clone_")
+    try:
+        t0 = time.perf_counter()
+        run = ClonePipeline(
+            spark,
+            CloneConfig(
+                source_dir=sf_dir,
+                target_dir=scratch,
+                verify_clone=False,
+                overwrite=True,
+                seed=42,
+            ),
+        ).run()
+        clone_sec = time.perf_counter() - t0
+        clone_rows = sum(r.rows for r in run.results)
+        clone_rps = round(clone_rows / clone_sec) if clone_sec > 0 else 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -76,6 +106,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "clone_rows": clone_rows,
+                "clone_sec": round(clone_sec, 4),
+                "clone_rows_per_sec": clone_rps,
             }
         )
     )

@@ -233,10 +233,13 @@ class ClonePipeline:
 
         # Metadata tables (queryable ACL model) + credential summary.
         if result.principals:
-            prin.principals_df(self.spark, result.principals).coalesce(1).write.mode(
+            # repartition(1), not coalesce(1): these frames are driver-
+            # parallelized, and coalescing one makes a single task fetch
+            # every pickled slice (~5s each, measured — reports.py note).
+            prin.principals_df(self.spark, result.principals).repartition(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(cfg.target_dir, "_principals"))
-            prin.grants_df(self.spark, result.principals).coalesce(1).write.mode(
+            prin.grants_df(self.spark, result.principals).repartition(1).write.mode(
                 "overwrite"
             ).parquet(os.path.join(cfg.target_dir, "_grants"))
             reports.write_text_report(
