@@ -395,3 +395,59 @@ def pq_topk(
         "vec_id"
     )
     return brute_force_topk(embs.join(cand, "vec_id"), probe, k=k)
+
+
+def ivfpq_topk(
+    embs: DataFrame,
+    probe: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 8,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 10,
+    shortlist: int = 50,
+) -> DataFrame:
+    """The composed ANN system (FAISS IVF-PQ shape) as DataFrame ops:
+    IVF cells prune WHICH code rows are scanned (~nprobe/n_cells of the
+    corpus), PQ codes shrink WHAT is scanned (8 bytes/vector), and the
+    exact rerank touches float vectors only for the shortlist. Query
+    cost at 100 TB ≈ (nprobe/n_cells) × n × 12 bytes of code rows + k'
+    vector fetches — neither full-scan nor full-width.
+
+    Cells and codebooks are probe-independent (build once, reuse per
+    query — build_ivf_index persists the cell layout the same way)."""
+    from database_cloner_spark.functions.vector import norm as _nrm2
+
+    unit = embs.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x / _nrm2(F.col("embedding"))).alias(
+            "embedding"
+        ),
+    )
+    unit_probe = probe.select(
+        F.transform("probe", lambda x: x / _nrm2(F.col("probe"))).alias("probe")
+    )
+    cents = seed_centroids(unit, n_cells)
+    inverted = ivf_assign(unit, n_cells, centroids=cents).select("cell_id", "vec_id")
+    cb = pq_codebooks(unit, m=m, k=16, dim=dim, iters=1)
+    codes = pq_encode(unit, cb, m=m, dim=dim)
+
+    ranked_cells = (
+        cents.crossJoin(F.broadcast(unit_probe))
+        .select(
+            "cell_id",
+            (
+                _dot(F.col("centroid"), F.col("probe"))
+                / (_norm(F.col("centroid")) * _norm(F.col("probe")))
+            ).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), F.asc("cell_id"))
+        .limit(nprobe)
+        .select("cell_id")
+    )
+    cand_ids = inverted.join(F.broadcast(ranked_cells), "cell_id").select("vec_id")
+    cand_codes = codes.join(cand_ids, "vec_id")
+    short = pq_adc_topk(cand_codes, cb, unit_probe, m=m, dim=dim, k=shortlist).select(
+        "vec_id"
+    )
+    return brute_force_topk(embs.join(short, "vec_id"), probe, k=k)

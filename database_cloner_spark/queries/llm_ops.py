@@ -654,3 +654,12 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = assets_from_documents(load(spark, sf_dir, "documents"))
     return frame_sample_plan(assets)
+
+
+@register("q_sim_ivfpq_topk", oracle=None, tier="X")
+def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ top-10 (cells prune which rows, codes shrink
+    what is scanned, exact rerank on the shortlist). Rows-only; recall
+    floor vs brute force pinned in tests."""
+    embs = load(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(embs, similarity.probe_vector(embs))

@@ -428,3 +428,14 @@ def test_pq_topk_recall_floor(spark, sf_dir):
     exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
     assert len(got & exact) >= 6
     assert len(got) == 10
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """The composed IVF-PQ pipeline must recover a usable share of the
+    exact top-10 even on random vectors with half the cells pruned."""
+    embs = load(spark, sf_dir, "embeddings")
+    probe = similarity.probe_vector(embs)
+    got = {r.vec_id for r in similarity.ivfpq_topk(embs, probe).collect()}
+    exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 4
