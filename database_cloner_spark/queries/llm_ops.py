@@ -663,3 +663,58 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor vs brute force pinned in tests."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.ivfpq_topk(embs, similarity.probe_vector(embs))
+
+
+# The deduplicated-corpus deliverable: drop every non-canonical member
+# of each near-dup cluster, keep everything else.
+_ORACLE_DEDUP_APPLY = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+),
+clusters AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM walk GROUP BY src
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
+@register("q_dedup_apply", oracle=_ORACLE_DEDUP_APPLY, tier="X")
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself: every doc outside the dup graph
+    plus one canonical survivor (the min doc_id) per near-dup cluster —
+    q_dedup_cluster's assignments applied back with a left-anti-style
+    join. The drop set is tiny (cluster members only), so the join
+    against the corpus broadcasts it."""
+    docs = load(spark, sf_dir, "documents")
+    prs = dedup.shingle_jaccard_pairs(docs, max_shingle_df=10_000)
+    clusters = dedup.connected_components(prs)
+    drop = clusters.filter(F.col("cluster_id") != F.col("doc_id")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

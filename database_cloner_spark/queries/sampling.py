@@ -317,3 +317,35 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.round("total_value", 2).alias("total_value"),
     )
+
+
+_ORACLE_PERGROUP = f"""
+WITH ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD}, doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, lang FROM ranked WHERE rn <= 20
+"""
+
+
+@register("q_sample_pergroup", oracle=_ORACLE_PERGROUP, tier="X")
+def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (20 docs per language, the
+    'build me an eval slice per stratum' op): row_number over the
+    deterministic hash order, so membership never changes across
+    runs/clusters/retries — unlike per-group reservoir sampling.
+    Plans as WindowGroupLimit: the rank filter prunes inside each
+    partial window, no full per-group sort materializes."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(_split_hash("doc_id"), F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("doc_id", "lang")
+    )
