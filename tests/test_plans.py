@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "q_sample_mixture",          # 1-row min-source-count frame
     "q_funnel",                  # three 1-row stage-count frames
     "q_sim_pq_topk",             # 1-row probe vector vs m×k codebook
+    "q_sim_ivfpq_topk",          # 1-row probe vector (cell ranking + ADC table)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
