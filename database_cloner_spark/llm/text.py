@@ -282,3 +282,43 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
         dup_gram.alias("dup_ngram_frac"),
         (dup_gram > 0.2).alias("is_repetitive"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 32,
+    stride: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping-window chunking for retrieval indexing (the
+    doc→passage step before embedding): windows of `chunk_tokens`
+    tokens starting every `stride` tokens, last partial window kept so
+    no suffix is ever dropped. Output: (doc_id, chunk_id, chunk_text,
+    n_tokens), chunk_id 0-based in document order.
+
+    Pure map-side explode — no shuffle; output row count is
+    ~len/stride per doc, each chunk carrying its provenance
+    (doc_id, chunk_id) for dedup-aware retrieval joins back to the
+    corpus."""
+    docs = docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= chunk_tokens,
+        F.lit(1),
+    ).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int") + F.lit(1)
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + F.lit(1), F.lit(chunk_tokens)),
+    )
+    out = docs.select(
+        "doc_id", F.posexplode(windows).alias("chunk_id", "__w")
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.array_join("__w", " ").alias("chunk_text"),
+        F.size("__w").alias("n_tokens"),
+    )

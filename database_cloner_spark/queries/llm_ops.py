@@ -718,3 +718,31 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# Overlapping-window chunking (doc -> passages for retrieval indexing).
+# Window/stride arithmetic reproduced exactly in SQL; the last partial
+# window is kept on both sides.
+_ORACLE_CHUNK = """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) <= 32 THEN 1
+              ELSE CAST(ceil((len(ts) - 32) / 16.0) AS INT) + 1 END AS n_chunks,
+         ts
+  FROM toks
+)
+SELECT doc_id, i - 1 AS chunk_id,
+       list_aggregate(ts[(i-1)*16+1:(i-1)*16+32], 'string_agg', ' ') AS chunk_text,
+       len(ts[(i-1)*16+1:(i-1)*16+32]) AS n_tokens
+FROM w, UNNEST(range(1, n_chunks + 1)) AS t(i)
+"""
+
+
+@register("q_text_chunk", oracle=_ORACLE_CHUNK, tier="X")
+def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc → overlapping 32-token passages every 16 tokens (the
+    retrieval-indexing chunker). Map-side explode, no shuffle."""
+    return llmtext.chunk_documents(load(spark, sf_dir, "documents"))

@@ -439,3 +439,22 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
     assert len(got) == 10
     assert len(got & exact) >= 4
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    """Chunks start every `stride` tokens, the final partial window is
+    kept, and short docs yield exactly one whole-doc chunk."""
+    from database_cloner_spark.llm.text import chunk_documents
+
+    t40 = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame([(1, t40), (2, "a b c")], ["doc_id", "text"])
+    rows = chunk_documents(docs, chunk_tokens=32, stride=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # 40 tokens, 32-window/16-stride: windows at 0 and 16 (the tail).
+    assert [r.n_tokens for r in c1] == [32, 24]
+    assert c1[0].chunk_text.startswith("w0 ") and c1[1].chunk_text.startswith("w16 ")
+    assert c1[1].chunk_text.endswith("w39")
+    assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [(0, 3, "a b c")]
