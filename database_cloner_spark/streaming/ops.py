@@ -201,3 +201,36 @@ def purchase_click_interval_join(events: DataFrame) -> DataFrame:
         F.date_format("p_ts", TS_FMT).alias("purchase_ts"),
         F.date_format("c_ts", TS_FMT).alias("click_ts"),
     )
+
+
+def enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
+    """Stream-static enrichment: each micro-batch broadcast-joins the
+    (small, slowly-changing) per-user profile table — the canonical
+    dimension-enrichment shape. For FILE-backed static sides Spark
+    re-resolves the static relation per micro-batch, so a profile
+    rewrite between batches is picked up without restarting the query;
+    the stream side never shuffles (broadcast hash join per batch).
+    Works identically on a batch frame (the oracle twin)."""
+    return events.join(F.broadcast(profile), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("segment"),
+    )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Static profile side for enrich_with_profile: per-user historical
+    volume bucketed into segments (computed batch-side, e.g. nightly)."""
+    return (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            F.when(F.col("n") >= 100, "heavy")
+            .when(F.col("n") >= 50, "mid")
+            .otherwise("light")
+            .alias("segment"),
+        )
+    )

@@ -334,3 +334,27 @@ def test_cdc_stream_applies_microbatches(spark, tmp_path):
     want[5] = "a5-new"
     want[42] = "a42"
     assert final == want
+
+
+def test_stream_static_enrichment_matches_batch(spark):
+    """Stream-static broadcast join: streamed events enriched with the
+    static per-user profile equal the batch join, including users
+    absent from the profile (left join keeps them with NULL segment)."""
+    ev = load(spark, SF, "events")
+    profile = ops.user_profiles(ev.filter(F.col("user_id") % 2 == 0))
+    stream = events_stream(spark, SF)
+    name = _run_to_memory(
+        ops.enrich_with_profile(stream, profile),
+        f"en_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    )
+    got = {
+        (r.event_id, r.segment)
+        for r in spark.sql(f"SELECT event_id, segment FROM {name}").collect()
+    }
+    want = {
+        (r.event_id, r.segment)
+        for r in ops.enrich_with_profile(ev, profile).collect()
+    }
+    assert got == want
+    assert any(s is None for _, s in want)  # odd users stay, unenriched
