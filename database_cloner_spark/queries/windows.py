@@ -232,3 +232,61 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("us") - F.min("us")).alias("duration_us"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+_ORACLE_WIN_DIST = """
+SELECT doc_id, lang,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4) AS cume
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+"""
+
+
+@register("q_win_dist", oracle=_ORACLE_WIN_DIST, tier="X")
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position windows: percent_rank and cume_dist of doc
+    length within each language (the percentile-position primitives the
+    quality tier's cutoffs come from). Total order via (n_chars,
+    doc_id) tie-break so ranks are engine-identical; one shuffle on
+    lang, rational rank arithmetic rounded at the edge."""
+    docs = load(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+_ORACLE_WIN_FRAME_VALUES = """
+SELECT event_id, user_id,
+       FIRST_VALUE(value) OVER w AS first_in_frame,
+       LAST_VALUE(value) OVER w AS last_in_frame,
+       NTH_VALUE(value, 2) OVER w AS second_in_frame
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@register("q_win_frame_values", oracle=_ORACLE_WIN_FRAME_VALUES, tier="X")
+def q_win_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional frame accessors (first/last/nth value over a bounded
+    sliding frame) — completes the window-function surface. O(frame)
+    state per row, same single user_id shuffle as every other events
+    window."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_in_frame"),
+        F.last("value").over(w).alias("last_in_frame"),
+        F.nth_value("value", 2).over(w).alias("second_in_frame"),
+    )
