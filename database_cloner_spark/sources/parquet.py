@@ -72,6 +72,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
         # 53-bit mantissa, so float division would corrupt microseconds.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # MICROS-at-rest files (isAdjustedToUTC=false) arrive as TIMESTAMP_NTZ.
+    # Normalize to TIMESTAMP (instant) with the wall-clock read as UTC —
+    # to_utc_timestamp(ntz, 'UTC') is session-timezone-independent, so the
+    # epoch value matches DuckDB's epoch_us() on any harness session. This
+    # keeps every downstream unix_micros/window-range consumer on one type
+    # regardless of which parquet timestamp flavor the dataset was written
+    # with (the driver regenerated testdata from NANOS to MICROS between
+    # rounds; both now load identically).
+    for c, t in df.dtypes:
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 
