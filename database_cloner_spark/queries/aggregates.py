@@ -70,8 +70,9 @@ def q_agg_count_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_SUM_SCALAR = """
 SELECT
-  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-  + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS total_connections
+  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+       + SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       AS BIGINT) AS total_connections
 FROM events
 """
 

@@ -238,8 +238,8 @@ WITH cuts AS (
 )
 SELECT d.lang,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN d.n_chars < c.lo OR d.n_chars > c.hi THEN 1 ELSE 0 END)
-         AS n_clamped,
+       CAST(SUM(CASE WHEN d.n_chars < c.lo OR d.n_chars > c.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped,
        ROUND(AVG(d.n_chars), 3) AS mean_raw,
        ROUND(AVG(LEAST(GREATEST(d.n_chars::DOUBLE, c.lo), c.hi)), 3)
          AS mean_winsorized

@@ -296,9 +296,9 @@ WITH grams AS (
   FROM documents
 )
 SELECT doc_id,
-  list_min(list_transform(gs, g ->
+  CAST(list_min(list_transform(gs, g ->
     list_sum([ascii(g[j:j])::BIGINT * ([{", ".join(str(p) for p in llmtext.FP_POWS)}]::BIGINT[])[j]
-              for j in range(1, {llmtext.FP_K + 1})]) % {llmtext.FP_MOD})) AS fp_min_hash,
+              for j in range(1, {llmtext.FP_K + 1})]) % {llmtext.FP_MOD})) AS BIGINT) AS fp_min_hash,
   len(list_distinct(gs)) AS n_distinct_grams
 FROM grams
 """
@@ -558,8 +558,9 @@ WITH base AS (
 ),
 runs AS (
   SELECT doc_id, n_tokens, shard,
-         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY h
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS start
   FROM base
 )
 SELECT doc_id, n_tokens, shard,

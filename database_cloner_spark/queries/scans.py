@@ -83,7 +83,7 @@ SELECT event_type,
        MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
        MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
        MIN(user_id) AS min_user,
-       SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS n_high
+       CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events GROUP BY event_type
 """
 

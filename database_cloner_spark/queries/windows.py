@@ -192,8 +192,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, us, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx,

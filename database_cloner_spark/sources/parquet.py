@@ -56,11 +56,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     back here; sub-microsecond precision is truncated (testdata is
     microsecond-granular, so lossless)."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Runtime-settable SQL conf — MUST be set here, not only in the
+    # Runtime-settable SQL confs — MUST be set here, not only in the
     # session factory: harnesses that build their own plain SparkSession
     # (e.g. the correctness driver) would otherwise die with
     # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) columns.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # MICROS-at-rest files with isAdjustedToUTC=false would otherwise be
+    # inferred as TIMESTAMP_NTZ. Disabling NTZ inference makes the READER
+    # produce TIMESTAMP (instant) directly: the stored int64 micros are
+    # taken as micros-since-epoch, bit-identical to DuckDB's epoch_us()
+    # and session-timezone-independent (verified empirically: the same
+    # file yields the same unix_micros under UTC and America/Los_Angeles
+    # sessions). Crucially this keeps the column a plain scan output —
+    # no projection sits between scan and filter, so timestamp predicates
+    # still push down to the parquet footer (row-group pruning at 100 TB).
+    # The previous approach (withColumn(to_utc_timestamp(...))) destroyed
+    # pushdown on every timestamp filter. Applies to nested fields too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    # Timestamp LITERALS (and date formatting) parse in the session zone;
+    # pin UTC so query constants mean the same instant on any harness.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     spark_types = dict(df.dtypes)
     for c in _nanos_timestamp_cols(path):
@@ -72,17 +87,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # Integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
         # 53-bit mantissa, so float division would corrupt microseconds.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    # MICROS-at-rest files (isAdjustedToUTC=false) arrive as TIMESTAMP_NTZ.
-    # Normalize to TIMESTAMP (instant) with the wall-clock read as UTC —
-    # to_utc_timestamp(ntz, 'UTC') is session-timezone-independent, so the
-    # epoch value matches DuckDB's epoch_us() on any harness session. This
-    # keeps every downstream unix_micros/window-range consumer on one type
-    # regardless of which parquet timestamp flavor the dataset was written
-    # with (the driver regenerated testdata from NANOS to MICROS between
-    # rounds; both now load identically).
-    for c, t in df.dtypes:
-        if t == "timestamp_ntz":
-            df = df.withColumn(c, F.to_utc_timestamp(F.col(c), "UTC"))
     return df
 
 

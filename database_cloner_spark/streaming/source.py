@@ -15,26 +15,52 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) arrives as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_is_nanos: bool) -> T.StructType:
+    # NANOS files must be declared long (Spark's reader rejects ns
+    # timestamps) and converted after; MICROS files are declared
+    # TimestampType directly — the stored int64 micros are read as
+    # micros-since-epoch (verified identical to DuckDB on NTZ files).
+    ts_type = T.LongType() if ts_is_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# The raw-long flavor, for sources that ship ts as epoch-nanos int64
+# (tests author such micro-batches; a Kafka long field looks the same).
+EVENTS_SCHEMA = _events_schema(ts_is_nanos=True)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events file(s); ts normalized to a proper
-    timestamp exactly like the batch loader (sources/parquet.py)."""
+    timestamp exactly like the batch loader (sources/parquet.py).
+
+    The at-rest timestamp unit is probed from the parquet footer ONCE at
+    stream-definition time (driver-side, metadata-only) so the same code
+    handles both TIMESTAMP(NANOS) and TIMESTAMP(MICROS) datasets — the
+    driver regenerated testdata from ns to us between rounds and a
+    hardcoded unit silently corrupts values by 1000x."""
+    from database_cloner_spark.sources.parquet import _nanos_timestamp_cols
+
+    ts_is_nanos = "ts" in _nanos_timestamp_cols(
+        os.path.join(sf_dir, "events.parquet")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_is_nanos))
         .format("parquet")
         # file source needs a directory; glob-select just the events table
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw

@@ -27,6 +27,48 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _type_class(t: str) -> str:
+    """Collapse a Spark dtype / DuckDB column_type to a comparison class:
+    int-width-insensitive, but int-vs-decimal / int-vs-hugeint / int-vs-
+    float SENSITIVE. The driver hashes *typed* values, so a DuckDB
+    HUGEINT (e.g. SUM(integer)) against a Spark bigint is a real hash
+    mismatch even when the digits agree — this classifier makes that
+    class of bug fail locally first (VERDICT r2 #2/#3)."""
+    t = t.strip().lower()
+    if t.endswith("[]"):  # duckdb list
+        return f"array<{_type_class(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{_type_class(t[6:-1])}>"
+    if t.startswith("decimal") or t.startswith("numeric"):
+        return "decimal"
+    if t in ("hugeint", "int128", "uhugeint"):
+        return "hugeint"
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long",
+             "int1", "int2", "int4", "int8", "utinyint", "usmallint",
+             "uinteger", "ubigint"):
+        return "int"
+    if t in ("float", "double", "real", "float4", "float8"):
+        return "float"
+    if t in ("varchar", "string", "text", "char", "bpchar"):
+        return "str"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t in ("boolean", "bool"):
+        return "bool"
+    if t == "date":
+        return "date"
+    if t.startswith("struct") or t.startswith("map"):
+        return "nested"
+    return t
+
+
+def oracle_column_types(con, oracle: str) -> dict[str, str]:
+    """Column name -> DuckDB type for an oracle query, via DESCRIBE
+    (plans only, does not execute the query body)."""
+    rows = con.execute(f"DESCRIBE {oracle}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
 def _norm_cell(v):
     if v is None:
         return "NULL"
@@ -63,6 +105,24 @@ def compare_query(spark, name: str, builder, oracle: str, sf_dir: str) -> None:
 
     assert sorted(s_cols) == sorted(o_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    # Type strictness (int-width-insensitive): the driver hashes typed
+    # values, so a class mismatch (int vs hugeint/decimal/float) is a
+    # guaranteed driver hash failure even when str(values) agree.
+    con2 = duck_connect(sf_dir)
+    try:
+        o_types = oracle_column_types(con2, oracle)
+    finally:
+        con2.close()
+    s_types = dict(sdf.dtypes)
+    bad = {
+        c: (s_types[c], o_types[c])
+        for c in s_cols
+        if _type_class(s_types[c]) != _type_class(o_types[c])
+    }
+    assert not bad, (
+        f"{name}: column TYPE class mismatch (spark, oracle): {bad} — "
+        "cast the oracle (e.g. CAST(SUM(x) AS BIGINT)) or the Spark side."
     )
     assert len(s_rows) == len(o_rows), (
         f"{name}: row count spark={len(s_rows)} oracle={len(o_rows)}"

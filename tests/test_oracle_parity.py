@@ -19,6 +19,41 @@ def test_oracle_parity(spark, sf_dir, name):
     compare_query(spark, name, spec.builder, spec.oracle, sf_dir)
 
 
+def test_type_strict_harness_rejects_hugeint(spark, sf_dir):
+    """The harness must fail a value-identical but HUGEINT-typed oracle
+    (DuckDB SUM(integer) promotes to int128; the driver hashes typed
+    values, so this WOULD be a driver hash failure — VERDICT r2 #2)."""
+    from database_cloner_spark.sources import load
+
+    def builder(s, d):
+        from pyspark.sql import functions as F
+
+        return load(s, d, "events").agg(F.count("*").cast("bigint").alias("n"))
+
+    # SUM(1) types as HUGEINT in DuckDB even though the digits match COUNT(*).
+    bad_oracle = "SELECT SUM(1) AS n FROM events"
+    with pytest.raises(AssertionError, match="TYPE class mismatch"):
+        compare_query(spark, "hugeint_probe", builder, bad_oracle, sf_dir)
+
+
+def test_no_registered_oracle_types_hugeint_or_decimal(sf_dir):
+    """Registry-wide guard: no oracle may emit HUGEINT (the int-vs-int128
+    hash bomb) — plans every oracle via DESCRIBE, no execution."""
+    from tests.oracle_harness import duck_connect, oracle_column_types, _type_class
+
+    con = duck_connect(sf_dir)
+    offenders = {}
+    try:
+        for name in _WITH_ORACLE:
+            types = oracle_column_types(con, _SPECS[name].oracle)
+            bad = {c: t for c, t in types.items() if _type_class(t) == "hugeint"}
+            if bad:
+                offenders[name] = bad
+    finally:
+        con.close()
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
