@@ -22,6 +22,28 @@ import argparse
 import sys
 
 
+def prompt_password(prompt_text: str, *, reader=None, out=None) -> str:
+    """Interactive credential prompt with confirmation loop
+    (clone_databases.sh:264-289): hidden input, empty password rejected,
+    must be typed twice identically; loops until both hold.
+
+    `reader` defaults to getpass.getpass (injected in tests)."""
+    import getpass
+
+    read = reader or getpass.getpass
+    err = out or sys.stderr
+    while True:
+        password = read(f"{prompt_text}: ")
+        if not password:
+            print("Error: Password cannot be empty", file=err)
+            continue
+        confirm = read("Confirm password: ")
+        if password != confirm:
+            print("Error: Passwords do not match", file=err)
+            continue
+        return password
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m database_cloner_spark",
@@ -44,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--parallelism", type=int, default=8)
     p.add_argument("--seed", type=int, default=None,
                    help="password seed (reproducible fixtures only; default CSPRNG)")
+    p.add_argument("--prompt", action="store_true",
+                   help="prompt interactively for the admin password when the "
+                   "conf does not provide ADMIN_PASSWORD (reference first-run "
+                   "behavior, clone_databases.sh:107-109)")
     return p
 
 
@@ -60,6 +86,13 @@ def main(argv: list[str] | None = None) -> int:
         from database_cloner_spark.sources.kv_config import read_config
 
         conf = read_config(spark, args.conf)
+
+    # Admin credential precedence mirrors the reference (CS:107-109):
+    # conf key wins; --prompt fills the gap interactively (confirmation
+    # loop, empty rejected). Never echoed, never written to any report.
+    admin_password = conf.get("ADMIN_PASSWORD")
+    if args.prompt and not admin_password:
+        admin_password = prompt_password("Enter admin password")
 
     tables = args.databases or conf.get("DATABASES_TO_CLONE") or None
     truthy = ("true", "1", "yes")
@@ -79,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
         host=conf.get("PG_HOST", "pg-lb.internal"),
         port=int(conf.get("PG_PORT", "5432")),
         seed=args.seed,
+        admin_password=admin_password,
+        test_user_connections=conf.get(
+            "TEST_USER_CONNECTIONS", "true"
+        ).lower() in truthy,
+        lb_host=conf.get("LB_HOST") or None,
     )
     result = ClonePipeline(spark, cfg).run()
 

@@ -36,7 +36,7 @@ from pyspark.sql import SparkSession
 
 from database_cloner_spark.pipeline import admission
 from database_cloner_spark.pipeline import principals as prin
-from database_cloner_spark.pipeline import reports, verify
+from database_cloner_spark.pipeline import probe, reports, verify
 from database_cloner_spark.sources.parquet import load, table_names
 
 
@@ -70,6 +70,16 @@ class CloneConfig:
     force: bool = False
     host: str = "pg-lb.internal"
     port: int = 5432
+    # Post-clone principal probes (clone_databases.sh:480-551): gated on
+    # the TEST_USER_CONNECTIONS toggle (:880-884) AND on a configured
+    # load-balancer endpoint (:495-498) exactly like the reference.
+    test_user_connections: bool = True
+    lb_host: str | None = None
+    # Admin credential (conf ADMIN_PASSWORD or CLI --prompt, CS:107-109).
+    # The parquet namespace has no auth endpoint, so this is carried for
+    # conf-precedence parity only; it is never logged or written to any
+    # report (password reports contain only per-db generated creds).
+    admin_password: str | None = None
     # Password seed: None (default) => OS CSPRNG, like the reference's
     # /dev/urandom. Set ONLY for reproducible test fixtures.
     seed: int | None = None
@@ -247,6 +257,39 @@ class ClonePipeline:
                 reports.credential_summary_lines(result.principals, cfg.host, cfg.port, now),
                 os.path.join(cfg.target_dir, "_credential_summary"),
             )
+
+        # Post-clone principal probes (CS:473 calls test_user_connections
+        # right after provisioning). A failed connect-severity probe
+        # fails that db's result, mirroring the function's `return 1`.
+        if result.principals:
+            report = probe.test_user_connections(
+                self.spark,
+                cfg.target_dir,
+                db_prefix=cfg.db_prefix,
+                enabled=cfg.test_user_connections,
+                lb_host=cfg.lb_host,
+            )
+            if report.skipped:
+                self.log.info(report.skip_reason)
+            else:
+                report.frame.repartition(1).write.mode("overwrite").parquet(
+                    os.path.join(cfg.target_dir, "_principal_probes")
+                )
+                # Bounded collect: ~5 probe rows per cloned db.
+                for row in report.frame.filter("status = 'failed'").collect():
+                    msg = f"probe {row.probe} failed for {row.user_name} on {row.target_db}"
+                    (self.log.error if row.severity == "error" else self.log.warning)(msg)
+                if not report.ok:
+                    failed_dbs = {
+                        row.target_db
+                        for row in report.frame.filter(
+                            "status = 'failed' AND severity = 'error'"
+                        ).collect()
+                    }
+                    for r in result.results:
+                        if r.target_table in failed_dbs and r.status != "failed":
+                            r.status = "failed"
+                            r.error = "principal connect probe failed"
 
         self.log.info(
             f"Cloning process finished: {result.success_count}/{result.total_count} successful"

@@ -84,6 +84,9 @@ class LogSink:
     def error(self, message: str) -> None:
         self.log("ERROR", message)
 
+    def warning(self, message: str) -> None:
+        self.log("WARNING", message)
+
     def success(self, message: str) -> None:
         self.log("SUCCESS", message)
 

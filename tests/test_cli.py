@@ -48,3 +48,60 @@ def test_cli_positional_overrides_conf_and_failure_exit(spark, tmp_path, capsys)
     assert "[FAIL] nope_missing" in out
     assert "1/2 successful" in out
     assert not os.path.exists(os.path.join(target, "clone_region.parquet"))
+
+
+def test_prompt_password_confirmation_loop(capsys):
+    """clone_databases.sh:264-289: empty rejected, mismatch re-prompts,
+    matching confirmation returns."""
+    from database_cloner_spark.__main__ import prompt_password
+
+    answers = iter(["", "hunter2", "wrong", "hunter2", "hunter2"])
+    pw = prompt_password("Enter admin password", reader=lambda _p: next(answers))
+    assert pw == "hunter2"
+    err = capsys.readouterr().err
+    assert "Password cannot be empty" in err
+    assert "Passwords do not match" in err
+
+
+def test_cli_prompt_flag_reads_password(tmp_path, monkeypatch):
+    """--prompt wires the interactive credential into CloneConfig; conf
+    ADMIN_PASSWORD wins over the prompt (CS:107-109 precedence)."""
+    import database_cloner_spark.__main__ as cli
+
+    seen = {}
+
+    class FakePipeline:
+        def __init__(self, spark, cfg):
+            seen["cfg"] = cfg
+
+        def run(self):
+            from database_cloner_spark.pipeline.clone import CloneRunResult, TableResult
+
+            r = CloneRunResult()
+            r.results.append(TableResult("region", "clone_region", "cloned", rows=5))
+            return r
+
+    monkeypatch.setattr("database_cloner_spark.pipeline.ClonePipeline", FakePipeline)
+    monkeypatch.setattr(
+        "getpass.getpass", lambda prompt="": "prompted-secret"
+    )
+    rc = cli.main([
+        "region",
+        "--source-dir", "/root/testdata/sf0.001",
+        "--target-dir", str(tmp_path / "t"),
+        "--prompt",
+    ])
+    assert rc == 0
+    assert seen["cfg"].admin_password == "prompted-secret"
+
+    conf = tmp_path / "clone.conf"
+    conf.write_text("ADMIN_PASSWORD=from-conf\n")
+    rc = cli.main([
+        "region",
+        "--source-dir", "/root/testdata/sf0.001",
+        "--target-dir", str(tmp_path / "t2"),
+        "--conf", str(conf),
+        "--prompt",
+    ])
+    assert rc == 0
+    assert seen["cfg"].admin_password == "from-conf"

@@ -238,3 +238,87 @@ def test_passwords_secure_by_default_seeded_on_request():
     s2 = make_principals("clone_db1", "clone_", seed=7)
     assert s1.owner_password == s2.owner_password
     assert s1.app_password == s2.app_password
+
+
+# -- principal probes (clone_databases.sh:480-551, :880-884) ---------------
+
+
+def test_principal_probes_pass_on_healthy_clone(spark, tmp_path):
+    from database_cloner_spark.pipeline import probe
+
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=str(tmp_path / "probe_ok"),
+        tables="region,nation",
+        parallelism=2,
+        test_user_connections=True,
+        lb_host="pg-lb.internal",
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok
+    frame = spark.read.parquet(os.path.join(cfg.target_dir, "_principal_probes"))
+    rows = frame.collect()
+    # 2 dbs x (2 connect + 1 dml + 1 ddl + 1 search_path)
+    assert len(rows) == 10
+    assert all(r.status == "passed" for r in rows)
+
+
+def test_principal_probe_fails_when_grant_row_missing(spark, tmp_path):
+    """VERDICT r2 #6 exit criterion: removing a grant row must fail the
+    probe — the queryable twin of 'app user cannot connect via LB'."""
+    from pyspark.sql import functions as F
+
+    from database_cloner_spark.pipeline import probe
+
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=str(tmp_path / "probe_bad"),
+        tables="region",
+        parallelism=1,
+        lb_host="pg-lb.internal",
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok
+
+    # Sabotage: drop the app role's CONNECT grant, rewrite _grants.
+    gpath = os.path.join(cfg.target_dir, "_grants")
+    gr = spark.read.parquet(gpath)
+    cut = gr.filter(
+        ~((F.col("privilege") == "CONNECT") & F.col("role_name").startswith("app_role_"))
+    )
+    cut.cache().count()  # materialize before overwriting the source files
+    cut.repartition(1).write.mode("overwrite").parquet(gpath + "_new")
+    import shutil
+
+    shutil.rmtree(gpath)
+    os.rename(gpath + "_new", gpath)
+
+    report = probe.test_user_connections(
+        spark, cfg.target_dir, enabled=True, lb_host="pg-lb.internal"
+    )
+    assert not report.ok
+    failed = report.frame.filter("status = 'failed'").collect()
+    assert any(r.probe == "connect" and r.severity == "error" for r in failed)
+
+
+def test_principal_probe_skip_semantics(spark, tmp_path):
+    """TEST_USER_CONNECTIONS=false and unset LB_HOST both skip cleanly."""
+    from database_cloner_spark.pipeline import probe
+
+    cfg = CloneConfig(
+        source_dir=SF,
+        target_dir=str(tmp_path / "probe_skip"),
+        tables="region",
+        parallelism=1,
+        test_user_connections=False,
+        lb_host="pg-lb.internal",
+    )
+    result = ClonePipeline(spark, cfg).run()
+    assert result.ok
+    assert not os.path.exists(os.path.join(cfg.target_dir, "_principal_probes"))
+    log = spark.read.parquet(os.path.join(cfg.target_dir, "_clone_log"))
+    assert log.filter("message LIKE '%TEST_USER_CONNECTIONS=false%'").count() == 1
+
+    toggled = probe.test_user_connections(spark, cfg.target_dir, enabled=True, lb_host=None)
+    assert toggled.skipped and toggled.ok
+    assert "Load balancer not configured" in toggled.skip_reason
