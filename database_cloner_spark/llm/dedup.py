@@ -249,15 +249,14 @@ def minhash_lsh_pairs(
         # bound loses only near-dup GROUPS bigger than the bound —
         # deliberately acceptable at web scale (those groups are caught
         # by exact dedup on normalized text, and each doc keeps 31 other
-        # bands). Cost: one extra groupBy on the 16-byte band key.
-        bucket_sizes = banded.groupBy("band_id", "band_hash").agg(
-            F.count("*").alias("__bucket_n")
-        )
+        # bands). Implemented as a count-over-window on the band key —
+        # ONE exchange, reused by the self-join below — instead of a
+        # groupBy+join back, which planned the whole minhash pipeline
+        # twice (the aggregate branch has no exchange to reuse).
+        w = W.partitionBy("band_id", "band_hash")
         banded = (
-            banded.join(
-                bucket_sizes.filter(F.col("__bucket_n") <= max_band_bucket),
-                ["band_id", "band_hash"],
-            )
+            banded.withColumn("__bucket_n", F.count("*").over(w))
+            .filter(F.col("__bucket_n") <= max_band_bucket)
             .drop("__bucket_n")
         )
     a = banded.alias("a")
@@ -275,6 +274,19 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    # Exact-Jaccard verify on survivors only, joining back to the
+    # MATERIALIZED shingle frame (doc_id, sh) per pair side. Two shapes
+    # were measured at sf0.1:
+    #   (a) this one — sh computed+shuffled per side (the two exchanges
+    #       share an identical subtree, so ReuseExchange computes the
+    #       shingle pipeline once); the jaccard filter then runs over
+    #       materialized arrays. ~2.6s steady.
+    #   (b) joining raw TEXT per side and re-shingling post-join — less
+    #       shuffle payload on paper, but Catalyst collapses the
+    #       projections and pushes the jaccard filter INTO the join
+    #       condition, re-evaluating tokenize+shingle+intersect inside
+    #       the join predicate per probed row. ~6s steady, and the
+    #       blow-up grows with candidate count. Rejected.
     shingle_sets = sh
     verified = (
         candidates.join(
