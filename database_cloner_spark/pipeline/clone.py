@@ -235,28 +235,57 @@ class ClonePipeline:
             if r.status in ("cloned", "skipped"):
                 p = prin.make_principals(r.target_table, cfg.db_prefix, seed=cfg.seed)
                 result.principals.append(p)
+
+        # Metadata tables (queryable ACL model) + per-db password files
+        # + credential summary. Each sink is a tiny independent Spark
+        # job; submitted CONCURRENTLY from the same pool as the table
+        # clones so N dbs cost ~1 job latency, not N (the sequential
+        # loop was ~40% of bench clone wall-clock at sf0.1 — pure
+        # driver-side job-submission latency, invisible at 100 TB but
+        # also pointless there).
+        if result.principals:
+            def _write_password_file(p: prin.DbPrincipals) -> None:
                 reports.write_text_report(
                     self.spark,
                     reports.password_file_lines(p, cfg.host, cfg.port, now),
                     os.path.join(cfg.target_dir, f"_passwords_{p.target_db}"),
                 )
 
-        # Metadata tables (queryable ACL model) + credential summary.
-        if result.principals:
-            # repartition(1), not coalesce(1): these frames are driver-
-            # parallelized, and coalescing one makes a single task fetch
-            # every pickled slice (~5s each, measured — reports.py note).
-            prin.principals_df(self.spark, result.principals).repartition(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(cfg.target_dir, "_principals"))
-            prin.grants_df(self.spark, result.principals).repartition(1).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(cfg.target_dir, "_grants"))
-            reports.write_text_report(
-                self.spark,
-                reports.credential_summary_lines(result.principals, cfg.host, cfg.port, now),
-                os.path.join(cfg.target_dir, "_credential_summary"),
-            )
+            def _write_principals() -> None:
+                # repartition(1), not coalesce(1): these frames are driver-
+                # parallelized, and coalescing one makes a single task fetch
+                # every pickled slice (~5s each, measured — reports.py note).
+                prin.principals_df(self.spark, result.principals).repartition(
+                    1
+                ).write.mode("overwrite").parquet(
+                    os.path.join(cfg.target_dir, "_principals")
+                )
+
+            def _write_grants() -> None:
+                prin.grants_df(self.spark, result.principals).repartition(
+                    1
+                ).write.mode("overwrite").parquet(
+                    os.path.join(cfg.target_dir, "_grants")
+                )
+
+            def _write_summary() -> None:
+                reports.write_text_report(
+                    self.spark,
+                    reports.credential_summary_lines(
+                        result.principals, cfg.host, cfg.port, now
+                    ),
+                    os.path.join(cfg.target_dir, "_credential_summary"),
+                )
+
+            with ThreadPoolExecutor(max_workers=cfg.parallelism) as pool:
+                futures = [pool.submit(_write_password_file, p) for p in result.principals]
+                futures += [
+                    pool.submit(_write_principals),
+                    pool.submit(_write_grants),
+                    pool.submit(_write_summary),
+                ]
+                for f in futures:
+                    f.result()  # surface the first failure, if any
 
         # Post-clone principal probes (CS:473 calls test_user_connections
         # right after provisioning). A failed connect-severity probe
