@@ -15,4 +15,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     llm_ops,
     sampling,
     analytics_ext,
+    corpus_stats,
 )

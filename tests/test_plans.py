@@ -29,6 +29,7 @@ BNLJ_ALLOWED = {
     "q_sim_topk",                # 1-row probe vector
     "q_sim_ivf_topk",            # 1-row probe vector
     "q_sample_mixture",          # 1-row min-source-count frame
+    "q_text_vocab",              # 1-row corpus token total
     "q_funnel",                  # three 1-row stage-count frames
     "q_sim_pq_topk",             # 1-row probe vector vs m×k codebook
     "q_sim_ivfpq_topk",          # 1-row probe vector (cell ranking + ADC table)
