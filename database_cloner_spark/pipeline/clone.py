@@ -268,6 +268,14 @@ class ClonePipeline:
                     os.path.join(cfg.target_dir, "_grants")
                 )
 
+            def _write_ownership() -> None:
+                # Ownership-transfer record (clone_databases.sh:406-438).
+                prin.ownership_df(self.spark, result.principals).repartition(
+                    1
+                ).write.mode("overwrite").parquet(
+                    os.path.join(cfg.target_dir, "_ownership")
+                )
+
             def _write_summary() -> None:
                 reports.write_text_report(
                     self.spark,
@@ -282,6 +290,7 @@ class ClonePipeline:
                 futures += [
                     pool.submit(_write_principals),
                     pool.submit(_write_grants),
+                    pool.submit(_write_ownership),
                     pool.submit(_write_summary),
                 ]
                 for f in futures:

@@ -51,6 +51,17 @@ OWNER_GRANTS = (
     ("sequences", "USAGE"),
 )
 
+# ALTER DEFAULT PRIVILEGES (clone_databases.sh:370-373): privileges on
+# objects the owner creates IN THE FUTURE, granted to the app role now.
+# Distinct object_kind namespace ("default:*") so a query can separate
+# present-object grants from default-privilege rules, exactly as
+# pg_default_acl is a separate catalog from information_schema grants.
+APP_DEFAULT_GRANTS = (
+    ("default:sequences", "USAGE"),
+    ("default:sequences", "SELECT"),
+    ("default:functions", "EXECUTE"),
+)
+
 
 @dataclass(frozen=True)
 class DbPrincipals:
@@ -134,8 +145,26 @@ def grants_df(spark: SparkSession, sets: list[DbPrincipals]) -> DataFrame:
     for p in sets:
         for kind, priv in APP_GRANTS:
             rows.append((p.target_db, p.app_role, kind, priv))
+        for kind, priv in APP_DEFAULT_GRANTS:
+            rows.append((p.target_db, p.app_role, kind, priv))
         for kind, priv in OWNER_GRANTS:
             rows.append((p.target_db, p.owner_role, kind, priv))
     return spark.createDataFrame(
         rows, "target_db string, role_name string, object_kind string, privilege string"
+    )
+
+
+def ownership_df(spark: SparkSession, sets: list[DbPrincipals]) -> DataFrame:
+    """Object-ownership metadata — the reference's post-clone ownership
+    transfer (clone_databases.sh:406-438: ALTER TABLE/SEQUENCE/VIEW …
+    OWNER TO the schema owner, looped over information_schema). In this
+    engine each cloned namespace entry is one table object; sequences
+    and views have no parquet analogue, so the frame records the table
+    rows and the loop shape generalizes if such objects appear."""
+    rows = [
+        (p.target_db, "table", p.target_db, p.owner_user) for p in sets
+    ]
+    return spark.createDataFrame(
+        rows,
+        "target_db string, object_kind string, object_name string, owner string",
     )

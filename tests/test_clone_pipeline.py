@@ -322,3 +322,30 @@ def test_principal_probe_skip_semantics(spark, tmp_path):
     toggled = probe.test_user_connections(spark, cfg.target_dir, enabled=True, lb_host=None)
     assert toggled.skipped and toggled.ok
     assert "Load balancer not configured" in toggled.skip_reason
+
+
+def test_ownership_and_default_privileges_metadata(spark, clone_run):
+    """CS:406-438 ownership transfer + CS:370-373 default privileges
+    must be recorded as queryable metadata."""
+    from pyspark.sql import functions as F
+
+    cfg, result = clone_run
+    own = spark.read.parquet(os.path.join(cfg.target_dir, "_ownership"))
+    rows = {(r.object_name, r.owner) for r in own.collect()}
+    for p in result.principals:
+        assert (p.target_db, p.owner_user) in rows
+    assert own.filter(F.col("object_kind") != "table").count() == 0
+
+    gr = spark.read.parquet(os.path.join(cfg.target_dir, "_grants"))
+    dflt = gr.filter(F.col("object_kind").startswith("default:"))
+    # 3 default-privilege rules per db, all granted to the app role
+    assert dflt.count() == 3 * len(result.principals)
+    assert dflt.filter(~F.col("role_name").startswith("app_role_")).count() == 0
+    kinds = {
+        (r.object_kind, r.privilege) for r in dflt.collect()
+    }
+    assert kinds == {
+        ("default:sequences", "USAGE"),
+        ("default:sequences", "SELECT"),
+        ("default:functions", "EXECUTE"),
+    }
