@@ -42,6 +42,11 @@ def get_spark(app_name: str = "database_cloner_spark", cpus: str | None = None) 
         # parquet reader rejects. Read nanos as raw longs; sources/parquet.py
         # converts them back to timestamps (footer-driven, lossless at us).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # MICROS-NTZ parquet reads directly as instant TIMESTAMP so
+        # timestamp predicates stay pushdown-eligible; load() also sets
+        # this at runtime for foreign (plain) sessions — see
+        # sources/parquet.py for the full rationale.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Write standard TIMESTAMP_MICROS, not deprecated INT96 (which
         # pyarrow reports as nanos, confusing footer-driven readers).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
