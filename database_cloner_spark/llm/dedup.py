@@ -327,19 +327,24 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
+    # SQL-text expression batches (one parse per column / one for the
+    # whole fold) instead of ~600 Column-API py4j round trips — same
+    # analyzed plan, ~2s less driver time per build (cf. the identical
+    # change in _minhash_min_columns).
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        )
         for b in range(64)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-            F.lit(0).cast("long")
+    sig = F.expr(
+        " | ".join(
+            f"(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
+            f"ELSE CAST(0 AS BIGINT) END)"
+            for b in range(64)
         )
-        sig = bit if sig is None else sig.bitwiseOR(bit)
+    )
     return agg.select("doc_id", sig.alias("simhash"))
 
 
