@@ -310,19 +310,23 @@ class ClonePipeline:
             if report.skipped:
                 self.log.info(report.skip_reason)
             else:
-                report.frame.repartition(1).write.mode("overwrite").parquet(
+                # The probe DAG ran exactly once (report.rows); persist
+                # and log from the collected rows rather than
+                # re-evaluating the joins per consumer.
+                self.spark.createDataFrame(
+                    report.rows, report.frame.schema
+                ).repartition(1).write.mode("overwrite").parquet(
                     os.path.join(cfg.target_dir, "_principal_probes")
                 )
-                # Bounded collect: ~5 probe rows per cloned db.
-                for row in report.frame.filter("status = 'failed'").collect():
+                failed_rows = [r for r in report.rows if r.status == "failed"]
+                for row in failed_rows:
                     msg = f"probe {row.probe} failed for {row.user_name} on {row.target_db}"
                     (self.log.error if row.severity == "error" else self.log.warning)(msg)
                 if not report.ok:
                     failed_dbs = {
                         row.target_db
-                        for row in report.frame.filter(
-                            "status = 'failed' AND severity = 'error'"
-                        ).collect()
+                        for row in failed_rows
+                        if row.severity == "error"
                     }
                     for r in result.results:
                         if r.target_table in failed_dbs and r.status != "failed":

@@ -50,6 +50,7 @@ PROBES = (
 class ProbeReport:
     ok: bool  # False iff any error-severity probe failed
     frame: DataFrame  # one row per (target_db, user_name, probe, status)
+    rows: list | None = None  # the frame, collected ONCE (bounded: ~5/db)
     skipped: bool = False
     skip_reason: str | None = None
 
@@ -167,8 +168,11 @@ def test_user_connections(
     frame = principal_probe_frame(spark, target_dir, db_prefix).unionByName(
         search_path_probe_frame(spark, target_dir)
     )
-    # ~4 rows per cloned db: collect is bounded metadata, not data.
-    n_errors = frame.filter(
-        (F.col("status") == "failed") & (F.col("severity") == "error")
-    ).count()
-    return ProbeReport(ok=n_errors == 0, frame=frame)
+    # Evaluate the probe DAG exactly ONCE: ~5 rows per cloned db, so the
+    # collect is bounded metadata; ok/logging/persistence all derive
+    # from these rows instead of re-running the joins per consumer.
+    rows = frame.collect()
+    n_errors = sum(
+        1 for r in rows if r.status == "failed" and r.severity == "error"
+    )
+    return ProbeReport(ok=n_errors == 0, frame=frame, rows=rows)

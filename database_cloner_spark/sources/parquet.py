@@ -54,7 +54,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP(NANOS) columns (rejected by Spark's reader) arrive as raw
     nano longs via spark.sql.legacy.parquet.nanosAsLong and are converted
     back here; sub-microsecond precision is truncated (testdata is
-    microsecond-granular, so lossless)."""
+    microsecond-granular, so lossless).
+
+    SESSION-MUTATION WARNING: this function sets three session-level SQL
+    confs (nanosAsLong, inferTimestampNTZ=false, session.timeZone=UTC)
+    on the session it is given. The first two must be set before the
+    read and are harmless policy; the timezone pin changes how the REST
+    of the session parses timestamp literals and formats dates. This is
+    deliberate — the engine's correctness contract (DuckDB oracle
+    equality) requires UTC literal semantics even on foreign harness
+    sessions — but a caller that needs a non-UTC display timezone must
+    reset it after loading."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Runtime-settable SQL confs — MUST be set here, not only in the
     # session factory: harnesses that build their own plain SparkSession

@@ -49,9 +49,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     hardcoded unit silently corrupts values by 1000x."""
     from database_cloner_spark.sources.parquet import _nanos_timestamp_cols
 
-    ts_is_nanos = "ts" in _nanos_timestamp_cols(
-        os.path.join(sf_dir, "events.parquet")
-    )
+    try:
+        ts_is_nanos = "ts" in _nanos_timestamp_cols(
+            os.path.join(sf_dir, "events.parquet")
+        )
+    except (FileNotFoundError, OSError):
+        # Files may not exist yet — the file-stream contract is that
+        # micro-batches APPEAR over time. Default to the MICROS schema
+        # (what every current writer, including this engine's own
+        # TIMESTAMP_MICROS output conf, produces); producers of legacy
+        # nanos files must pre-create the first file before the stream
+        # starts so the probe can see it.
+        ts_is_nanos = False
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     raw = (

@@ -101,6 +101,7 @@ def compare_query(spark, name: str, builder, oracle: str, sf_dir: str) -> None:
     res = con.execute(oracle)
     o_cols = [d[0] for d in res.description]
     o_rows = res.fetchall()
+    o_types = oracle_column_types(con, oracle)  # DESCRIBE plans only
     con.close()
 
     assert sorted(s_cols) == sorted(o_cols), (
@@ -109,11 +110,6 @@ def compare_query(spark, name: str, builder, oracle: str, sf_dir: str) -> None:
     # Type strictness (int-width-insensitive): the driver hashes typed
     # values, so a class mismatch (int vs hugeint/decimal/float) is a
     # guaranteed driver hash failure even when str(values) agree.
-    con2 = duck_connect(sf_dir)
-    try:
-        o_types = oracle_column_types(con2, oracle)
-    finally:
-        con2.close()
     s_types = dict(sdf.dtypes)
     bad = {
         c: (s_types[c], o_types[c])

@@ -37,8 +37,10 @@ def test_type_strict_harness_rejects_hugeint(spark, sf_dir):
 
 
 def test_no_registered_oracle_types_hugeint_or_decimal(sf_dir):
-    """Registry-wide guard: no oracle may emit HUGEINT (the int-vs-int128
-    hash bomb) — plans every oracle via DESCRIBE, no execution."""
+    """Registry-wide guard: no oracle may emit HUGEINT or DECIMAL (the
+    typed-value hash bombs — DuckDB promotes SUM(int) to int128 and
+    fixed-point arithmetic to DECIMAL, neither of which Spark emits) —
+    plans every oracle via DESCRIBE, no execution."""
     from tests.oracle_harness import duck_connect, oracle_column_types, _type_class
 
     con = duck_connect(sf_dir)
@@ -46,7 +48,11 @@ def test_no_registered_oracle_types_hugeint_or_decimal(sf_dir):
     try:
         for name in _WITH_ORACLE:
             types = oracle_column_types(con, _SPECS[name].oracle)
-            bad = {c: t for c, t in types.items() if _type_class(t) == "hugeint"}
+            bad = {
+                c: t
+                for c, t in types.items()
+                if _type_class(t) in ("hugeint", "decimal")
+            }
             if bad:
                 offenders[name] = bad
     finally:
