@@ -70,27 +70,43 @@ def lang_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def round4_ratio(num, den):
+    """round-half-up(10000 * num/den) / 10000 computed in INTEGER
+    arithmetic: floor((20000*num + den) / (2*den)) / 1e4.
+
+    Why not ROUND(num/den, 4): when the true ratio sits exactly on a
+    4th-decimal tie (e.g. 6690/8000 = 0.83625), the two engines hold
+    different nearest-doubles / use different decimal-rounding paths and
+    split the tie differently — Spark emitted 0.8362 where DuckDB said
+    0.8363 at sf0.1 (found by the sf0.1 parity sweep; invisible at
+    smaller sfs where no doc hits a tie). The integer form never rounds
+    a double at all, so both engines produce the bit-identical k/1e4.
+    floor-of-double-division is safe here: operands are tiny vs 2^53
+    and a non-tie quotient is >= 1/(2*den) away from any integer."""
+    return F.floor((20000 * num + den) / (2 * den)).cast("long") / F.lit(10000.0)
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Heuristic quality scoring (length / stopword ratio / vocabulary
-    diversity) — rational arithmetic only, reproducible everywhere.
-    Tokens are projected first so the split runs once per doc, not once
-    per derived metric (see textprep.shingles_of_tokens)."""
+    diversity) — rational arithmetic only, reproducible everywhere:
+    quality = 0.5*min(n,50)/50 + 0.3*(n-s)/n + 0.2*d/n is carried as
+    the single integer fraction (n*min(n,50) + 30*(n-s) + 20*d)/(100n)
+    and rounded with round4_ratio, so no engine ever rounds a tie-
+    adjacent double. Tokens are projected first so the split runs once
+    per doc, not once per derived metric (textprep.shingles_of_tokens)."""
     docs = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     toks = F.col("__toks")
-    n_tokens = F.size(toks)
-    stop_hits = F.size(
-        F.filter(toks, lambda t: t.isin(*STOPWORDS))
-    )
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
-    stop_ratio = stop_hits / n_tokens
-    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-    quality = 0.5 * length_score + 0.3 * (1 - stop_ratio) + 0.2 * distinct_ratio
+    n = F.size(toks)
+    s = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    d = F.size(F.array_distinct(toks))
+    q_num = n * F.least(n, F.lit(50)) + 30 * (n - s) + 20 * d
+    q_den = 100 * n
     return docs.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(quality, 4).alias("quality"),
+        n.alias("n_tokens"),
+        round4_ratio(s, n).alias("stopword_ratio"),
+        round4_ratio(d, n).alias("distinct_ratio"),
+        round4_ratio(q_num, q_den).alias("quality"),
     )
 
 

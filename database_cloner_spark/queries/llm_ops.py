@@ -260,19 +260,28 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.lang_stats(load(spark, sf_dir, "documents"))
 
 
+# Integer-arithmetic rounding (llm/text.py round4_ratio): ROUND() on a
+# computed double split 4th-decimal ties differently per engine at
+# sf0.1 (0.8362 vs 0.8363 on quality = 6690/8000); floor((20000a+b) //
+# (2b)) / 1e4 is the bit-portable round-half-up of a/b.
 _ORACLE_TEXT_QUALITY = """
 WITH t AS (
   SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ts)::BIGINT AS n,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::BIGINT AS s,
+         len(list_distinct(ts))::BIGINT AS d
+  FROM t
 )
 SELECT doc_id,
-  len(ts) AS n_tokens,
-  ROUND(len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts), 4)
-    AS stopword_ratio,
-  ROUND(len(list_distinct(ts))::DOUBLE / len(ts), 4) AS distinct_ratio,
-  ROUND(0.5 * least(len(ts) / 50.0, 1.0)
-        + 0.3 * (1 - len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts))
-        + 0.2 * (len(list_distinct(ts))::DOUBLE / len(ts)), 4) AS quality
-FROM t
+  n AS n_tokens,
+  ((20000*s + n) // (2*n)) / 10000.0 AS stopword_ratio,
+  ((20000*d + n) // (2*n)) / 10000.0 AS distinct_ratio,
+  ((20000*(n*least(n, 50) + 30*(n-s) + 20*d) + 100*n) // (200*n)) / 10000.0
+    AS quality
+FROM m
 """
 
 
@@ -330,13 +339,19 @@ WITH deduped AS (
 scored AS (
   SELECT *, string_split(norm_text, ' ') AS ts FROM deduped
 ),
-q AS (
-  SELECT doc_id, lang, norm_text, n_copies,
-         len(ts) AS n_tokens,
-         ROUND(0.5 * least(len(ts) / 50.0, 1.0)
-             + 0.3 * (1 - len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::DOUBLE / len(ts))
-             + 0.2 * (len(list_distinct(ts))::DOUBLE / len(ts)), 4) AS quality
+m AS (
+  SELECT *, len(ts)::BIGINT AS n,
+         len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::BIGINT AS s,
+         len(list_distinct(ts))::BIGINT AS d
   FROM scored
+),
+q AS (
+  -- integer-arithmetic round-half-up (see _ORACLE_TEXT_QUALITY note)
+  SELECT doc_id, lang, norm_text, n_copies,
+         n AS n_tokens,
+         ((20000*(n*least(n, 50) + 30*(n-s) + 20*d) + 100*n) // (200*n))
+           / 10000.0 AS quality
+  FROM m
 )
 SELECT doc_id, lang, n_copies, n_tokens, quality,
        regexp_replace(
@@ -375,13 +390,12 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("__toks")
     n_tokens = F.size(t)
-    stop_ratio = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS))) / n_tokens
-    distinct_ratio = F.size(F.array_distinct(t)) / n_tokens
-    quality = F.round(
-        0.5 * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + 0.3 * (1 - stop_ratio)
-        + 0.2 * distinct_ratio,
-        4,
+    s = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    d = F.size(F.array_distinct(t))
+    # integer-arithmetic round-half-up — see llm/text.py round4_ratio
+    quality = llmtext.round4_ratio(
+        n_tokens * F.least(n_tokens, F.lit(50)) + 30 * (n_tokens - s) + 20 * d,
+        100 * n_tokens,
     )
     clean = F.regexp_replace(
         F.regexp_replace("norm_text", _CURATE_EMAIL_RE, "[EMAIL]"),
