@@ -59,31 +59,44 @@ def token_stats(docs: DataFrame, top_n: int = 20) -> DataFrame:
 
 
 def lang_stats(docs: DataFrame) -> DataFrame:
-    """Per-language document stats."""
-    return (
-        docs.groupBy("lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
-            F.round(F.avg(F.size(tokens(F.col("text")))), 2).alias("avg_tokens"),
-        )
+    """Per-language document stats. Averages of integers are rounded in
+    integer arithmetic (roundn_ratio): the sums are exact on both
+    engines, so the ROUND-tie divergence class cannot fire."""
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("__chars"),
+        F.sum(F.size(tokens(F.col("text")))).alias("__toks"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        roundn_ratio(F.col("__chars"), F.col("n_docs"), 2).alias("avg_chars"),
+        roundn_ratio(F.col("__toks"), F.col("n_docs"), 2).alias("avg_tokens"),
     )
 
 
-def round4_ratio(num, den):
-    """round-half-up(10000 * num/den) / 10000 computed in INTEGER
-    arithmetic: floor((20000*num + den) / (2*den)) / 1e4.
+def roundn_ratio(num, den, digits: int = 4):
+    """round-half-up(10^digits * num/den) / 10^digits computed in
+    INTEGER arithmetic: floor((2*10^d*num + den) / (2*den)) / 10^d.
 
-    Why not ROUND(num/den, 4): when the true ratio sits exactly on a
-    4th-decimal tie (e.g. 6690/8000 = 0.83625), the two engines hold
-    different nearest-doubles / use different decimal-rounding paths and
+    Why not ROUND(num/den, d): when the true ratio sits exactly on a
+    d-th-decimal tie (e.g. 6690/8000 = 0.83625 at d=4), the two engines
+    round their nearest-doubles through different decimal paths and
     split the tie differently — Spark emitted 0.8362 where DuckDB said
     0.8363 at sf0.1 (found by the sf0.1 parity sweep; invisible at
-    smaller sfs where no doc hits a tie). The integer form never rounds
-    a double at all, so both engines produce the bit-identical k/1e4.
-    floor-of-double-division is safe here: operands are tiny vs 2^53
-    and a non-tie quotient is >= 1/(2*den) away from any integer."""
-    return F.floor((20000 * num + den) / (2 * den)).cast("long") / F.lit(10000.0)
+    smaller sfs where no value hits a tie). The integer form never
+    rounds a double at all, so both engines produce the bit-identical
+    k/10^d. floor-of-double-division is safe here: operands are tiny vs
+    2^53 and a non-tie quotient is >= 1/(2*den) away from any integer.
+    Use for every cross-engine-hashed ratio of exact integers."""
+    scale = 10 ** digits
+    q = F.floor((2 * scale * num + den) / (2 * den)).cast("long")
+    return q / F.lit(float(scale))
+
+
+def round4_ratio(num, den):
+    """roundn_ratio at 4 digits (the common score precision)."""
+    return roundn_ratio(num, den, 4)
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:

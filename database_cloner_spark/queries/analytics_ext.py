@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from database_cloner_spark.llm import text as llmtext
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
 
@@ -115,12 +116,15 @@ df AS (
 ),
 n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
 scored AS (
-  SELECT tf.doc_id, tf.term,
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
          tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS score
   FROM tf JOIN df USING (term) CROSS JOIN n
 ),
 ranked AS (
-  SELECT doc_id, term, ROUND(score, 4) AS tfidf,
+  -- integer-exact round-half-up of tf*(N+1)/(df+1): ROUND on the
+  -- computed double can split 4th-decimal ties differently per engine
+  SELECT doc_id, term,
+         ((20000*(tf*(n_docs+1)) + (df+1)) // (2*(df+1))) / 10000.0 AS tfidf,
          ROW_NUMBER() OVER (PARTITION BY doc_id
                             ORDER BY score DESC, term ASC) AS rn
   FROM scored
@@ -150,6 +154,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
+            "tf",
+            "df",
+            "n_docs",
             (F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))).alias(
                 "score"
             ),
@@ -159,7 +166,15 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", F.round("score", 4).alias("tfidf"))
+        .select(
+            "doc_id",
+            "term",
+            # rank on the raw double (identical operands both engines);
+            # OUTPUT via integer-exact rounding (llm/text.roundn_ratio)
+            llmtext.round4_ratio(
+                F.col("tf") * (F.col("n_docs") + 1), F.col("df") + 1
+            ).alias("tfidf"),
+        )
     )
 
 
@@ -240,7 +255,8 @@ SELECT d.lang,
        COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN d.n_chars < c.lo OR d.n_chars > c.hi THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clamped,
-       ROUND(AVG(d.n_chars), 3) AS mean_raw,
+       ((2000*CAST(SUM(d.n_chars) AS BIGINT) + COUNT(*)) // (2*COUNT(*))) / 1000.0
+         AS mean_raw,
        ROUND(AVG(LEAST(GREATEST(d.n_chars::DOUBLE, c.lo), c.hi)), 3)
          AS mean_winsorized
 FROM documents d JOIN cuts c USING (lang)
@@ -273,7 +289,12 @@ def q_agg_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
                 .cast("long")
             ).alias("n_clamped"),
-            F.round(F.avg("n_chars"), 3).alias("mean_raw"),
+            # integer-exact rounding for the int ratio; the winsorized
+            # mean mixes quantile doubles and keeps plain ROUND (its
+            # operands are identical on both engines by construction)
+            llmtext.roundn_ratio(F.sum("n_chars"), F.count("*"), 3).alias(
+                "mean_raw"
+            ),
             F.round(F.avg(clamped), 3).alias("mean_winsorized"),
         )
     )

@@ -94,13 +94,18 @@ counts AS (
 total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM counts),
 top AS (
   SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {VOCAB_TOP_K}
+),
+cum AS (
+  SELECT term, n,
+         CAST(SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_n
+  FROM top
 )
-SELECT term, n,
-       CAST(SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING)
-            AS BIGINT) AS cum_n,
-       ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING)
-                  AS BIGINT) / total_tokens::DOUBLE, 6) AS coverage
-FROM top CROSS JOIN total
+SELECT term, n, cum_n,
+       -- integer-exact round-half-up (ROUND-tie portability class)
+       ((2000000*cum_n + total_tokens) // (2*total_tokens)) / 1000000.0
+         AS coverage
+FROM cum CROSS JOIN total
 """
 
 
@@ -126,15 +131,18 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         W.orderBy(F.desc("n"), F.asc("term"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    from database_cloner_spark.llm.text import roundn_ratio
+
     return (
         top.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
         .select(
             "term",
             "n",
-            F.sum("n").over(w).alias("cum_n"),
-            F.round(
-                F.sum("n").over(w) / F.col("total_tokens").cast("double"), 6
-            ).alias("coverage"),
+            "cum_n",
+            roundn_ratio(F.col("cum_n"), F.col("total_tokens"), 6).alias(
+                "coverage"
+            ),
         )
     )
 
@@ -152,15 +160,20 @@ toks AS (SELECT doc_id, term FROM terms WHERE term <> ''),
 counts AS (SELECT term, COUNT(*) AS cnt FROM toks GROUP BY term),
 joined AS (
   SELECT t.doc_id, c.cnt FROM toks t JOIN counts c USING (term)
+),
+agg AS (
+  SELECT doc_id,
+         COUNT(*)::BIGINT AS n_tokens,
+         CAST(SUM(CASE WHEN cnt < {RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rare,
+         CAST(SUM(cnt) AS BIGINT) AS sum_cnt
+  FROM joined GROUP BY doc_id
 )
-SELECT doc_id,
-       COUNT(*) AS n_tokens,
-       CAST(SUM(CASE WHEN cnt < {RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_rare,
-       ROUND(CAST(SUM(CASE WHEN cnt < {RARE_MAX} THEN 1 ELSE 0 END) AS BIGINT)
-             / COUNT(*)::DOUBLE, 4) AS rare_frac,
-       ROUND(CAST(SUM(cnt) AS BIGINT) / COUNT(*)::DOUBLE, 4) AS mean_count
-FROM joined GROUP BY doc_id
+SELECT doc_id, n_tokens, n_rare,
+       -- integer-exact round-half-up (ROUND-tie portability class)
+       ((20000*n_rare + n_tokens) // (2*n_tokens)) / 10000.0 AS rare_frac,
+       ((20000*sum_cnt + n_tokens) // (2*n_tokens)) / 10000.0 AS mean_count
+FROM agg
 """
 
 
@@ -183,11 +196,19 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
+    from database_cloner_spark.llm.text import round4_ratio
+
     joined = toks.join(counts, "term")
     is_rare = F.when(F.col("cnt") < RARE_MAX, 1).otherwise(0)
-    return joined.groupBy("doc_id").agg(
+    agg = joined.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.sum(is_rare).alias("n_rare"),
-        F.round(F.sum(is_rare) / F.count("*").cast("double"), 4).alias("rare_frac"),
-        F.round(F.sum("cnt") / F.count("*").cast("double"), 4).alias("mean_count"),
+        F.sum("cnt").alias("__sum_cnt"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_rare",
+        round4_ratio(F.col("n_rare"), F.col("n_tokens")).alias("rare_frac"),
+        round4_ratio(F.col("__sum_cnt"), F.col("n_tokens")).alias("mean_count"),
     )

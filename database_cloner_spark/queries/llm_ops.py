@@ -246,11 +246,16 @@ def q_text_tokens_re(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_LANG_STATS = """
-SELECT lang, COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 2) AS avg_chars,
-       ROUND(AVG(len(string_split(trim(text), ' '))), 2) AS avg_tokens
-FROM documents
-GROUP BY lang
+WITH m AS (
+  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS cs,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ts
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       ((200*cs + n_docs) // (2*n_docs)) / 100.0 AS avg_chars,
+       ((200*ts + n_docs) // (2*n_docs)) / 100.0 AS avg_tokens
+FROM m
 """
 
 
