@@ -89,11 +89,18 @@ def shingle_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    jac = F.col("inter") / union
+    # filter on the raw ratio (identical int operands -> identical double
+    # on both engines); OUTPUT via integer-exact rounding (round4_ratio)
+    # so a 4th-decimal tie cannot split across engines.
+    from database_cloner_spark.llm.text import round4_ratio
+
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b",
+                round4_ratio(F.col("inter"), union).alias("jaccard"))
     )
 
 
@@ -155,11 +162,18 @@ def char_ngram_jaccard_pairs(
         )
         .agg(F.count("*").alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    jac = F.col("inter") / union
+    # filter on the raw ratio (identical int operands -> identical double
+    # on both engines); OUTPUT via integer-exact rounding (round4_ratio)
+    # so a 4th-decimal tie cannot split across engines.
+    from database_cloner_spark.llm.text import round4_ratio
+
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b",
+                round4_ratio(F.col("inter"), union).alias("jaccard"))
     )
 
 
@@ -309,10 +323,12 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
+    from database_cloner_spark.llm.text import round4_ratio
+
     return (
         verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round4_ratio(inter, union).alias("jaccard"))
     )
 
 

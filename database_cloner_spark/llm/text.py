@@ -43,7 +43,7 @@ def bpe_token_counts(docs: DataFrame) -> DataFrame:
         "doc_id",
         ws.alias("n_tokens_ws"),
         bpe.alias("n_tokens_bpe"),
-        F.round(bpe.cast("double") / ws, 4).alias("bpe_per_word"),
+        round4_ratio(bpe, ws).alias("bpe_per_word"),
     )
 
 
@@ -298,12 +298,11 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     n_tokens = F.size(toks)
     grams = shingles_of_tokens(toks, n)  # distinct n-grams
     n_gram_pos = F.greatest(n_tokens - (n - 1), F.lit(0))
-    dup_tok = F.round(
-        (n_tokens - F.size(F.array_distinct(toks))) / n_tokens, 4
-    )
-    dup_gram = F.when(n_gram_pos > 0, F.round((n_gram_pos - F.size(grams)) / n_gram_pos, 4)).otherwise(
-        F.lit(0.0)
-    )
+    # integer-exact rounding (roundn_ratio) — the ROUND-tie class
+    dup_tok = round4_ratio(n_tokens - F.size(F.array_distinct(toks)), n_tokens)
+    dup_gram = F.when(
+        n_gram_pos > 0, round4_ratio(n_gram_pos - F.size(grams), n_gram_pos)
+    ).otherwise(F.lit(0.0))
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

@@ -324,8 +324,8 @@ p AS (
 SELECT (SELECT COUNT(*) FROM v) AS n_view,
        (SELECT COUNT(*) FROM c) AS n_click_after_view,
        (SELECT COUNT(*) FROM p) AS n_purchase_after_click,
-       ROUND((SELECT COUNT(*) FROM p)::DOUBLE
-             / (SELECT COUNT(*) FROM v), 4) AS view_to_purchase
+       ((20000*(SELECT COUNT(*) FROM p)::BIGINT + (SELECT COUNT(*) FROM v))
+        // (2*(SELECT COUNT(*) FROM v)::BIGINT)) / 10000.0 AS view_to_purchase
 """
 
 
@@ -367,8 +367,8 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_view",
             "n_click_after_view",
             "n_purchase_after_click",
-            F.round(
-                F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 4
+            llmtext.round4_ratio(
+                F.col("n_purchase_after_click"), F.col("n_view")
             ).alias("view_to_purchase"),
         )
     )

@@ -54,14 +54,17 @@ sh AS (
                         for i in range(1, len(ts) - 1)]) AS shingles
   FROM toks WHERE len(ts) >= 3
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-             / (len(a.shingles) + len(b.shingles)
-                - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-      / (len(a.shingles) + len(b.shingles)
-         - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::BIGINT AS i,
+         (len(a.shingles) + len(b.shingles)
+          - len(list_intersect(a.shingles, b.shingles)))::BIGINT AS u
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+FROM pairs WHERE i::DOUBLE / u >= 0.4
 """
 
 
@@ -96,13 +99,16 @@ g AS (
          list_distinct([t[i:i+2] for i in range(1, len(t) - 1)]) AS gs
   FROM capped WHERE len(t) >= 3
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(len(list_intersect(a.gs, b.gs))::DOUBLE
-             / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 4)
-         AS jaccard
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE len(list_intersect(a.gs, b.gs))::DOUBLE
-      / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.6
+,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.gs, b.gs))::BIGINT AS i,
+         (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)))::BIGINT AS u
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+FROM pairs WHERE i::DOUBLE / u >= 0.6
 """
 
 
@@ -232,8 +238,10 @@ _ORACLE_TOKENS_RE = f"""
 SELECT doc_id,
        len(string_split(trim(text), ' ')) AS n_tokens_ws,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
-       ROUND(len(regexp_extract_all(text, '{_BPE_SQL}'))::DOUBLE
-             / len(string_split(trim(text), ' ')), 4) AS bpe_per_word
+       ((20000*len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT
+         + len(string_split(trim(text), ' '))::BIGINT)
+        // (2*len(string_split(trim(text), ' '))::BIGINT)) / 10000.0
+         AS bpe_per_word
 FROM documents
 """
 
@@ -619,13 +627,13 @@ WITH toks AS (
 fr AS (
   SELECT doc_id,
          len(ts) AS n_tokens,
-         ROUND((len(ts) - len(list_distinct(ts))) / len(ts)::DOUBLE, 4)
-           AS dup_token_frac,
+         ((20000*(len(ts) - len(list_distinct(ts)))::BIGINT + len(ts))
+          // (2*len(ts)::BIGINT)) / 10000.0 AS dup_token_frac,
          CASE WHEN len(ts) >= 3 THEN
-           ROUND((len(ts) - 2 - len(list_distinct(
+           ((20000*(len(ts) - 2 - len(list_distinct(
                [list_aggregate(ts[i:i+2], 'string_agg', ' ')
-                for i in range(1, len(ts) - 1)])))
-             / (len(ts) - 2)::DOUBLE, 4)
+                for i in range(1, len(ts) - 1)])))::BIGINT
+             + (len(ts) - 2)) // (2*(len(ts) - 2)::BIGINT)) / 10000.0
          ELSE 0.0 END AS dup_ngram_frac
   FROM toks
 )

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_cloner_spark.llm import text as llmtext
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
 
@@ -50,7 +51,8 @@ WITH assigned AS (
   FROM documents
 )
 SELECT split, lang, COUNT(*) AS n_docs,
-       ROUND(AVG(n_chars), 2) AS avg_chars
+       ((200*CAST(SUM(n_chars) AS BIGINT) + COUNT(*)) // (2*COUNT(*)))
+         / 100.0 AS avg_chars
 FROM assigned GROUP BY split, lang
 """
 
@@ -71,7 +73,16 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.sum("n_chars").alias("__chars"),
+        )
+        .select(
+            "split",
+            "lang",
+            "n_docs",
+            # integer-exact rounding (llm/text.roundn_ratio) — ROUND-tie class
+            llmtext.roundn_ratio(F.col("__chars"), F.col("n_docs"), 2).alias(
+                "avg_chars"
+            ),
         )
     )
 
