@@ -69,6 +69,30 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
+    # Secondary, NON-GATING figure (VERDICT r3 #8): one timed pass over
+    # EVERY oracled key, so regressions in non-headline operators are
+    # visible round-over-round. Best-of-1 by design — the headline
+    # metric (above, best-of-3, frozen set) stays the gate; this sweep
+    # is a trend line, ±noise. SPARK_GRAFT_SKIP_SWEEP=1 skips it.
+    sweep: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
+        for name, spec in registry.items():
+            if spec.oracle is None or name in timings:
+                continue
+            t0 = time.perf_counter()
+            spec.builder(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            sweep[name] = round(time.perf_counter() - t0, 4)
+    # oracled headline keys contribute their (best-of-3) headline timing
+    headline_oracled = sum(
+        t for n, t in timings.items() if registry[n].oracle is not None
+    )
+    sweep_total = round(sum(sweep.values()) + headline_oracled, 4)
+    sweep_n = len(sweep) + sum(
+        1 for n in timings if registry[n].oracle is not None
+    )
+
     # Clone-pipeline throughput (the BASELINE.md protocol's second
     # figure): clone the whole sf namespace to a scratch dir, report
     # rows/sec. Verification off here — it is timed separately by its
@@ -106,6 +130,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "all_oracled_total_sec": sweep_total,
+                "all_oracled_n": sweep_n,
+                "all_oracled_queries": sweep,
                 "clone_rows": clone_rows,
                 "clone_sec": round(clone_sec, 4),
                 "clone_rows_per_sec": clone_rps,

@@ -494,6 +494,27 @@ def embedding_neardup_bucketed(
 # --- connected components (pair list -> cluster assignment) ----------------
 
 
+def _cc_propagate_round(labels: DataFrame, edges: DataFrame) -> DataFrame:
+    """One min-label propagation round, CHECKPOINTED: (v, label, old).
+
+    The previous label rides through the SAME aggregation as `old`
+    (exactly one non-null per v — min() drops the message-row NULLs),
+    so the caller's convergence probe is a plain filter over the
+    checkpointed partitions: no join, no shuffle, plan-asserted in
+    tests/test_llm.py::test_cc_convergence_probe_is_shuffle_free."""
+    msgs = edges.join(labels, edges["src"] == labels["v"]).select(
+        F.col("dst").alias("v"), F.col("label")
+    )
+    tagged = labels.select(
+        "v", "label", F.col("label").alias("old")
+    ).union(msgs.select("v", "label", F.lit(None).cast("long").alias("old")))
+    return (
+        tagged.groupBy("v")
+        .agg(F.min("label").alias("label"), F.min("old").alias("old"))
+        .localCheckpoint(eager=True)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "doc_a",
@@ -518,11 +539,15 @@ def connected_components(
 
     Scale notes: `localCheckpoint` after every round truncates the
     lineage (an iterative plan otherwise doubles per round and
-    re-executes the whole history on each action); the convergence
-    probe is a `limit(1).count()` — it short-circuits on the first
-    improved label instead of scanning the full frame. Labels are
-    8-byte ids, so each round shuffles ~16 bytes/edge regardless of
-    document size.
+    re-executes the whole history on each action). Each round is ONE
+    shuffled job: the previous label rides through the same min-groupBy
+    as an extra `old` column (min ignores the NULLs on message rows),
+    so the convergence probe needs no join — it is a `limit(1).count()`
+    filter over the already-checkpointed partitions, short-circuiting
+    on the first improved label (r3 ADVICE: the old probe JOINED new
+    vs old labels, a second shuffle per round — at diameter-D graphs
+    that doubled the blocking work). Labels are 8-byte ids, so each
+    round shuffles ~24 bytes/edge regardless of document size.
 
     Reference parity: the reference has no graph step (its bash surface
     clones whole databases); this is part of the §2.11 training-data
@@ -542,20 +567,11 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
-        msgs = edges.join(labels, edges["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), F.col("label")
-        )
-        new_labels = (
-            labels.union(msgs).groupBy("v").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        new_labels = _cc_propagate_round(labels, edges)
         improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("v", "label")
         if improved == 0:
             break
     return labels.select(

@@ -132,11 +132,30 @@ def resize_images(
 def frame_sample_plan(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' on the opaque payload: byte offsets every N bytes
     (the video-frame analogue; a real decoder would seek timestamps).
-    Pure column math — shows the plumbing without a codec."""
-    n_frames = (F.col("meta.n_bytes") / every_n_bytes).cast("long") + 1
+    Pure column math — shows the plumbing without a codec. Integer `div`
+    (not floor-of-double) so the count is exact for any 64-bit n_bytes."""
+    n_frames = F.expr(f"meta.n_bytes div {int(every_n_bytes)}") + 1
     offsets = F.transform(
-        F.sequence(F.lit(0), n_frames - 1), lambda i: i * every_n_bytes
+        F.sequence(F.lit(0).cast("long"), n_frames - 1), lambda i: i * every_n_bytes
     )
     return assets.filter(F.col("media_type") == "video").select(
         "asset_id", F.col("meta.n_bytes").alias("n_bytes"), offsets.alias("frame_offsets")
+    )
+
+
+def frame_sample_exploded(assets: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """One row per sampled frame — the all-scalar twin of
+    frame_sample_plan (same plan, posexplode on top). This is the shape
+    registered with the driver: hash-comparable (no array column) and
+    the shape a downstream frame-decode stage would consume anyway."""
+    plan = frame_sample_plan(assets, every_n_bytes)
+    return plan.select(
+        "asset_id",
+        "n_bytes",
+        F.posexplode("frame_offsets").alias("frame_idx", "frame_offset"),
+    ).select(
+        "asset_id",
+        "n_bytes",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        "frame_offset",
     )

@@ -193,15 +193,20 @@ def ivf_topk_indexed(
 
 
 def ivf_topk(
-    embs: DataFrame, probe: DataFrame, k: int = 10, n_cells: int = 16, nprobe: int = 4
+    embs: DataFrame,
+    probe: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: rank cells by probe-centroid similarity, scan only the
-    top nprobe cells, exact cosine within them."""
-    inverted = ivf_assign(embs, n_cells)
-    cents = (
-        embs.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-    )
+    top nprobe cells, exact cosine within them. Default centroids are
+    the deterministic first-n seed; pass `kmeans_centroids(...)` output
+    for Lloyd-refined (cell-balanced) cells — balance bounds the
+    worst-case cell scan, the cost term IVF latency leans on at scale."""
+    cents = centroids if centroids is not None else seed_centroids(embs, n_cells)
+    inverted = ivf_assign(embs, n_cells, centroids=cents)
     cell_rank = (
         cents.crossJoin(F.broadcast(probe))
         .select(

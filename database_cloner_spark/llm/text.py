@@ -86,11 +86,27 @@ def roundn_ratio(num, den, digits: int = 4):
     0.8363 at sf0.1 (found by the sf0.1 parity sweep; invisible at
     smaller sfs where no value hits a tie). The integer form never
     rounds a double at all, so both engines produce the bit-identical
-    k/10^d. floor-of-double-division is safe here: operands are tiny vs
-    2^53 and a non-tie quotient is >= 1/(2*den) away from any integer.
+    k/10^d. The quotient itself is SQL integral `div` (64-bit long
+    division, bit-identical to DuckDB's `//` for non-negative
+    operands), NOT floor-of-double-division: once 2*10^d*num exceeds
+    2^53 the double loses integer precision and floor(double) silently
+    diverges from exact division (e.g. num=2e16, den=3: exact
+    ...666 vs ...667 via double) — per-doc ratios never get there,
+    but corpus-sum consumers (lang_stats avg_chars, winsorize mean,
+    vocab coverage) do at the 100 TB target. The final /10^d stays a
+    double op: q ≈ 10^d*ratio << 2^53, and IEEE division is correctly
+    rounded, so both engines emit the identical double.
+
+    Domain: |2*10^d*num + den| must fit int64 (ANSI mode raises on
+    overflow rather than wrapping — loud, like DuckDB's BIGINT). That
+    bounds num < ~4.6e14 at d=4 / ~4.6e16 at d=2: ample for sums of
+    per-doc counts at 100 TB (25T tokens ≈ 2.5e13); a consumer beyond
+    it should pre-reduce (e.g. average of per-group averages) rather
+    than widen to int128, which Spark lacks.
     Use for every cross-engine-hashed ratio of exact integers."""
     scale = 10 ** digits
-    q = F.floor((2 * scale * num + den) / (2 * den)).cast("long")
+    a = F.lit(2 * scale).cast("long") * num.cast("long") + den.cast("long")
+    q = F.call_function("div", a, 2 * den.cast("long"))
     return q / F.lit(float(scale))
 
 

@@ -51,12 +51,17 @@ OWNER_GRANTS = (
     ("sequences", "USAGE"),
 )
 
-# ALTER DEFAULT PRIVILEGES (clone_databases.sh:370-373): privileges on
+# ALTER DEFAULT PRIVILEGES (clone_databases.sh:364-373 — tables :364,
+# sequences :370, functions :373): privileges on
 # objects the owner creates IN THE FUTURE, granted to the app role now.
 # Distinct object_kind namespace ("default:*") so a query can separate
 # present-object grants from default-privilege rules, exactly as
 # pg_default_acl is a separate catalog from information_schema grants.
 APP_DEFAULT_GRANTS = (
+    ("default:tables", "SELECT"),
+    ("default:tables", "INSERT"),
+    ("default:tables", "UPDATE"),
+    ("default:tables", "DELETE"),
     ("default:sequences", "USAGE"),
     ("default:sequences", "SELECT"),
     ("default:functions", "EXECUTE"),

@@ -148,8 +148,13 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume orders): the HAVING subquery is a
     pre-aggregation of lineitem that reuses the SAME l_orderkey
     partitioning as the main join — Spark plans one exchange for both
-    the qualifying-keys agg and the re-join, and the qualifying set
-    (tiny) broadcasts onto orders."""
+    the qualifying-keys agg and the re-join. The qualifying set is NOT
+    force-broadcast: it grows with the fact table (selective, but
+    unbounded), so a hint would bypass AQE's size check and can OOM
+    executors at 100× — AQE flips the join to broadcast from the
+    RUNTIME size whenever the set actually is small (it is at bench
+    scale; asserted on the post-execution adaptive plan in
+    tests/test_plans.py)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     big = (
         li.groupBy("l_orderkey")
@@ -160,7 +165,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(li.alias("l2"), F.col("o_orderkey") == F.col("l2.l_orderkey"))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")

@@ -217,6 +217,22 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(embs, similarity.probe_vector(embs))
 
 
+@register("q_sim_ivf_kmeans_topk", oracle=None, tier="X")
+def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10 over Lloyd-REFINED centroids (2 iterations), the
+    production posture: refinement balances cell populations, which
+    bounds the worst-case cell scan — the cost term IVF latency leans
+    on at 100 TB (SCALE.md). Each Lloyd iteration shuffles only
+    n_cells x dims partial means, never the vectors. Rows-only at the
+    driver (iterative refinement is not SQL-expressible); recall floor
+    vs brute force and vs the seeded variant pinned in tests/test_llm.py."""
+    embs = load(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids(embs, n_cells=16, iters=2)
+    return similarity.ivf_topk(
+        embs, similarity.probe_vector(embs), centroids=cents
+    )
+
+
 _ORACLE_TEXT_TOKENS = """
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
@@ -660,15 +676,26 @@ def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(embs, similarity.probe_vector(embs))
 
 
-# Frame-offset sampling plan over video assets; the byte-offset math is
-# reproduced exactly in SQL (real decoders would seek timestamps; the
-# container has no codec, so the PLAN is the testable contract).
+# Frame-offset sampling over video assets, registered in EXPLODED
+# all-scalar form (one row per sampled frame) so the driver's hash
+# canonicalizer can sort/hash it — an array<bigint> column is unhashable
+# there (r3's one red row). The byte-offset math is reproduced exactly
+# in SQL (real decoders would seek timestamps; the container has no
+# codec, so the PLAN is the testable contract). The array-producing
+# frame_sample_plan stays the library API; this derives from it.
 _ORACLE_MULTIMODAL_FRAMES = """
-SELECT doc_id AS asset_id,
-       octet_length(encode(text)) AS n_bytes,
-       [64 * i for i in range(0, octet_length(encode(text)) // 64 + 1)]
-         AS frame_offsets
-FROM documents WHERE doc_id % 3 = 2
+WITH base AS (
+  SELECT doc_id AS asset_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 2
+), exploded AS (
+  SELECT asset_id, n_bytes,
+         unnest(range(n_bytes // 64 + 1)) AS frame_idx
+  FROM base
+)
+SELECT asset_id, n_bytes, frame_idx,
+       64 * frame_idx AS frame_offset
+FROM exploded
 """
 
 
@@ -677,11 +704,13 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plan for video assets: byte offsets every 64 bytes
     from typed metadata only — planning happens BEFORE any payload
     decode, so at scale the planner touches metadata structs, never
-    media bytes."""
-    from database_cloner_spark.llm.multimodal import frame_sample_plan
+    media bytes. Emitted one-row-per-frame (posexplode of the library
+    plan's offsets array): all-scalar schema for the correctness gate,
+    and the shape a downstream decode stage consumes anyway."""
+    from database_cloner_spark.llm.multimodal import frame_sample_exploded
 
     assets = assets_from_documents(load(spark, sf_dir, "documents"))
-    return frame_sample_plan(assets)
+    return frame_sample_exploded(assets)
 
 
 @register("q_sim_ivfpq_topk", oracle=None, tier="X")

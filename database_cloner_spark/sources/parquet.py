@@ -28,6 +28,11 @@ TABLES = (
 )
 
 
+# Prior timezones already warned about (one warning per foreign zone,
+# not one per table load — load() runs hundreds of times per session).
+_TZ_WARNED: set = set()
+
+
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — footer-only read."""
     import pyarrow.parquet as pq
@@ -46,7 +51,9 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
     ]
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(
+    spark: SparkSession, sf_dir: str, name: str, pin_utc_session: bool = True
+) -> DataFrame:
     """Scan one table. Plain `spark.read.parquet` — no schema inference
     cost (parquet is self-describing), pushdown-capable, splittable at
     row-group granularity so a 100 TB table parallelizes to the cluster.
@@ -63,8 +70,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     of the session parses timestamp literals and formats dates. This is
     deliberate — the engine's correctness contract (DuckDB oracle
     equality) requires UTC literal semantics even on foreign harness
-    sessions — but a caller that needs a non-UTC display timezone must
-    reset it after loading."""
+    sessions, and a restore-after-read would silently flip LATER-built
+    query literals back to the foreign zone, which is worse. Scoping
+    (ADVICE r3): the pin is opt-out (`pin_utc_session=False` reads the
+    table without touching the zone — literal-bearing queries built on
+    such a session are on the caller), and overriding a non-UTC zone
+    logs one warning per prior zone so the mutation is never silent."""
     path = os.path.join(sf_dir, f"{name}.parquet")
     # Runtime-settable SQL confs — MUST be set here, not only in the
     # session factory: harnesses that build their own plain SparkSession
@@ -85,7 +96,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     # Timestamp LITERALS (and date formatting) parse in the session zone;
     # pin UTC so query constants mean the same instant on any harness.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if pin_utc_session:
+        try:
+            prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            prev_tz = None
+        if prev_tz not in (None, "UTC") and prev_tz not in _TZ_WARNED:
+            _TZ_WARNED.add(prev_tz)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "load(): pinning spark.sql.session.timeZone=UTC (was %r) "
+                "for oracle-identical literal semantics; pass "
+                "pin_utc_session=False to keep the session zone.",
+                prev_tz,
+            )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     spark_types = dict(df.dtypes)
     for c in _nanos_timestamp_cols(path):

@@ -203,15 +203,25 @@ def purchase_click_interval_join(events: DataFrame) -> DataFrame:
     )
 
 
-def enrich_with_profile(events: DataFrame, profile: DataFrame) -> DataFrame:
-    """Stream-static enrichment: each micro-batch broadcast-joins the
-    (small, slowly-changing) per-user profile table — the canonical
+def enrich_with_profile(
+    events: DataFrame, profile: DataFrame, broadcast_profile: bool = True
+) -> DataFrame:
+    """Stream-static enrichment: each micro-batch joins the
+    slowly-changing per-user profile table — the canonical
     dimension-enrichment shape. For FILE-backed static sides Spark
     re-resolves the static relation per micro-batch, so a profile
-    rewrite between batches is picked up without restarting the query;
-    the stream side never shuffles (broadcast hash join per batch).
-    Works identically on a batch frame (the oracle twin)."""
-    return events.join(F.broadcast(profile), "user_id", "left").select(
+    rewrite between batches is picked up without restarting the query.
+    Works identically on a batch frame (the oracle twin).
+
+    `broadcast_profile` hints broadcast (stream side never shuffles —
+    right whenever the profile fits in executor memory). The profile is
+    caller-supplied and user-keyed, i.e. UNBOUNDED in general: at a
+    scale where per-user profiles outgrow the broadcast budget, pass
+    False and let the planner shuffle the static side per batch instead
+    of force-broadcasting an arbitrarily large frame (the q18 hint
+    lesson — Spark honors hints regardless of actual size)."""
+    prof = F.broadcast(profile) if broadcast_profile else profile
+    return events.join(prof, "user_id", "left").select(
         "event_id",
         "user_id",
         "event_type",

@@ -9,6 +9,7 @@ source — only this module swaps.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,7 +60,18 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (what every current writer, including this engine's own
         # TIMESTAMP_MICROS output conf, produces); producers of legacy
         # nanos files must pre-create the first file before the stream
-        # starts so the probe can see it.
+        # starts so the probe can see it. Warn LOUDLY: if a
+        # TIMESTAMP(NANOS) file appears later, the declared TimestampType
+        # schema will reject/misread its int64 nanos — the probe only
+        # protects streams whose first file pre-exists (ADVICE r3).
+        logging.getLogger(__name__).warning(
+            "events_stream: %s not present at stream-definition time; "
+            "assuming MICROS timestamp unit. If this directory will "
+            "receive legacy TIMESTAMP(NANOS) files, pre-create the "
+            "first file before starting the stream so the footer probe "
+            "can pick the nanos schema.",
+            os.path.join(sf_dir, "events.parquet"),
+        )
         ts_is_nanos = False
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

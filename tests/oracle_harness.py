@@ -111,6 +111,22 @@ def compare_query(spark, name: str, builder, oracle: str, sf_dir: str) -> None:
     # values, so a class mismatch (int vs hugeint/decimal/float) is a
     # guaranteed driver hash failure even when str(values) agree.
     s_types = dict(sdf.dtypes)
+    # Driver-canonicalizer shape limit: the driver sorts results through
+    # pandas before hashing, and a non-scalar column (array/struct/map)
+    # raises `TypeError: unhashable type` there (r3's q_multimodal_frames
+    # red row). Every ORACLED query must therefore emit scalars only —
+    # explode/flatten before registering (rows-only ✗ keys are exempt;
+    # they never reach this comparison).
+    nested = {
+        c: s_types[c]
+        for c in s_cols
+        if s_types[c].startswith(("array", "struct", "map"))
+    }
+    assert not nested, (
+        f"{name}: oracled query emits non-scalar columns {nested} — the "
+        "driver's hash canonicalizer cannot sort these; register an "
+        "exploded/flattened form (e.g. posexplode + UNNEST oracle)."
+    )
     bad = {
         c: (s_types[c], o_types[c])
         for c in s_cols

@@ -338,13 +338,18 @@ def test_ownership_and_default_privileges_metadata(spark, clone_run):
 
     gr = spark.read.parquet(os.path.join(cfg.target_dir, "_grants"))
     dflt = gr.filter(F.col("object_kind").startswith("default:"))
-    # 3 default-privilege rules per db, all granted to the app role
-    assert dflt.count() == 3 * len(result.principals)
+    # 7 default-privilege rules per db (tables CS:364, sequences CS:370,
+    # functions CS:373), all granted to the app role
+    assert dflt.count() == 7 * len(result.principals)
     assert dflt.filter(~F.col("role_name").startswith("app_role_")).count() == 0
     kinds = {
         (r.object_kind, r.privilege) for r in dflt.collect()
     }
     assert kinds == {
+        ("default:tables", "SELECT"),
+        ("default:tables", "INSERT"),
+        ("default:tables", "UPDATE"),
+        ("default:tables", "DELETE"),
         ("default:sequences", "USAGE"),
         ("default:sequences", "SELECT"),
         ("default:functions", "EXECUTE"),

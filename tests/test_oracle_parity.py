@@ -60,6 +60,42 @@ def test_no_registered_oracle_types_hugeint_or_decimal(sf_dir):
     assert not offenders, offenders
 
 
+def test_scalar_shape_harness_rejects_array_output(spark, sf_dir):
+    """The harness must fail an oracled query whose output has a
+    non-scalar column: the driver's canonicalizer sorts through pandas
+    and raises `unhashable type: list` on arrays (r3's one red row,
+    q_multimodal_frames). Register exploded forms instead."""
+    from database_cloner_spark.sources import load
+
+    def builder(s, d):
+        from pyspark.sql import functions as F
+
+        return load(s, d, "region").select(
+            "r_regionkey", F.array(F.lit(1), F.lit(2)).alias("xs")
+        )
+
+    bad_oracle = "SELECT r_regionkey, [1, 2] AS xs FROM region"
+    with pytest.raises(AssertionError, match="non-scalar"):
+        compare_query(spark, "array_probe", builder, bad_oracle, sf_dir)
+
+
+def test_no_registered_oracle_query_emits_nested_columns(spark, sf_dir):
+    """Registry-wide guard (plans only, no execution): every ORACLED
+    query's Spark output schema must be all-scalar, mirroring the
+    driver canonicalizer's limits. Rows-only ✗ keys may emit any shape."""
+    offenders = {}
+    for name in _WITH_ORACLE:
+        dtypes = dict(_SPECS[name].builder(spark, sf_dir).dtypes)
+        bad = {
+            c: t
+            for c, t in dtypes.items()
+            if t.startswith(("array", "struct", "map"))
+        }
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "q_dedup_embedding_bucketed",  # 1-row centroid-seed frame
     "q_sim_topk",                # 1-row probe vector
     "q_sim_ivf_topk",            # 1-row probe vector
+    "q_sim_ivf_kmeans_topk",     # 1-row probe vector + 16-row centroid table
     "q_sample_mixture",          # 1-row min-source-count frame
     "q_text_vocab",              # 1-row corpus token total
     "q_funnel",                  # three 1-row stage-count frames
@@ -116,6 +117,20 @@ def test_composite_queries_broadcast_and_take_ordered(spark, name):
     plan = _plan(spark, name)
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_qualifying_set_broadcasts_via_aqe(spark):
+    """q18 no longer force-broadcasts the qualifying-order set (it grows
+    with the fact table — a forced hint bypasses AQE's size check and
+    can OOM at scale). AQE must still pick broadcast at runtime when the
+    set actually is small: execute, then assert the FINAL adaptive plan
+    joined orders⋈qualifying with a BroadcastHashJoin."""
+    df = all_queries()["q18_large_orders"](spark, SF_DIR)
+    df.collect()  # materialize so AQE finalizes the plan
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in final
+    # two broadcast joins in the final plan: qualifying set AND customer
+    assert final.count("BroadcastHashJoin") >= 2, final
 
 
 def test_q3_filters_reach_scans(spark):

@@ -229,3 +229,30 @@ def test_load_handles_nested_ntz_fields(spark, tmp_path):
 
     micros = df.select(F.unix_micros("meta.at").alias("us")).collect()[0].us
     assert micros == 1_700_000_000_000_000  # bit-identical to at-rest value
+
+
+def test_load_tz_pin_is_optout_and_warns_once(spark, sf_dir, caplog):
+    """ADVICE r3: the UTC session-timezone pin must be (a) skippable and
+    (b) loud when it overrides a foreign zone — never a silent mutation."""
+    import logging
+
+    from database_cloner_spark.sources import parquet as pq_src
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # opt-out leaves a foreign zone untouched
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        pq_src.load(spark, sf_dir, "region", pin_utc_session=False)
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+
+        # default pins UTC and logs exactly one warning per foreign zone
+        pq_src._TZ_WARNED.clear()
+        with caplog.at_level(logging.WARNING, logger=pq_src.__name__):
+            pq_src.load(spark, sf_dir, "region")
+            pq_src.load(spark, sf_dir, "region")  # second load: no new warning
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        warns = [r for r in caplog.records if "pinning" in r.message]
+        assert len(warns) == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+        pq_src._TZ_WARNED.clear()
