@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.functions.partitioning import spread
 from database_cloner_spark.llm.textprep import (
     normalized,
     shingles_of_tokens,
@@ -113,7 +114,9 @@ def char_ngram_sets(docs: DataFrame, n: int = 3, text_col: str = "text") -> Data
     miss (one changed word kills 3 word-shingles but only ~n char
     grams). Short texts (< n chars) yield an empty set, same guard as
     shingles_of_tokens."""
-    t = docs.select("doc_id", F.lower(F.trim(F.col(text_col))).alias("__t"))
+    t = spread(docs.select("doc_id", F.col(text_col))).select(
+        "doc_id", F.lower(F.trim(F.col(text_col))).alias("__t")
+    )
     grams = F.when(
         F.length("__t") >= n,
         F.array_distinct(
@@ -207,8 +210,11 @@ def _shingle_sets(docs: DataFrame, n: int, text_col: str) -> DataFrame:
     # filtering on the projected shingle column gets pushed below the
     # projection and re-evaluates the whole shingle expression inside
     # the predicate (measured 7x slower). size(toks) >= n ⟺ sh nonempty.
+    # spread(): single-split local inputs otherwise run the whole
+    # tokenize+shingle map side on one core (identity at scale).
     return (
-        docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        spread(docs.select("doc_id", F.col(text_col)))
+        .select("doc_id", tokens(F.col(text_col)).alias("__toks"))
         .filter(F.size("__toks") >= n)
         .select("doc_id", shingles_of_tokens(F.col("__toks"), n).alias("sh"))
     )
@@ -340,7 +346,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     weighted by occurrence; sign of the vote is the signature bit.
     Implemented as 64 conditional-sum aggregates after an explode —
     partial aggregation keeps the shuffle at 64 longs per doc."""
-    tok = docs.select(
+    tok = spread(docs.select("doc_id", F.col(text_col))).select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     # SQL-text expression batches (one parse per column / one for the
@@ -413,15 +419,27 @@ from database_cloner_spark.functions.vector import dot as _dot  # noqa: E402
 
 def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Semantic near-dups: cosine >= threshold over normalized vectors.
-    Brute-force all-pairs here (correctness baseline); the scale path is
+    Brute-force all-pairs here (correctness baseline) — callers MUST cap
+    the input (n² pairs; the registered query caps at EMB_BRUTE_CAP, and
+    the build side is broadcast on that assumption); the scale path is
     the IVF/LSH bucketing in llm/similarity.py — join within buckets
     instead of the full cross product."""
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     e = embs.select(
         "vec_id", F.col("embedding").alias("v"), norm.alias("nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    # The capped input usually arrives as ONE file split, and the
+    # nested-loop pair join inherits the stream side's partitioning —
+    # leaving the per-pair cosine fold (the dominant cost: HOFs are
+    # interpreted, ~10µs/pair at dim 64) on a single core. Spreading
+    # the ≤cap-row stream side across the cluster parallelizes the
+    # n²/2 fold evaluations for free (measured at sf0.1: 24.4s → <2s
+    # on 32 cores). The build side is explicitly broadcast: it is
+    # bounded by the caller's cap (≤4096 rows ≈ 2 MB), never corpus-
+    # sized.
+    par = embs.sparkSession.sparkContext.defaultParallelism
+    a = e.repartition(par).alias("a")
+    b = F.broadcast(e).alias("b")
     cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
@@ -553,12 +571,18 @@ def connected_components(
     clones whole databases); this is part of the §2.11 training-data
     tier (dedup outputs must end in one-survivor-per-cluster).
     """
+    # Checkpoint the edge list ONCE: `pairs` is typically the output of
+    # a whole near-dup pipeline (shingle joins, LSH banding, Jaccard
+    # verify) and every propagation round joins against edges — without
+    # the cut, each round re-executes that entire upstream pipeline
+    # (measured at sf0.1: q_dedup_cluster 19.9s → 5.6s).
     edges = (
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(
             pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("v"))

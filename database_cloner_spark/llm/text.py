@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.functions.partitioning import spread
 from database_cloner_spark.llm.textprep import tokens
 
 STOPWORDS = ("the", "a", "of", "and", "in")
@@ -204,7 +205,10 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(F.col("text")) - (FP_K - 1), F.lit(0))
     )
-    exploded = docs.select(
+    # spread(): the per-CHAR gram explosion is the most map-intensive
+    # operator in the text tier; a single-split local input would run
+    # it all on one core (identity at scale).
+    exploded = spread(docs.select("doc_id", "text")).select(
         "doc_id", "text", F.explode(positions).alias("i")
     ).select("doc_id", F.col("text").substr(F.col("i"), F.lit(FP_K)).alias("g"))
     gram_hash = (
@@ -309,7 +313,9 @@ def repetition_scores(docs: DataFrame, n: int = 3) -> DataFrame:
     """
     from database_cloner_spark.llm.textprep import shingles_of_tokens
 
-    docs = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    docs = spread(docs.select("doc_id", "text")).select(
+        "doc_id", tokens(F.col("text")).alias("__toks")
+    )
     toks = F.col("__toks")
     n_tokens = F.size(toks)
     grams = shingles_of_tokens(toks, n)  # distinct n-grams
