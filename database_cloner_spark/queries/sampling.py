@@ -330,6 +330,42 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_JOIN_SALTED = """
+WITH type_stats AS (
+  SELECT event_type, COUNT(*) AS n_type,
+         ROUND(SUM(value), 2) AS type_value
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, t.n_type, t.type_value
+FROM events e JOIN type_stats t USING (event_type)
+"""
+
+
+@register("q_join_salted", oracle=_ORACLE_JOIN_SALTED, tier="X")
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof equi-join on a LOW-cardinality hot key (event_type: 5
+    values — each key owns ~20% of the fact table, so an unsalted
+    shuffle join lands a fifth of 100 TB on one reducer). salted_join
+    (functions/skew.py) appends a content-derived salt to the skewed
+    side's key and explodes the other side n_salts ways, bounding any
+    reducer to ~1/16 of a hot key. At this fixture scale AQE would just
+    broadcast the 5-row side — the registered query pins the MECHANISM
+    (the q_agg_salted companion for joins, used when the other side is
+    too big to broadcast and AQE skew-split can't apply); the oracle is
+    the PLAIN join — salting must be output-invisible."""
+    from database_cloner_spark.functions.skew import salted_join
+
+    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_type"),
+        F.round(F.sum("value"), 2).alias("type_value"),
+    )
+    out = salted_join(
+        ev.select("event_id", "event_type"), stats, "event_type", n_salts=16
+    )
+    return out.select("event_id", "event_type", "n_type", "type_value")
+
+
 _ORACLE_PERGROUP = f"""
 WITH ranked AS (
   SELECT doc_id, lang,
