@@ -133,6 +133,24 @@ def test_q18_qualifying_set_broadcasts_via_aqe(spark):
     assert final.count("BroadcastHashJoin") >= 2, final
 
 
+@pytest.mark.parametrize("name", ["q_dedup_fuzzy", "q_dedup_ngram"])
+def test_jaccard_pair_generation_is_join_free(spark, name):
+    """Jaccard candidate-pair generation uses the inverted-index shape
+    (posting list per key, pairs exploded in the reducer) — it must plan
+    ZERO joins. The previous self-join formulation executed the whole
+    tokenize+explode map side twice (AQE's broadcast re-plan defeats
+    ReuseExchange), which this guard keeps from coming back."""
+    plan = _plan(spark, name)
+    for join_node in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert join_node not in plan, f"{name}: unexpected {join_node}"
+
+
 def test_q3_filters_reach_scans(spark):
     plan = _plan(spark, "q3_shipping_priority")
     assert "GreaterThan(l_shipdate" in plan
