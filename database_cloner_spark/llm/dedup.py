@@ -539,10 +539,8 @@ def connected_components(
     the vertex id); rounds needed = graph diameter. Dedup components
     are near-cliques (a cluster of copies of one document), so the
     loop converges in 2-3 rounds regardless of corpus size; for
-    adversarial long-path graphs the two-phase large-star/small-star
-    scheme (Kiveris et al., "Connected Components in MapReduce and
-    Beyond") converges in O(log n) rounds with the same per-round
-    shuffle shape and is the documented upgrade path.
+    adversarial long-path graphs use `connected_components_star`
+    (same output contract, O(log² n) rounds on any topology).
 
     Scale notes: `localCheckpoint` after every round truncates the
     lineage (an iterative plan otherwise doubles per round and
@@ -590,6 +588,102 @@ def connected_components(
     return labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def _canonical_edges(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Distinct (u, v) with u > v — self loops dropped. The canonical
+    orientation both star phases consume and emit."""
+    return (
+        df.select(
+            F.greatest(F.col(a), F.col(b)).alias("u"),
+            F.least(F.col(a), F.col(b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the adversarial-graph upgrade to
+    `connected_components`: min-label propagation needs diameter-many
+    rounds (a 100k-node path graph = 100k blocking jobs), the star
+    scheme converges in O(log² n) rounds on ANY graph shape. Same
+    output contract: (doc_id, cluster_id = component min) for every
+    vertex of the pair graph.
+
+    Per round, both phases are ONE window-min shuffle each over the
+    edge list (no posting lists, no joins): large-star hangs every
+    larger neighbor of u onto min(Γ(u) ∪ {u}), small-star hangs every
+    smaller neighbor and u itself onto min(N(u)); edge count never
+    grows above the input edge count + |V| and 8-byte ids keep each
+    round's shuffle at ~16 bytes/edge. Convergence = the canonical edge
+    set reached a fixed point (exact exceptAll probe on the
+    checkpointed frame, one cheap job per round — rounds are log-many,
+    unlike propagation where a per-round probe multiplies diameter-many
+    rounds).
+
+    Use `connected_components` for near-clique dedup graphs (2-3
+    propagation rounds beat the star scheme's constant factors);
+    use this for unknown/adversarial topologies — chain-shaped
+    components arise in real dedup when doc A~B and B~C but A≁C
+    (threshold transitivity gaps), and at web scale those chains get
+    long.
+    """
+    edges = _canonical_edges(pairs, src_col, dst_col).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # Large-star: bidirectional view; each node u computes
+        # m = min(neighbors ∪ {u}) and re-parents its LARGER neighbors
+        # onto m. (v > u ≥ m ⇒ no self loops emitted.)
+        bidir = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        wl = W.partitionBy("u")
+        m_large = F.least(F.min("v").over(wl), F.col("u"))
+        large = _canonical_edges(
+            bidir.withColumn("m", m_large)
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # Small-star: canonical orientation (u > v); each node u hangs
+        # its smaller neighbors AND itself onto m = min(smaller
+        # neighbors). (u, m) rows cover u itself.
+        ws = W.partitionBy("u")
+        m_small = F.min("v").over(ws)
+        # Checkpoint: the union below reads `tagged` twice; without the
+        # cut each branch re-executes the large-star phase.
+        tagged = large.withColumn("m", m_small).localCheckpoint(eager=True)
+        small = _canonical_edges(
+            tagged.select(F.col("v").alias("a"), F.col("m").alias("b")).union(
+                tagged.select(F.col("u").alias("a"), F.col("m").alias("b"))
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+    # At the fixed point the edge set is a star per component: every
+    # non-root points at the component min. min() is defensive for the
+    # max_iter-exhausted case; roots label themselves.
+    members = edges.groupBy("u").agg(F.min("v").alias("cluster_id")).select(
+        F.col("u").alias("doc_id"), "cluster_id"
+    )
+    roots = (
+        edges.select("v")
+        .distinct()
+        .join(edges.select(F.col("u").alias("v")).distinct(), "v", "left_anti")
+        .select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+    )
+    return members.union(roots)
 
 
 # --- benchmark contamination -----------------------------------------------

@@ -513,6 +513,21 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(prs)
 
 
+@register("q_dedup_cluster_star", oracle=_ORACLE_DEDUP_CLUSTER, tier="X")
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same component assignments as q_dedup_cluster (identical oracle),
+    computed with the alternating large-star/small-star scheme (Kiveris
+    et al., SoCC 2014) instead of min-label propagation. Propagation
+    needs diameter-many rounds — chain-shaped components (A~B, B~C,
+    A≁C threshold gaps) make that unbounded at web scale; the star
+    scheme is O(log² n) rounds on any topology (pinned in
+    tests/test_llm.py::test_cc_star_path_graph_within_log_rounds)."""
+    prs = dedup.shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
+    return dedup.connected_components_star(prs)
+
+
 # CCNet-style boilerplate removal. "Lines" in the flat-token testdata are
 # fixed 8-token segments; a segment present in >= 2 documents is
 # boilerplate and removed everywhere. At sf0.01 that's 153 of 3434

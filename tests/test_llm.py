@@ -461,6 +461,57 @@ def test_connected_components_multiple_components(spark):
     assert all(r.cluster_id in doc_ids and r.cluster_id <= r.doc_id for r in rows)
 
 
+def test_cc_star_matches_propagation_on_dedup_graph(spark):
+    """The large-star/small-star variant must produce exactly the same
+    (doc_id, cluster_id) assignments as min-label propagation on a real
+    near-dup pair graph."""
+    pairs = dedup.shingle_jaccard_pairs(_docs(spark)).select("doc_a", "doc_b")
+    prop = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components(pairs).collect()
+    }
+    star = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert prop == star and len(prop) > 0
+
+
+def test_cc_star_multiple_components_and_shapes(spark):
+    """Disjoint components, a triangle, reversed/duplicate pairs — same
+    contract as connected_components."""
+    pairs = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 5), (20, 21), (40, 41), (41, 40)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components_star(pairs).collect()
+    }
+    assert got == {
+        (3, 3), (5, 3), (9, 3),
+        (20, 20), (21, 20),
+        (40, 40), (41, 40),
+    }
+
+
+def test_cc_star_path_graph_within_log_rounds(spark):
+    """The point of the star scheme: a 64-node path (diameter 63) must
+    fully converge inside a 12-round budget — min-label propagation
+    moves the min ONE hop per round, so under the same budget it
+    provably cannot label the far end correctly. Guards against a
+    refactor quietly degrading the star rounds back to O(diameter)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in dedup.connected_components_star(pairs, max_iter=12).collect()
+    }
+    assert got == {(v, 0) for v in range(n)}
+
+
 def test_segment_dedup_removes_boilerplate_keeps_unique(spark):
     """A segment shared by two docs is cut from both; unique segments
     survive verbatim and in order; a fully-boilerplate doc comes back
