@@ -169,3 +169,42 @@ def q_scan_kv_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         kv.getItem(0).alias("conf_key"),
         kv.getItem(1).cast("int").alias("conf_value"),
     )
+
+
+# --- q_scan_orc: mixed-format-lake ORC scan (dump/restore format analogue) -
+
+_ORACLE_SCAN_ORC = """
+SELECT p_brand,
+       COUNT(*) AS n_parts,
+       CAST(SUM(p_size) AS BIGINT) AS total_size,
+       MIN(p_retailprice) AS min_price,
+       MAX(p_retailprice) AS max_price
+FROM part
+WHERE p_size >= 10
+GROUP BY p_brand
+"""
+
+
+@register("q_scan_orc", oracle=_ORACLE_SCAN_ORC, tier="X")
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan the OTHER first-class columnar format: the part table is
+    exported once as ORC (sources/orc.py, the mixed-format-lake
+    fixture), read back through Spark's vectorized ORC reader, and
+    aggregated — proving fidelity vs the parquet original, which is
+    what the oracle reads. The selective `p_size >= 10` filter is
+    pushed into the ORC reader as a SearchArgument (stripe pruning at
+    scale; PushedFilters plan-asserted in tests/test_sources.py). All
+    aggregates order-insensitive-exact: count, integer sum, min/max."""
+    from database_cloner_spark.sources.orc import load_orc, part_orc_export
+
+    part = load_orc(spark, part_orc_export(spark, sf_dir))
+    return (
+        part.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("total_size"),
+            F.min("p_retailprice").alias("min_price"),
+            F.max("p_retailprice").alias("max_price"),
+        )
+    )

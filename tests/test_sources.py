@@ -256,3 +256,32 @@ def test_load_tz_pin_is_optout_and_warns_once(spark, sf_dir, caplog):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
         pq_src._TZ_WARNED.clear()
+
+
+# -- ORC source (mixed-format lake; q_scan_orc) -----------------------------
+
+
+def test_orc_round_trip_is_lossless(spark, sf_dir, tmp_path):
+    """ORC export -> vectorized read-back reproduces the parquet
+    original bit-for-bit (every column, every row)."""
+    from database_cloner_spark.sources import load
+    from database_cloner_spark.sources.orc import export_orc, load_orc
+
+    src = load(spark, sf_dir, "part")
+    path = str(tmp_path / "part_orc")
+    export_orc(src, path)
+    back = load_orc(spark, path)
+    assert dict(back.dtypes) == dict(src.dtypes)
+    key = lambda r: r.p_partkey  # noqa: E731
+    assert sorted(back.collect(), key=key) == sorted(src.collect(), key=key)
+
+
+def test_orc_scan_pushes_filter(spark, sf_dir):
+    """The q_scan_orc predicate must reach the ORC reader (stripe
+    pruning at scale): PushedFilters on a `Format: orc` scan node."""
+    from database_cloner_spark.registry import get_query
+
+    df = get_query("q_scan_orc").builder(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "GreaterThanOrEqual(p_size,10)" in plan, plan[:2000]
