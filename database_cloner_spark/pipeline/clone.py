@@ -45,6 +45,13 @@ class CloneConfig:
     source_dir: str
     target_dir: str
     db_prefix: str = "clone_"
+    # At-rest format of the SOURCE namespace: 'parquet' (default) or
+    # 'orc' (sources/orc.py). The clone always lands as parquet — the
+    # engine's at-rest format — which makes the pipeline the one-pass
+    # distributed format converter for neighbour-team ORC tables
+    # (SCALE.md engine-wide rule 7), with re-partitioning and
+    # sort-within-partitions applied in the same pass.
+    source_format: str = "parquet"
     # Comma-separated work list (DATABASES_TO_CLONE, PC:22) or explicit list.
     tables: str | list[str] | None = None
     create_backup_before_clone: bool = False
@@ -114,9 +121,18 @@ class CloneRunResult:
         return self.success_count == self.total_count and self.total_count > 0
 
 
-def _parse_worklist(tables: str | list[str] | None, source_dir: str) -> list[str]:
+def _parse_worklist(
+    tables: str | list[str] | None, source_dir: str, source_format: str = "parquet"
+) -> list[str]:
     """Comma-split + whitespace-trim (clone_databases.sh:1025,:1030)."""
     if tables is None:
+        if source_format == "orc":
+            ext = ".orc"
+            return [
+                f[: -len(ext)]
+                for f in sorted(os.listdir(source_dir))
+                if f.endswith(ext)
+            ]
         return table_names(source_dir)
     if isinstance(tables, str):
         return [t.strip() for t in tables.split(",") if t.strip()]
@@ -130,6 +146,17 @@ class ClonePipeline:
         self.log = reports.LogSink(spark, os.path.join(config.target_dir, "_clone_log"))
 
     # -- single table ------------------------------------------------------
+
+    def _load_source(self, table: str):
+        """Read one source table in the configured at-rest format. The
+        target side is format-independent (always parquet)."""
+        if self.cfg.source_format == "orc":
+            from database_cloner_spark.sources.orc import load_orc
+
+            return load_orc(
+                self.spark, os.path.join(self.cfg.source_dir, f"{table}.orc")
+            )
+        return load(self.spark, self.cfg.source_dir, table)
 
     def _target_path(self, table: str) -> str:
         # Rename-in-writer: the prefix is applied to the sink name in the
@@ -169,7 +196,7 @@ class ClonePipeline:
             if os.path.exists(tgt_path) and self.cfg.create_backup_before_clone:
                 self._backup(tgt_path, table)
 
-            src = load(self.spark, self.cfg.source_dir, table)
+            src = self._load_source(table)
             out = src
             sort_col = (self.cfg.sort_within_partitions_by or {}).get(table)
             if sort_col:
@@ -205,7 +232,7 @@ class ClonePipeline:
     def run(self) -> CloneRunResult:
         cfg = self.cfg
         os.makedirs(cfg.target_dir, exist_ok=True)
-        work = _parse_worklist(cfg.tables, cfg.source_dir)
+        work = _parse_worklist(cfg.tables, cfg.source_dir, cfg.source_format)
 
         # Pre-flight: write round-trip on the target namespace — the
         # reference's connectivity/write probe (clone_databases.sh:933-937).
@@ -214,8 +241,10 @@ class ClonePipeline:
 
         # Largest-first scheduling: the long pole starts immediately, so
         # wall-clock ~ max(table) instead of sum(tail) (fixes CS:1029).
+        ext = ".orc" if cfg.source_format == "orc" else ".parquet"
+
         def size_of(t: str) -> int:
-            p = os.path.join(cfg.source_dir, f"{t}.parquet")
+            p = os.path.join(cfg.source_dir, f"{t}{ext}")
             if os.path.isdir(p):
                 return sum(
                     os.path.getsize(os.path.join(p, f)) for f in os.listdir(p)

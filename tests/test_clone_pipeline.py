@@ -354,3 +354,33 @@ def test_ownership_and_default_privileges_metadata(spark, clone_run):
         ("default:sequences", "SELECT"),
         ("default:functions", "EXECUTE"),
     }
+
+
+def test_clone_from_orc_source_converts_to_parquet(spark, tmp_path):
+    """Mixed-format lake: ClonePipeline pointed at an ORC namespace acts
+    as the one-pass distributed converter (SCALE.md rule 7) — auto
+    worklist from *.orc, content-verified parquet clones out."""
+    from database_cloner_spark.sources.orc import export_orc
+
+    src_dir = str(tmp_path / "orc_ns")
+    os.makedirs(src_dir)
+    for t in ("region", "nation"):
+        export_orc(load(spark, SF, t), os.path.join(src_dir, f"{t}.orc"))
+
+    target = str(tmp_path / "orc_clone_target")
+    result = ClonePipeline(
+        spark,
+        CloneConfig(
+            source_dir=src_dir,
+            target_dir=target,
+            source_format="orc",
+            parallelism=2,
+            seed=7,
+        ),
+    ).run()
+    assert result.ok and result.total_count == 2
+    assert all(r.verified for r in result.results)
+
+    dst = spark.read.parquet(os.path.join(target, "clone_nation.parquet"))
+    src = load(spark, SF, "nation")
+    assert sorted(dst.collect()) == sorted(src.collect())
