@@ -151,9 +151,13 @@ def language_id(docs: DataFrame, profile_size: int = 40) -> DataFrame:
     substring in codegen (the array_distinct(transform(...)) form runs
     in the lambda interpreter and this subtree executes twice — once for
     profiles, once for scoring); per-doc distinctness via dropDuplicates."""
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(F.col("text")) - 2, F.lit(0))
-    )
+    # Same short-doc guard as fingerprints(): sequence(1, 0) is the
+    # DESCENDING [1, 0], so sub-3-char docs would contribute junk
+    # trigrams to the profiles instead of none.
+    positions = F.when(
+        F.length(F.col("text")) >= 3,
+        F.sequence(F.lit(1), F.length(F.col("text")) - 2),
+    ).otherwise(F.array().cast("array<int>"))
     tri = (
         docs.select("doc_id", "lang", "text", F.explode(positions).alias("i"))
         .select(
@@ -202,9 +206,16 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     # Explode gram START POSITIONS (a cheap int sequence), then cut the
     # gram with substring in codegen — building the gram ARRAY via
     # transform(...substr...) runs in the lambda interpreter instead.
-    positions = F.sequence(
-        F.lit(1), F.greatest(F.length(F.col("text")) - (FP_K - 1), F.lit(0))
-    )
+    # Guard short docs: sequence(1, 0) is DESCENDING in Spark ([1, 0]),
+    # not empty, so an unguarded len<K doc would fabricate grams from
+    # substr positions 0/1 (found by tests/test_adversarial_docs.py —
+    # the fixture corpus never has docs under 48 chars). Empty array =>
+    # explode drops the doc => the left-join below restores it with the
+    # contract's NULL hash / 0 grams.
+    positions = F.when(
+        F.length(F.col("text")) >= FP_K,
+        F.sequence(F.lit(1), F.length(F.col("text")) - (FP_K - 1)),
+    ).otherwise(F.array().cast("array<int>"))
     # spread(): the per-CHAR gram explosion is the most map-intensive
     # operator in the text tier; a single-split local input would run
     # it all on one core (identity at scale).

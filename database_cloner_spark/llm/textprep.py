@@ -5,10 +5,26 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# Whitespace class for tokenization, written OUT explicitly instead of
+# `\s`: Java regex \s is [ \t\n\x0B\f\r] but RE2 (DuckDB) \s omits \x0B,
+# so the shorthand silently diverges between engine and oracle on
+# vertical-tab bytes (present in real crawls). Same literal text works
+# in both dialects.
+WS_CLASS = "[ \\t\\n\\r\\f\\x0B]"
+
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization."""
-    return F.split(F.trim(text), r"\s+")
+    """Whitespace tokenization: trim whitespace (ALL of WS_CLASS, not
+    just spaces — F.trim strips 0x20 only, so a trailing newline would
+    otherwise yield a phantom empty token) then split on whitespace
+    RUNS. Degenerate contract: the empty/whitespace-only document
+    tokenizes to [''] (size 1), matching DuckDB's split of ''.
+
+    Oracle mirror (see _ORACLE_* in queries/llm_ops.py):
+    string_split_regex(regexp_replace(text, '^WS+|WS+$', '', 'g'), 'WS+')
+    — adversarial-input parity pinned by tests/test_adversarial_docs.py."""
+    trimmed = F.regexp_replace(text, f"^{WS_CLASS}+|{WS_CLASS}+$", "")
+    return F.split(trimmed, f"{WS_CLASS}+")
 
 
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:

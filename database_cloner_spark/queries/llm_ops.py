@@ -233,9 +233,22 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_TEXT_TOKENS = """
+# DuckDB mirror of textprep.tokens(): regex-trim the shared whitespace
+# class off both ends, then split on whitespace RUNS. Built from the
+# same WS_CLASS literal the engine uses so the two tokenizers cannot
+# drift (single-space string_split matched the fixture corpus but
+# diverged on tabs/newlines/trailing whitespace —
+# tests/test_adversarial_docs.py).
+from database_cloner_spark.llm.textprep import WS_CLASS as _WS  # noqa: E402
+
+_TOKS_SQL = (
+    f"string_split_regex("
+    f"regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')"
+)
+
+_ORACLE_TEXT_TOKENS = f"""
 SELECT token, COUNT(*) AS cnt
-FROM (SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents)
+FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
 GROUP BY token
 ORDER BY cnt DESC, token
 LIMIT 20
@@ -252,11 +265,11 @@ _BPE_SQL = llmtext.BPE_PATTERN.replace("'", "''")
 
 _ORACLE_TOKENS_RE = f"""
 SELECT doc_id,
-       len(string_split(trim(text), ' ')) AS n_tokens_ws,
+       len({_TOKS_SQL}) AS n_tokens_ws,
        len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_tokens_bpe,
        ((20000*len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT
-         + len(string_split(trim(text), ' '))::BIGINT)
-        // (2*len(string_split(trim(text), ' '))::BIGINT)) / 10000.0
+         + len({_TOKS_SQL})::BIGINT)
+        // (2*len({_TOKS_SQL})::BIGINT)) / 10000.0
          AS bpe_per_word
 FROM documents
 """
@@ -269,11 +282,11 @@ def q_text_tokens_re(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.bpe_token_counts(load(spark, sf_dir, "documents"))
 
 
-_ORACLE_LANG_STATS = """
+_ORACLE_LANG_STATS = f"""
 WITH m AS (
   SELECT lang, COUNT(*)::BIGINT AS n_docs,
          CAST(SUM(n_chars) AS BIGINT) AS cs,
-         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ts
+         CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS ts
   FROM documents GROUP BY lang
 )
 SELECT lang, n_docs,
@@ -293,9 +306,9 @@ def q_text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # computed double split 4th-decimal ties differently per engine at
 # sf0.1 (0.8362 vs 0.8363 on quality = 6690/8000); floor((20000a+b) //
 # (2b)) / 1e4 is the bit-portable round-half-up of a/b.
-_ORACLE_TEXT_QUALITY = """
+_ORACLE_TEXT_QUALITY = f"""
 WITH t AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 m AS (
   SELECT doc_id,
@@ -651,9 +664,9 @@ def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Within-doc repetition (Gopher-style repetition filters): duplicate-token
 # and duplicate-3-gram fractions, rational arithmetic rounded at the edge.
-_ORACLE_REPETITION = """
+_ORACLE_REPETITION = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 fr AS (
   SELECT doc_id,
@@ -795,9 +808,9 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Overlapping-window chunking (doc -> passages for retrieval indexing).
 # Window/stride arithmetic reproduced exactly in SQL; the last partial
 # window is kept on both sides.
-_ORACLE_CHUNK = """
+_ORACLE_CHUNK = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(trim(text), ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 w AS (
   SELECT doc_id,

@@ -1,0 +1,103 @@
+"""Adversarial-input oracle parity for the documents tier.
+
+The driver verifies oracle parity only on the generated fixture
+distribution (48-553 chars, space-separated ascii-ish words). Real
+100 TB web corpora contain empty documents, whitespace-only documents,
+CJK text without spaces, emoji (non-BMP codepoints), runs of duplicate
+tokens, and pathological punctuation. Every ORACLED query that reads
+only the `documents` table must agree with DuckDB on those inputs too —
+same engines, same comparison, nastier data.
+
+Any key whose contract genuinely cannot extend to an input class must
+be listed in `_EXEMPT` with the reason; an empty exemption table is the
+goal state.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+from database_cloner_spark.sources.parquet import TABLES
+from tests.oracle_harness import compare_query
+
+# doc_id, text, lang, source — n_chars derived. Mix of edge classes:
+_NASTY_DOCS = [
+    (0, "", "en", "src0"),  # empty document
+    (1, "   ", "en", "src0"),  # whitespace-only
+    (2, "a", "en", "src1"),  # single char (< every n-gram width)
+    (3, "abcdefgh", "en", "src1"),  # exactly one 8-char-gram
+    (4, "hello\tworld\nacross lines", "en", "src2"),  # tabs + newlines
+    (5, "héllo wörld ünicode accents", "de", "src2"),
+    (6, "你好世界 你好世界 tokens", "zh", "src3"),
+    (7, "\U0001f600 emoji \U0001f680 beyond bmp \U0001f600", "en", "src3"),
+    (8, ("dup " * 50).strip(), "en", "src4"),  # one token repeated 50x
+    (9, "  leading and trailing spaces  ", "en", "src4"),
+    (10, "punct!!! ??? ... ,,, ;;; ###", "en", "src5"),
+    (11, "x" * 600, "en", "src5"),  # long single token, no spaces
+    (12, "the quick brown fox jumps over the lazy dog again and again", "en", "src6"),
+    (13, "THE QUICK brown FOX the quick BROWN fox", "en", "src6"),
+    (14, "mixed 中文 and english éèê words", "fr", "src7"),
+    (15, "a b c d e f g h i j k l m n o p q r s t", "en", "src7"),
+    (16, "word", "es", "src8"),  # single short token
+    (17, "two words", "es", "src8"),
+    (18, "numbers 123 456.789 0x1f mixed-with-words", "en", "src9"),
+    (19, "trailing newline\n", "en", "src9"),
+]
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_docs"))
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _NASTY_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _NASTY_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in _NASTY_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in _NASTY_DOCS], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in _NASTY_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    return d
+
+
+def _documents_only_keys() -> list[str]:
+    """Oracled keys whose SQL references the documents table and no
+    other fixture table (so the nasty dir satisfies every view the
+    oracle needs)."""
+    out = []
+    for name, spec in specs().items():
+        if spec.oracle is None:
+            continue
+        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
+        if used == {"documents"}:
+            out.append(name)
+    return sorted(out)
+
+
+_KEYS = _documents_only_keys()
+
+
+def test_documents_only_key_inventory_is_substantial():
+    """The selector must keep finding the text/dedup tier (guards the
+    regex against a refactor silently emptying this suite)."""
+    assert len(_KEYS) >= 15, _KEYS
+    assert "q_dedup_exact" in _KEYS and "q_text_quality" in _KEYS
+
+
+@pytest.mark.parametrize("name", _KEYS)
+def test_adversarial_parity(spark, nasty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
