@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_cloner_spark.queries.oracle_fragments import json_bigint, json_str
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
 
@@ -207,12 +208,12 @@ def q_math_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_JSON = """
+_ORACLE_JSON = f"""
 SELECT
   event_id,
-  CAST(props->>'$.k' AS BIGINT)      AS k,
-  CAST(props->>'$.k' AS BIGINT) % 10 AS k_mod,
-  (props->>'$.missing') IS NULL      AS missing_is_null
+  {json_bigint("props", "$.k")}      AS k,
+  {json_bigint("props", "$.k")} % 10 AS k_mod,
+  {json_str("props", "$.missing")} IS NULL AS missing_is_null
 FROM events
 """
 
@@ -220,9 +221,11 @@ FROM events
 @register("q_json_extract", oracle=_ORACLE_JSON, tier="C")
 def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON result-document parsing — {ok:1}/{test:1} verdicts
-    (clone_databases.sh:758,:935), including absent-key null semantics."""
+    (clone_databases.sh:758,:935), including absent-key null semantics.
+    try_cast + TRY_CAST-guarded oracle: malformed/drifted props degrade
+    to NULL identically on both engines (tests/test_adversarial_events)."""
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("bigint")
+    k = F.get_json_object("props", "$.k").try_cast("bigint")
     return ev.select(
         "event_id",
         k.alias("k"),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from database_cloner_spark.queries.oracle_fragments import json_bigint
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load, table_names
 
@@ -57,8 +58,8 @@ def q_scan_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_scan_document: nested-document scan (mongodump analogue, CS:810) ----
 
-_ORACLE_SCAN_DOCUMENT = """
-SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS prop_k
+_ORACLE_SCAN_DOCUMENT = f"""
+SELECT event_id, {json_bigint("props", "$.k")} AS prop_k
 FROM events
 """
 
@@ -67,21 +68,23 @@ FROM events
 def q_scan_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan documents with dynamic nested fields: the `events.props` JSON
     column stands in for BSON documents (clone_databases.sh:810,:774).
-    `get_json_object` is JVM-side — no Python parse per row."""
+    `get_json_object` is JVM-side — no Python parse per row; try_cast so
+    drifted/malformed documents degrade to NULL instead of failing the
+    scan under ANSI mode (tests/test_adversarial_events.py)."""
     ev = load(spark, sf_dir, "events")
     return ev.select(
         "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object(F.col("props"), "$.k").try_cast("bigint").alias("prop_k"),
     )
 
 
 # --- q_scan_json: dynamic-schema JSON collection scan (CS:810,:774) --------
 
-_ORACLE_SCAN_JSON = """
+_ORACLE_SCAN_JSON = f"""
 SELECT event_type,
        COUNT(*) AS n_events,
-       MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
-       MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k,
+       MIN({json_bigint("props", "$.k")}) AS min_k,
+       MAX({json_bigint("props", "$.k")}) AS max_k,
        MIN(user_id) AS min_user,
        CAST(SUM(CASE WHEN value > 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events GROUP BY event_type

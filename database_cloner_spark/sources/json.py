@@ -82,7 +82,11 @@ def events_document_export(spark: SparkSession, sf_dir: str) -> str:
             "value",
             F.struct(
                 F.col("user_id"),
-                F.get_json_object("props", "$.k").cast("long").alias("k"),
+                # try_cast, not cast: ANSI mode (Spark 4 default) makes a
+                # plain cast THROW on schema-drifted props ('{"k": "x"}',
+                # floats, nested objects) — one bad record must degrade
+                # to NULL, not kill the export job (PERMISSIVE posture).
+                F.get_json_object("props", "$.k").try_cast("long").alias("k"),
             ).alias("meta"),
         )
         export_json(docs, out)

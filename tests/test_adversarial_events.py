@@ -1,0 +1,125 @@
+"""Adversarial-input oracle parity for the events tier.
+
+Companion to tests/test_adversarial_docs.py: the driver verifies the
+events-reading keys only on the generated fixture (clean `{"k": n}`
+props, unique timestamps, no NULLs). Real event streams carry duplicate
+timestamps (window tie-break determinism!), NULL columns, malformed or
+schema-drifted JSON props, empty-string event types, and extreme
+values. Every ORACLED key that reads only the `events` table must agree
+with DuckDB on those inputs too.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+from database_cloner_spark.sources.parquet import TABLES
+from tests.oracle_harness import compare_query
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+# (event_id, ts, user_id, event_type, value, props)
+_NASTY_EVENTS = [
+    # duplicate timestamps, same user (tie-break in every window op)
+    (0, _ts("2024-01-01T10:00:00"), 1, "view", 1.0, '{"k": 1}'),
+    (1, _ts("2024-01-01T10:00:00"), 1, "click", 2.0, '{"k": 2}'),
+    (2, _ts("2024-01-01T10:00:00"), 1, "purchase", 3.0, '{"k": 3}'),
+    # duplicate timestamps across users
+    (3, _ts("2024-01-01T10:00:00"), 2, "view", 4.0, '{"k": 4}'),
+    # session-boundary probes: exactly at / just over a 10-min gap
+    (4, _ts("2024-01-01T10:10:00"), 2, "click", 5.0, '{"k": 5}'),
+    (5, _ts("2024-01-01T10:20:00.000001"), 2, "view", 6.0, '{"k": 6}'),
+    # NULLs in every nullable column
+    (6, _ts("2024-01-02T00:00:00"), None, "view", 7.0, '{"k": 7}'),
+    (7, _ts("2024-01-02T00:01:00"), 3, "click", None, '{"k": 8}'),
+    (8, _ts("2024-01-02T00:02:00"), 3, "view", 9.0, None),
+    # JSON drift: missing key, empty object, string k, float k, nested
+    # k, extra keys, malformed, empty string
+    (9, _ts("2024-01-02T00:03:00"), 3, "view", 10.0, "{}"),
+    (10, _ts("2024-01-02T00:04:00"), 4, "click", 11.0, '{"k": "12"}'),
+    (11, _ts("2024-01-02T00:05:00"), 4, "view", 13.0, '{"k": 14.5}'),
+    (12, _ts("2024-01-02T00:06:00"), 4, "error", 15.0, '{"other": 1}'),
+    (13, _ts("2024-01-02T00:07:00"), 5, "view", 16.0, '{"k": 17, "z": "y"}'),
+    (14, _ts("2024-01-02T00:08:00"), 5, "click", 18.0, "not json"),
+    (15, _ts("2024-01-02T00:09:00"), 5, "view", 19.0, ""),
+    # event types outside the known set: empty and unicode
+    (16, _ts("2024-01-03T00:00:00"), 6, "", 20.0, '{"k": 21}'),
+    (17, _ts("2024-01-03T00:01:00"), 6, "tÿpe", 22.0, '{"k": 23}'),
+    # extreme values: negative, -0.0, large, small, negative user id.
+    # Magnitudes stay within a well-conditioned range (~1e6): double
+    # sums are association-dependent, so a 1e15 outlier mixed with ~1e1
+    # values makes ANY distributed sum (salted partials, different
+    # partition counts) differ from a sequential sum in the last places
+    # — that is inherent to IEEE754, not an engine bug; the engine's
+    # documented answer for exact sums is integer/decimal accumulation.
+    (18, _ts("2024-01-03T00:02:00"), 7, "purchase", -5.25, '{"k": -1}'),
+    (19, _ts("2024-01-03T00:03:00"), 7, "view", -0.0, '{"k": 0}'),
+    (20, _ts("2024-01-03T00:04:00"), -8, "click", 1.0e6, '{"k": 99999999999}'),
+    (21, _ts("2024-01-03T00:05:00"), -8, "view", 1.0e-6, '{"k": 2}'),
+    # timestamp extremes: epoch start and far future, ids out of ts order
+    (23, _ts("1970-01-01T00:00:00"), 9, "view", 1.5, '{"k": 3}'),
+    (22, _ts("2099-12-31T23:59:59.999999"), 9, "purchase", 2.5, '{"k": 4}'),
+    # a proper funnel user with clean ordering
+    (24, _ts("2024-01-04T00:00:00"), 10, "view", 1.0, '{"k": 5}'),
+    (25, _ts("2024-01-04T00:01:00"), 10, "click", 2.0, '{"k": 6}'),
+    (26, _ts("2024-01-04T00:02:00"), 10, "purchase", 3.0, '{"k": 7}'),
+]
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_events"))
+    rows = _NASTY_EVENTS
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "events.parquet"))
+    return d
+
+
+def _events_only_keys() -> list[str]:
+    out = []
+    for name, spec in specs().items():
+        if spec.oracle is None:
+            continue
+        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
+        if used == {"events"}:
+            out.append(name)
+    return sorted(out)
+
+
+_KEYS = _events_only_keys()
+
+
+def test_events_only_key_inventory_is_substantial():
+    assert len(_KEYS) >= 25, _KEYS
+    assert "q_win_sessionize" in _KEYS and "q_json_extract" in _KEYS
+
+
+@pytest.mark.parametrize("name", _KEYS)
+def test_adversarial_parity(spark, nasty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
