@@ -38,8 +38,16 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float-array columns."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity of two float-array columns.
+
+    try_divide, not `/`: under ANSI mode (Spark 4 default) a plain
+    division THROWS on a zero denominator, so ONE all-zero or empty
+    vector in a 100 TB corpus would kill the whole scoring job
+    (tests/test_adversarial_embeddings.py). try_divide yields NULL —
+    which is also exactly DuckDB's `x / 0.0` semantics, so oracles
+    need no special-casing. NULL cosines sort last under the engine's
+    standard `desc(cosine)` ranking on both engines."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_topk_pandas(

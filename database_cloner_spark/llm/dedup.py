@@ -429,7 +429,7 @@ def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.35) -> DataFra
     par = embs.sparkSession.sparkContext.defaultParallelism
     a = e.repartition(par).alias("a")
     b = F.broadcast(e).alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    cos = F.try_divide(_dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", cos)
@@ -459,16 +459,13 @@ def embedding_neardup_bucketed(
         embs.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
     )
-    from database_cloner_spark.functions.vector import norm as _nrm
+    from database_cloner_spark.functions.vector import cosine as _cos
 
     scored = embs.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell_id",
-        (
-            _dot(F.col("embedding"), F.col("centroid"))
-            / (_nrm(F.col("embedding")) * _nrm(F.col("centroid")))
-        ).alias("sim"),
+        _cos(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     assigned = (
@@ -478,9 +475,7 @@ def embedding_neardup_bucketed(
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = _dot(F.col("a.embedding"), F.col("b.embedding")) / (
-        _nrm(F.col("a.embedding")) * _nrm(F.col("b.embedding"))
-    )
+    cos = _cos(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(
             b,

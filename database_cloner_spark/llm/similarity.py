@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.functions.vector import cosine as _cosine
 from database_cloner_spark.functions.vector import dot as _dot
 from database_cloner_spark.functions.vector import norm as _norm
 
@@ -30,9 +31,7 @@ def brute_force_topk(embs: DataFrame, probe: DataFrame, k: int = 10) -> DataFram
     """Exact cosine top-k vs one probe vector. The probe is a broadcast
     cross join (1 row); ranking is TakeOrderedAndProject — per-partition
     heaps, no global sort."""
-    cos = _dot(F.col("embedding"), F.col("probe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("probe"))
-    )
+    cos = _cosine(F.col("embedding"), F.col("probe"))
     return (
         embs.crossJoin(F.broadcast(probe))
         .select("vec_id", cos.alias("cosine"))
@@ -72,10 +71,7 @@ def kmeans_centroids(
             "vec_id",
             "embedding",
             "cell_id",
-            (
-                _dot(F.col("embedding"), F.col("centroid"))
-                / (_norm(F.col("embedding")) * _norm(F.col("centroid")))
-            ).alias("sim"),
+            _cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
         )
         w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
         assigned = (
@@ -114,10 +110,7 @@ def ivf_assign(
         "vec_id",
         "embedding",
         "cell_id",
-        (
-            _dot(F.col("embedding"), F.col("centroid"))
-            / (_norm(F.col("embedding")) * _norm(F.col("centroid")))
-        ).alias("sim"),
+        _cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
     return (
@@ -169,10 +162,7 @@ def ivf_topk_indexed(
         cents.crossJoin(F.broadcast(probe))
         .select(
             "cell_id",
-            (
-                _dot(F.col("centroid"), F.col("probe"))
-                / (_norm(F.col("centroid")) * _norm(F.col("probe")))
-            ).alias("sim"),
+            _cosine(F.col("centroid"), F.col("probe")).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("cell_id"))
         .limit(nprobe)
@@ -180,9 +170,7 @@ def ivf_topk_indexed(
     cells = [r.cell_id for r in ranked.collect()]
     inverted = spark.read.parquet(os.path.join(index_path, "inverted"))
     candidates = inverted.filter(F.col("cell_id").isin(cells))
-    cos = _dot(F.col("embedding"), F.col("probe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("probe"))
-    )
+    cos = _cosine(F.col("embedding"), F.col("probe"))
     return (
         candidates.crossJoin(F.broadcast(probe))
         .select("vec_id", cos.alias("cosine"))
@@ -211,19 +199,14 @@ def ivf_topk(
         cents.crossJoin(F.broadcast(probe))
         .select(
             "cell_id",
-            (
-                _dot(F.col("centroid"), F.col("probe"))
-                / (_norm(F.col("centroid")) * _norm(F.col("probe")))
-            ).alias("sim"),
+            _cosine(F.col("centroid"), F.col("probe")).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("cell_id"))
         .limit(nprobe)
         .select("cell_id")
     )
     candidates = inverted.join(F.broadcast(cell_rank), "cell_id")
-    cos = _dot(F.col("embedding"), F.col("probe")) / (
-        _norm(F.col("embedding")) * _norm(F.col("probe"))
-    )
+    cos = _cosine(F.col("embedding"), F.col("probe"))
     return (
         candidates.crossJoin(F.broadcast(probe))
         .select("vec_id", cos.alias("cosine"))
@@ -387,12 +370,12 @@ def pq_topk(
 
     unit = embs.select(
         "vec_id",
-        F.transform("embedding", lambda x: x / _nrm2(F.col("embedding"))).alias(
+        F.transform("embedding", lambda x: F.try_divide(x, _nrm2(F.col("embedding")))).alias(
             "embedding"
         ),
     )
     unit_probe = probe.select(
-        F.transform("probe", lambda x: x / _nrm2(F.col("probe"))).alias("probe")
+        F.transform("probe", lambda x: F.try_divide(x, _nrm2(F.col("probe")))).alias("probe")
     )
     cb = pq_codebooks(unit, m=m, dim=dim, iters=iters)
     codes = pq_encode(unit, cb, m=m, dim=dim)
@@ -425,12 +408,12 @@ def ivfpq_topk(
 
     unit = embs.select(
         "vec_id",
-        F.transform("embedding", lambda x: x / _nrm2(F.col("embedding"))).alias(
+        F.transform("embedding", lambda x: F.try_divide(x, _nrm2(F.col("embedding")))).alias(
             "embedding"
         ),
     )
     unit_probe = probe.select(
-        F.transform("probe", lambda x: x / _nrm2(F.col("probe"))).alias("probe")
+        F.transform("probe", lambda x: F.try_divide(x, _nrm2(F.col("probe")))).alias("probe")
     )
     cents = seed_centroids(unit, n_cells)
     inverted = ivf_assign(unit, n_cells, centroids=cents).select("cell_id", "vec_id")
@@ -441,10 +424,7 @@ def ivfpq_topk(
         cents.crossJoin(F.broadcast(unit_probe))
         .select(
             "cell_id",
-            (
-                _dot(F.col("centroid"), F.col("probe"))
-                / (_norm(F.col("centroid")) * _norm(F.col("probe")))
-            ).alias("sim"),
+            _cosine(F.col("centroid"), F.col("probe")).alias("sim"),
         )
         .orderBy(F.desc("sim"), F.asc("cell_id"))
         .limit(nprobe)

@@ -144,17 +144,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle for the bucketed scale path (embedding_neardup_bucketed).
 EMB_BRUTE_CAP = 4096
 
+# len()=0 CASE guards: DuckDB's list_inner_product raises an INTERNAL
+# error on empty arrays, and a zero denominator yields NULL on both
+# engines (engine side is try_divide — functions/vector.py cosine), so
+# zero/empty vectors drop out of the >= threshold filter identically.
 _ORACLE_DEDUP_EMBEDDING = f"""
-WITH capped AS (SELECT * FROM embeddings WHERE vec_id < {EMB_BRUTE_CAP})
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)
-         AS cosine
-FROM capped a JOIN capped b ON a.vec_id < b.vec_id
-WHERE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+WITH capped AS (SELECT * FROM embeddings WHERE vec_id < {EMB_BRUTE_CAP}),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CASE WHEN len(a.embedding) = 0 OR len(b.embedding) = 0 THEN NULL
+              ELSE list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+         END AS c
+  FROM capped a JOIN capped b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(c, 4) AS cosine
+FROM scored WHERE c >= 0.35
 """
 
 
@@ -188,16 +194,22 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_pandas(embs, list(probe))
 
 
+# Same len()=0 guards as _ORACLE_DEDUP_EMBEDDING (NULL cosine for
+# zero/empty vectors, ranked last under DESC on both engines).
 _ORACLE_SIM_TOPK = """
-WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0)
-SELECT vec_id,
-       ROUND(list_inner_product(embedding::DOUBLE[], p::DOUBLE[])
-             / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt(list_inner_product(p::DOUBLE[], p::DOUBLE[]))), 4) AS cosine
-FROM embeddings, probe
-ORDER BY list_inner_product(embedding::DOUBLE[], p::DOUBLE[])
-         / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-            * sqrt(list_inner_product(p::DOUBLE[], p::DOUBLE[]))) DESC, vec_id
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN len(embedding) = 0 OR len(p) = 0 THEN NULL
+              ELSE list_inner_product(embedding::DOUBLE[], p::DOUBLE[])
+                   / (sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_inner_product(p::DOUBLE[], p::DOUBLE[])))
+         END AS c
+  FROM embeddings, probe
+)
+SELECT vec_id, ROUND(c, 4) AS cosine
+FROM scored
+ORDER BY c DESC, vec_id
 LIMIT 10
 """
 

@@ -259,8 +259,13 @@ def q_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MAX over the filtered set, not a bare filter: the engine side is a
+# scalar map LOOKUP, which yields one row with NULL when the key is
+# absent — a WHERE-only oracle would yield zero rows instead
+# (tests/test_adversarial_relational.py). Config keys are unique by
+# contract, so MAX is the value itself when present.
 _ORACLE_MAP = """
-SELECT CAST(n_nationkey AS INTEGER) AS conf_value
+SELECT MAX(CAST(n_nationkey AS INTEGER)) AS conf_value
 FROM nation WHERE n_name = 'NATION_3'
 """
 
@@ -283,7 +288,9 @@ SELECT
   vec_id,
   len(embedding)                                 AS dim,
   CAST(embedding[1] AS DOUBLE)                   AS first_elem,
-  ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+  CASE WHEN embedding IS NULL THEN NULL
+       ELSE ROUND(SQRT(COALESCE(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 4)
+  END AS l2_norm
 FROM embeddings
 """
 
@@ -291,7 +298,12 @@ FROM embeddings
 @register("q_array_ops", oracle=_ORACLE_ARRAY, tier="X")
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array ops over embedding FLOAT[]: size, element access, and an
-    L2 norm via a fold — all JVM higher-order functions, no UDF."""
+    L2 norm via a fold — all JVM higher-order functions, no UDF.
+    try_element_at, not element_at: under ANSI mode a bare element_at
+    THROWS on the empty array (one empty embedding would kill the job);
+    try_element_at yields NULL, matching DuckDB's `embedding[1]`. The
+    fold's 0.0 init makes the empty-array norm 0.0 (DuckDB list_sum of
+    [] is NULL, so the oracle COALESCEs under a NULL-array guard)."""
     emb = load(spark, sf_dir, "embeddings")
     sq_sum = F.aggregate(
         F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
@@ -301,7 +313,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).cast("double").alias("first_elem"),
+        F.try_element_at("embedding", F.lit(1)).cast("double").alias("first_elem"),
         F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
     )
 

@@ -77,7 +77,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return repr(v)
+        if v == 0.0:  # -0.0 == 0.0: Spark normalizes the zero sign in
+            return "0.0"  # shuffled/sorted paths, DuckDB preserves it —
+        return repr(v)  # numerically equal, so compare as one value
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):

@@ -1,0 +1,98 @@
+"""Adversarial-input oracle parity for the embeddings tier.
+
+Companion to the other tests/test_adversarial_* suites. Exercises the
+vector-edge cases a real embedding corpus produces that the generated
+fixture never does: the all-zero vector (cosine 0/0 -> NaN on both
+engines), the empty array, NULL embeddings, exact-opposite and
+exact-duplicate vectors, denormal-small magnitudes, and duplicate
+vec_ids on the non-probe side.
+
+All element values are exactly representable in float32 (small ints and
+powers of two), so dot products and norms are bit-identical whether an
+engine accumulates in float or double — parity failures can only come
+from logic.
+
+Deliberately NOT covered: dimension-mismatched vectors. The engine is
+total on them (zip_with pads with NULL -> NULL cosine) but DuckDB's
+list_inner_product ERRORS on length mismatch, so no oracle can express
+the comparison; the engine-side behavior is pinned in tests/test_llm.py
+instead.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+from database_cloner_spark.sources.parquet import TABLES
+from tests.oracle_harness import compare_query
+
+_DIM = 8
+
+# (vec_id, embedding, label)
+_NASTY_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),  # the probe
+    (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 1),  # exact dup of probe
+    (2, [-1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -7.0, -8.0], 1),  # opposite
+    (3, [0.0] * _DIM, 2),  # zero vector: cosine 0/0
+    (4, [], 2),  # empty array: norm 0
+    (5, None, 3),  # NULL embedding
+    (6, [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0], 3),  # scaled dup (cos 1)
+    (7, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 4),  # reversed
+    # denormal-small but float32-exact magnitudes (2^-20)
+    (8, [2.0**-20] * _DIM, 4),
+    # duplicate vec_id on the non-probe side
+    (9, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 5),
+    (9, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 5),
+]
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_emb"))
+    table = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in _NASTY_VECS], pa.int64()),
+            "embedding": pa.array(
+                [r[1] for r in _NASTY_VECS], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[2] for r in _NASTY_VECS], pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+    return d
+
+
+def _embeddings_only_keys() -> list[str]:
+    out = []
+    for name, spec in specs().items():
+        if spec.oracle is None:
+            continue
+        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
+        if used == {"embeddings"}:
+            out.append(name)
+    return sorted(out)
+
+
+_KEYS = _embeddings_only_keys()
+
+
+def test_embeddings_key_inventory():
+    assert "q_sim_topk" in _KEYS and "q_array_ops" in _KEYS, _KEYS
+
+
+@pytest.mark.parametrize("name", _KEYS)
+def test_adversarial_parity(spark, nasty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)

@@ -1,0 +1,248 @@
+"""Adversarial-input oracle parity for the relational (TPC-H-ish) tier.
+
+Companion to tests/test_adversarial_docs.py / _events.py. The nasty
+namespace holds miniature region/nation/customer/supplier/part/orders/
+lineitem tables exercising what the generated fixture never does:
+
+- NULLs in join keys, measures, and date columns (inner joins drop
+  them, outer joins keep them, aggregates skip them — identically);
+- referential breaks: orders without customers, nations pointing at a
+  missing region, customers with no orders;
+- duplicate primary keys and fully-duplicate rows (EXCEPT/INTERSECT
+  ALL-semantics, groupBy over dup keys, window tie-breaks);
+- empty-string and unicode dimension values;
+- dates straddling the flagship queries' literal thresholds.
+
+All monetary values are dyadic rationals (multiples of 0.25) with
+magnitudes <= 1e6: every product/sum is then EXACTLY representable in
+binary doubles, so cross-engine parity failures can only come from
+logic, never from float association order (that inherent class is
+documented in tests/test_adversarial_events.py).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+from database_cloner_spark.sources.parquet import TABLES
+from tests.oracle_harness import compare_query
+
+_REL = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def _tbl(cols: dict[str, tuple[list, pa.DataType]]) -> pa.Table:
+    return pa.table({k: pa.array(v, t) for k, (v, t) in cols.items()})
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_rel"))
+    i32, i64, f64, s, ts = (
+        pa.int32(),
+        pa.int64(),
+        pa.float64(),
+        pa.string(),
+        pa.timestamp("us"),
+    )
+
+    region = _tbl(
+        {
+            "r_regionkey": ([0, 1, 2], i32),
+            # empty name, unicode name, region with no nations (2)
+            "r_name": (["", "ASIE-ÉST", "ORPHAN"], s),
+        }
+    )
+    nation = _tbl(
+        {
+            "n_nationkey": ([0, 1, 2, 3], i32),
+            "n_name": (["ALPHA", "", "gamma-γ", "DELTA"], s),
+            # 9 -> missing region; NULL regionkey
+            "n_regionkey": ([0, 1, 9, None], i32),
+        }
+    )
+    customer = _tbl(
+        {
+            "c_custkey": ([1, 2, 3, 4, 5, 6, 7, 8], i64),
+            "c_name": (
+                ["Alice", "Alice", "", "Bob-ß", "Carl", "Dora", "Eve", "Frank"],
+                s,
+            ),
+            "c_nationkey": ([0, 0, 1, 2, None, 3, 0, 1], i32),
+            "c_acctbal": ([0.25, -512.5, 0.0, None, 999999.75, -0.0, 10.25, 7.5], f64),
+            "c_mktsegment": (
+                ["BUILDING", "", "BUILDING", "AUTO", "MACHINË", "AUTO", "BUILDING", "AUTO"],
+                s,
+            ),
+        }
+    )
+    supplier = _tbl(
+        {
+            "s_suppkey": ([1, 2, 3, 4], i64),
+            "s_name": (["S one", "S two", "", "S fóur"], s),
+            "s_nationkey": ([0, 1, None, 9], i32),
+            "s_acctbal": ([100.25, None, -3.75, 0.0], f64),
+        }
+    )
+    part = _tbl(
+        {
+            "p_partkey": ([1, 2, 3, 4, 5, 6], i64),
+            "p_name": (["widget", "", "gädget", "widget", "thing", "bolt"], s),
+            "p_brand": (["B1", "B1", "B2", "", "B2", "B1"], s),
+            "p_type": (["small", "large", "small", "", "large", "small"], s),
+            "p_size": ([1, 10, None, 50, 10, 9], i32),
+            "p_retailprice": ([1.25, 1000000.0, 0.0, None, 42.75, 9.5], f64),
+        }
+    )
+    orders = _tbl(
+        {
+            # duplicate orderkey 100; orphan custkey 99; NULL custkey
+            "o_orderkey": ([100, 100, 101, 102, 103, 104, 105, 106, 107, 108], i64),
+            "o_custkey": ([1, 1, 2, 99, None, 4, 5, 6, 7, 1], i64),
+            "o_orderstatus": (["O", "O", "F", "", "O", "F", "P", "O", "F", "O"], s),
+            "o_totalprice": (
+                [10.25, 10.25, 2048.5, 0.0, None, 77.75, 100.0, 5.25, 33.5, 8.0],
+                f64,
+            ),
+            # straddle the q3 literal 1995-03-15; one NULL date
+            "o_orderdate": (
+                [
+                    _ts("1995-03-14T00:00:00"),
+                    _ts("1995-03-15T00:00:00"),
+                    _ts("1995-03-16T00:00:00"),
+                    _ts("1992-01-01T00:00:00"),
+                    _ts("1998-12-31T00:00:00"),
+                    None,
+                    _ts("1995-03-10T00:00:00"),
+                    _ts("1995-03-14T23:59:59.999999"),
+                    _ts("1970-01-01T00:00:00"),
+                    _ts("1995-03-01T00:00:00"),
+                ],
+                ts,
+            ),
+            "o_orderpriority": (
+                ["1-URGENT", "1-URGENT", "", "2-HIGH", "3-LOW", "2-HIGH",
+                 "1-URGENT", "5-ÜBER", "3-LOW", "2-HIGH"],
+                s,
+            ),
+        }
+    )
+    lineitem = _tbl(
+        {
+            "l_orderkey": (
+                [100, 100, 100, 101, 101, 102, 103, 104, 105, 106, 107, 108,
+                 999, 100, 105, 105],
+                i64,
+            ),
+            "l_partkey": ([1, 2, 3, 1, None, 4, 5, 6, 1, 2, 3, 4, 5, 1, 1, 1], i64),
+            "l_suppkey": ([1, 2, 3, 4, 1, None, 2, 3, 4, 1, 2, 3, 4, 1, 4, 4], i64),
+            # duplicate linenumbers within an order + two fully-dup rows
+            "l_linenumber": ([1, 2, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2], i32),
+            "l_quantity": (
+                [1.0, 2.0, 50.0, -3.0, 0.0, None, 7.0, 100.0, 5.0, 6.0, 1.0,
+                 2.0, 4.0, 1.0, 5.0, 5.0],
+                f64,
+            ),
+            "l_extendedprice": (
+                [10.25, 20.5, 512.75, -30.0, 0.0, 100.25, None, 1000000.0,
+                 50.5, 60.25, 10.0, 20.0, 40.0, 10.25, 50.5, 50.5],
+                f64,
+            ),
+            # dyadic discounts/taxes: products stay exactly representable
+            "l_discount": (
+                [0.0, 0.25, 0.5, 0.25, 0.0, 0.25, 0.5, None, 0.25, 0.0,
+                 0.25, 0.5, 0.0, 0.0, 0.25, 0.25],
+                f64,
+            ),
+            "l_tax": (
+                [0.0, 0.25, 0.0, 0.5, 0.25, 0.0, 0.25, 0.5, None, 0.25,
+                 0.0, 0.25, 0.5, 0.0, 0.25, 0.25],
+                f64,
+            ),
+            "l_returnflag": (
+                ["N", "R", "A", "N", "", "R", "N", "A", "N", "R", "N", "A",
+                 "N", "N", "R", "R"],
+                s,
+            ),
+            "l_linestatus": (
+                ["O", "F", "O", "F", "O", "", "F", "O", "F", "O", "F", "O",
+                 "F", "O", "F", "F"],
+                s,
+            ),
+            # straddle the q1 literal 1998-09-02; one NULL shipdate
+            "l_shipdate": (
+                [
+                    _ts("1998-09-01T00:00:00"),
+                    _ts("1998-09-02T00:00:00"),
+                    _ts("1998-09-02T00:00:00.000001"),
+                    _ts("1998-09-03T00:00:00"),
+                    _ts("1995-01-01T00:00:00"),
+                    None,
+                    _ts("1998-09-02T00:00:00"),
+                    _ts("1970-01-01T00:00:00"),
+                    _ts("1996-06-15T12:00:00"),
+                    _ts("1995-03-20T00:00:00"),
+                    _ts("1995-03-10T00:00:00"),
+                    _ts("1998-08-31T23:59:59.999999"),
+                    _ts("1997-01-01T00:00:00"),
+                    _ts("1998-09-01T00:00:00"),
+                    _ts("1996-06-15T12:00:00"),
+                    _ts("1996-06-15T12:00:00"),
+                ],
+                ts,
+            ),
+        }
+    )
+    for name, table in [
+        ("region", region),
+        ("nation", nation),
+        ("customer", customer),
+        ("supplier", supplier),
+        ("part", part),
+        ("orders", orders),
+        ("lineitem", lineitem),
+    ]:
+        pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+    return d
+
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+def _relational_keys() -> list[str]:
+    out = []
+    for name, spec in specs().items():
+        if spec.oracle is None:
+            continue
+        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
+        if used and used <= set(_REL):
+            out.append(name)
+    return sorted(out)
+
+
+_KEYS = _relational_keys()
+
+
+def test_relational_key_inventory_is_substantial():
+    assert len(_KEYS) >= 40, _KEYS
+    assert "q1_pricing_summary" in _KEYS and "q_join_outer_diff" in _KEYS
+
+
+@pytest.mark.parametrize("name", _KEYS)
+def test_adversarial_parity(spark, nasty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
