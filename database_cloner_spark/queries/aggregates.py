@@ -239,14 +239,37 @@ SELECT TRUE AS within_tolerance
 
 @register("q_agg_approx_percentile", oracle=_ORACLE_APPROX_PERCENTILE, tier="X")
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate global percentile vs exact, as a tolerance verdict.
+    """Approximate global percentile, verified as a RANK-error verdict.
     The approx form aggregates a fixed-size mergeable sketch map-side —
     the global-scale path where q_agg_percentile's exact per-group sort
-    would need all values of the column on one reducer."""
-    li = load(spark, sf_dir, "lineitem")
-    agg = li.agg(
-        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx"),
-        F.percentile("l_extendedprice", F.lit(0.9)).alias("exact"),
+    would need all values of the column on one reducer.
+
+    The verdict checks the sketch's actual guarantee — the returned
+    value's rank is within n/accuracy (+1 slack) of p*n — instead of a
+    value-ratio tolerance: the sketch returns a REAL data point, so on
+    skewed distributions (a 1e6 outlier next to 1e2 values) the value
+    ratio to an interpolated exact percentile is meaningless while the
+    rank bound still holds (found by tests/test_adversarial_relational).
+    Scale-free: the bound is relative at any n."""
+    p, acc = 0.9, 1000
+    li = load(spark, sf_dir, "lineitem").select("l_extendedprice")
+    sketch = li.agg(
+        F.percentile_approx("l_extendedprice", p, acc).alias("approx"),
+        F.count("l_extendedprice").alias("n"),
     )
-    ratio = F.col("approx") / F.col("exact")
-    return agg.select(((ratio > 0.98) & (ratio < 1.02)).alias("within_tolerance"))
+    ranked = li.crossJoin(F.broadcast(sketch)).agg(
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("approx"), 1).otherwise(0)
+        ).alias("rank_lt"),
+        F.sum(
+            F.when(F.col("l_extendedprice") <= F.col("approx"), 1).otherwise(0)
+        ).alias("rank_le"),
+        F.first("n").alias("n"),
+    )
+    err = F.col("n") / acc + 1
+    ok = (F.col("rank_lt") <= p * F.col("n") + err) & (
+        F.col("rank_le") >= p * F.col("n") - err
+    )
+    # Empty/all-NULL column: approx is NULL, comparisons are NULL — the
+    # guarantee is vacuously met.
+    return ranked.select(F.coalesce(ok, F.lit(True)).alias("within_tolerance"))
