@@ -69,6 +69,17 @@ def cosine_topk_pandas(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # np.stack needs a uniform shape: drop NULL and
+            # probe-dim-mismatched vectors (unscorable — the HOF path
+            # yields NULL cosine for them; here they simply don't
+            # compete for the top-k). One ragged batch must not kill
+            # the job (tests/test_adversarial_rows_only.py).
+            valid = pdf[vec_col].map(
+                lambda v: v is not None and len(v) == p.size
+            )
+            pdf = pdf[valid]
+            if pdf.empty:
+                continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
             cos = (m @ p_unit) / np.where(norms == 0, 1.0, norms)

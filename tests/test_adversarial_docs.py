@@ -55,9 +55,7 @@ _EXEMPT: dict[str, str] = {
 }
 
 
-@pytest.fixture(scope="module")
-def nasty_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("nasty_docs"))
+def write_fixture(d: str) -> None:
     table = pa.table(
         {
             "doc_id": pa.array([r[0] for r in _NASTY_DOCS], pa.int64()),
@@ -68,6 +66,12 @@ def nasty_dir(tmp_path_factory):
         }
     )
     pq.write_table(table, os.path.join(d, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_docs"))
+    write_fixture(d)
     return d
 
 

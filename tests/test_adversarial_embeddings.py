@@ -56,9 +56,7 @@ _EXEMPT: dict[str, str] = {
 }
 
 
-@pytest.fixture(scope="module")
-def nasty_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("nasty_emb"))
+def write_fixture(d: str) -> None:
     table = pa.table(
         {
             "vec_id": pa.array([r[0] for r in _NASTY_VECS], pa.int64()),
@@ -69,6 +67,12 @@ def nasty_dir(tmp_path_factory):
         }
     )
     pq.write_table(table, os.path.join(d, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_emb"))
+    write_fixture(d)
     return d
 
 

@@ -80,9 +80,7 @@ _EXEMPT: dict[str, str] = {
 }
 
 
-@pytest.fixture(scope="module")
-def nasty_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("nasty_events"))
+def write_fixture(d: str) -> None:
     rows = _NASTY_EVENTS
     table = pa.table(
         {
@@ -95,6 +93,12 @@ def nasty_dir(tmp_path_factory):
         }
     )
     pq.write_table(table, os.path.join(d, "events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_events"))
+    write_fixture(d)
     return d
 
 

@@ -45,9 +45,7 @@ def _tbl(cols: dict[str, tuple[list, pa.DataType]]) -> pa.Table:
     return pa.table({k: pa.array(v, t) for k, (v, t) in cols.items()})
 
 
-@pytest.fixture(scope="module")
-def nasty_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("nasty_rel"))
+def write_fixture(d: str) -> None:
     i32, i64, f64, s, ts = (
         pa.int32(),
         pa.int64(),
@@ -213,6 +211,12 @@ def nasty_dir(tmp_path_factory):
         ("lineitem", lineitem),
     ]:
         pq.write_table(table, os.path.join(d, f"{name}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def nasty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_rel"))
+    write_fixture(d)
     return d
 
 

@@ -1,0 +1,54 @@
+"""Crash-freedom smoke for the rows-only (✗-oracle) keys on nasty data.
+
+The hash-compared keys get full oracle parity on the adversarial
+fixtures; the rows-only keys (sketch signatures, IVF/PQ recall paths,
+language ID, random strings, binary manifests) have no oracle to
+compare against — but they must still be TOTAL: a combined namespace of
+every nasty table (empty/CJK/emoji documents, malformed-JSON events,
+NULL-ridden relational tables, zero/empty/NULL vectors) must not crash
+any of them. This is the net that would have caught the ANSI-mode
+divide-by-zero in the IVF/PQ tier had the cosine fix not already landed
+via the oracled keys.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from database_cloner_spark.registry import specs
+from tests import (
+    test_adversarial_docs,
+    test_adversarial_embeddings,
+    test_adversarial_events,
+    test_adversarial_relational,
+)
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+@pytest.fixture(scope="module")
+def nasty_all_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("nasty_all"))
+    test_adversarial_docs.write_fixture(d)
+    test_adversarial_events.write_fixture(d)
+    test_adversarial_relational.write_fixture(d)
+    test_adversarial_embeddings.write_fixture(d)
+    return d
+
+
+_ROWS_ONLY = sorted(k for k, s in specs().items() if s.oracle is None)
+
+
+def test_rows_only_inventory():
+    assert len(_ROWS_ONLY) >= 10, _ROWS_ONLY
+    assert "q_dedup_minhash" in _ROWS_ONLY and "q_text_langid" in _ROWS_ONLY
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_total_on_nasty_input(spark, nasty_all_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    df = specs()[name].builder(spark, nasty_all_dir)
+    assert df.count() >= 0  # force full execution; totality is the assertion
