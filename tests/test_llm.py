@@ -173,6 +173,25 @@ def test_langid_deterministic_and_total(spark):
     assert langs <= {"de", "en", "es", "fr", "zh"}
 
 
+def test_langid_short_docs_contribute_no_trigrams(spark):
+    """Sub-3-char docs have no trigrams: they must contribute nothing
+    to the profiles and receive no classification — NOT fabricate junk
+    grams via the descending sequence(1, 0) (the short-doc bug class,
+    tests/test_adversarial_docs.py). Long docs classify unchanged."""
+    docs = spark.createDataFrame(
+        [
+            (0, "ab", "en", "s"),
+            (1, "", "en", "s"),
+            (2, "the quick brown fox jumps over the dog", "en", "s"),
+            (3, "the lazy dog sleeps under the brown tree", "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = language_id(docs).collect()
+    assert {r.doc_id for r in out} == {2, 3}
+    assert all(r.predicted_lang == "en" for r in out)
+
+
 def test_multimodal_assets_and_features(spark):
     assets = assets_from_documents(_docs(spark))
     r = assets.filter(F.col("asset_id") == 0).collect()[0]

@@ -358,3 +358,32 @@ def test_stream_static_enrichment_matches_batch(spark):
     }
     assert got == want
     assert any(s is None for _, s in want)  # odd users stay, unenriched
+
+
+def test_streaming_total_on_nasty_events(spark, tmp_path):
+    """Adversarial totality for the streaming path: the nasty events
+    fixture (NULL columns, malformed props, duplicate timestamps,
+    epoch-extreme ts — tests/test_adversarial_events.py) must stream
+    through the windowed aggregation without killing the query, and
+    match the same transform run in batch over the same files."""
+    import uuid as _uuid
+
+    from tests import test_adversarial_events as nasty
+
+    d = str(tmp_path / "nasty_stream")
+    os.makedirs(d)
+    nasty.write_fixture(d)
+
+    stream = events_stream(spark, d)
+    name = _run_to_memory(
+        ops.tumbling_counts(stream), f"n_{_uuid.uuid4().hex[:8]}"
+    )
+    got = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n, r.sum_value)
+        for r in ops.tumbling_counts(load(spark, d, "events")).collect()
+    }
+    assert got == want and got
