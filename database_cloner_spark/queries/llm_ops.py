@@ -245,18 +245,20 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB mirror of textprep.tokens(): regex-trim the shared whitespace
-# class off both ends, then split on whitespace RUNS. Built from the
-# same WS_CLASS literal the engine uses so the two tokenizers cannot
-# drift (single-space string_split matched the fixture corpus but
-# diverged on tabs/newlines/trailing whitespace —
+# DuckDB mirror of textprep.tokens(): charset-trim the shared
+# whitespace set off both ends (DuckDB trim(str, chars) == Spark
+# btrim), then split on whitespace RUNS. Built from the same
+# WS_CLASS/WS_CHARS literals the engine uses so the two tokenizers
+# cannot drift (single-space string_split matched the fixture corpus
+# but diverged on tabs/newlines/trailing whitespace —
 # tests/test_adversarial_docs.py).
+from database_cloner_spark.llm.textprep import WS_CHARS as _WSC  # noqa: E402
 from database_cloner_spark.llm.textprep import WS_CLASS as _WS  # noqa: E402
 
-_TOKS_SQL = (
-    f"string_split_regex("
-    f"regexp_replace(text, '^{_WS}+|{_WS}+$', '', 'g'), '{_WS}+')"
+_WS_SQL = " || ".join(
+    "' '" if c == " " else f"chr({ord(c)})" for c in _WSC
 )
+_TOKS_SQL = f"string_split_regex(trim(text, {_WS_SQL}), '{_WS}+')"
 
 _ORACLE_TEXT_TOKENS = f"""
 SELECT token, COUNT(*) AS cnt
