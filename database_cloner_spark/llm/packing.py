@@ -66,3 +66,93 @@ def pack_sequences(
             F.pmod(F.col("__start"), F.lit(ctx_len)).alias("offset"),
         )
     )
+
+
+def pack_bins(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Whole-document bin packing: first-fit-decreasing into bins of
+    `ctx_len` tokens, per hash shard — the NO-TRUNCATION complement of
+    pack_sequences (which concat-and-chunks, splitting documents across
+    context boundaries; fine for pre-training, wrong for SFT/eval
+    payloads where a document must stay contiguous).
+
+    Shape: same Knuth hash shards as pack_sequences; within a shard the
+    packing is a sequential greedy algorithm (bin state), which no
+    window function expresses — this is exactly the applyInPandas case:
+    one Arrow batch per shard, deterministic order (n_tokens desc,
+    doc_id asc), FFD assignment. Docs longer than ctx_len get a
+    dedicated bin and `oversize=true` (the caller decides: split, drop,
+    or long-context shard).
+
+    100 TB story: shards are the parallel unit and the per-shard doc
+    count is the knob — FFD here is O(d^2/shard) worst case (linear
+    scan over open bins), so size shards to ~10^4-10^5 docs (shard
+    count scales freely; bin ids are namespaced by shard). FFD
+    guarantees n_bins <= (11*OPT + 6)/9 per shard — property-tested
+    against the ceil(total/ctx) lower bound in tests/test_llm.py.
+
+    Output: (doc_id, n_tokens, shard, bin_id, bin_used, oversize) —
+    bin_used is the bin's total token count (same value on every member
+    row), bin_id = shard * PACK_NS + dense local index.
+    """
+    from collections.abc import Iterator  # noqa: F401
+
+    import pandas as pd
+
+    h = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
+    n_toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.pmod(h, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    schema = (
+        "doc_id long, n_tokens long, shard int, bin_id long, "
+        "bin_used long, oversize boolean"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0])
+        remaining: list[int] = []  # capacity left per open bin
+        used: list[int] = []  # tokens placed per bin
+        assign: list[int] = []
+        oversize: list[bool] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > ctx_len:
+                assign.append(len(remaining))
+                remaining.append(0)  # dedicated, never joined
+                used.append(n)
+                oversize.append(True)
+                continue
+            for i, rem in enumerate(remaining):  # first fit
+                if rem >= n:
+                    assign.append(i)
+                    remaining[i] = rem - n
+                    used[i] += n
+                    break
+            else:
+                assign.append(len(remaining))
+                remaining.append(ctx_len - n)
+                used.append(n)
+            oversize.append(False)
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["n_tokens"],
+                "shard": shard,
+                "bin_id": [shard * PACK_NS + a for a in assign],
+                "bin_used": [used[a] for a in assign],
+                "oversize": oversize,
+            }
+        )
+
+    return base.groupBy("shard").applyInPandas(pack, schema=schema)

@@ -664,6 +664,18 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load(spark, sf_dir, "documents"))
 
 
+@register("q_pack_bins", oracle=None, tier="X")
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document first-fit-decreasing bin packing into 512-token
+    bins (no-truncation packing for SFT/eval payloads), shard-parallel
+    applyInPandas. Rows-only at the driver (sequential greedy bin state
+    is not SQL-expressible); coverage / capacity / FFD-bound /
+    determinism pinned in tests/test_llm.py."""
+    from database_cloner_spark.llm.packing import pack_bins
+
+    return pack_bins(load(spark, sf_dir, "documents"))
+
+
 @register("q_scan_binary", oracle=None, tier="X")
 def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-file ingestion (binaryFile source) over the sf_dir's

@@ -685,3 +685,49 @@ def test_chunk_documents_windows_and_tail(spark):
     assert c1[0].chunk_text.startswith("w0 ") and c1[1].chunk_text.startswith("w16 ")
     assert c1[1].chunk_text.endswith("w39")
     assert [(r.chunk_id, r.n_tokens, r.chunk_text) for r in by_doc[2]] == [(0, 3, "a b c")]
+
+
+def test_pack_bins_invariants(spark, sf_dir):
+    """FFD bin packing (q_pack_bins): every doc exactly once; no bin
+    over capacity except dedicated oversize bins; FFD quality bound
+    n_bins <= (11*OPT + 6)/9 per shard vs the volume lower bound;
+    deterministic across runs."""
+    import math
+    from collections import defaultdict
+
+    from database_cloner_spark.llm.packing import PACK_NS, pack_bins
+    from database_cloner_spark.sources import load
+
+    docs = load(spark, sf_dir, "documents")
+    ctx = 128  # small ctx so bins actually fill at sf0.001
+    out = pack_bins(docs, ctx_len=ctx).collect()
+
+    assert len(out) == docs.count()
+    assert len({r.doc_id for r in out}) == len(out)  # each doc once
+
+    fill = defaultdict(int)
+    members = defaultdict(list)
+    for r in out:
+        fill[r.bin_id] += r.n_tokens
+        members[r.bin_id].append(r)
+        assert r.bin_id // PACK_NS == r.shard  # namespaced per shard
+    for b, total in fill.items():
+        rows = members[b]
+        assert total == rows[0].bin_used
+        if total > ctx:  # only a dedicated oversize bin may exceed
+            assert len(rows) == 1 and rows[0].oversize
+        else:
+            assert not any(r.oversize for r in rows)
+
+    # FFD guarantee per shard, oversize bins excluded on both sides
+    by_shard = defaultdict(list)
+    for r in out:
+        if not r.oversize:
+            by_shard[r.shard].append(r)
+    for shard, rows in by_shard.items():
+        n_bins = len({r.bin_id for r in rows})
+        opt_lb = max(1, math.ceil(sum(r.n_tokens for r in rows) / ctx))
+        assert n_bins <= (11 * opt_lb + 6) / 9, (shard, n_bins, opt_lb)
+
+    again = pack_bins(docs, ctx_len=ctx).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
