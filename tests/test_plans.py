@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "q_funnel",                  # three 1-row stage-count frames
     "q_sim_pq_topk",             # 1-row probe vector vs m×k codebook
     "q_sim_ivfpq_topk",          # 1-row probe vector (cell ranking + ADC table)
+    "q_agg_approx_percentile",   # 1-row sketch result broadcast for the rank check
 }
 
 SF_DIR = "/root/testdata/sf0.001"
