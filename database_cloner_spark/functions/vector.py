@@ -82,7 +82,16 @@ def cosine_topk_pandas(
                 continue
             m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(m, axis=1)
-            cos = (m @ p_unit) / np.where(norms == 0, 1.0, norms)
+            # zero-norm vectors are unscorable too — the HOF path's
+            # try_divide cosine yields NULL for them (ranked last /
+            # excluded from the top-k); scoring them 0.0 here would rank
+            # them ABOVE negative-cosine neighbors and diverge from the
+            # exact form.
+            scorable = norms > 0
+            pdf, m, norms = pdf[scorable], m[scorable], norms[scorable]
+            if pdf.empty:
+                continue
+            cos = (m @ p_unit) / norms
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": np.round(cos, 4)})
 
     scored = embs.select("vec_id", vec_col).mapInPandas(

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.llm.textprep import n_tokens as _n_tokens
+
 KNUTH = 2654435761
 HASH_MOD = 4294967296  # 2^32
 PACK_NS = 1_000_000  # pack-id namespace stride per shard
@@ -40,7 +42,8 @@ def pack_sequences(
     stream: shard-parallel greedy concatenation, deterministic under
     retries (hash order, no monotonically_increasing_id)."""
     h = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
-    n_toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    # standard tokenizer (textprep.tokens), NULL text -> 0 tokens
+    n_toks = _n_tokens(F.col(text_col))
     base = docs.select(
         "doc_id",
         n_toks.alias("n_tokens"),
@@ -104,7 +107,8 @@ def pack_bins(
     import pandas as pd
 
     h = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
-    n_toks = F.size(F.split(F.trim(F.col(text_col)), " ")).cast("long")
+    # standard tokenizer (textprep.tokens), NULL text -> 0 tokens
+    n_toks = _n_tokens(F.col(text_col))
     base = docs.select(
         "doc_id",
         n_toks.alias("n_tokens"),

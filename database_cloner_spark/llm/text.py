@@ -29,8 +29,17 @@ FP_POWS = [pow(FP_BASE, j, FP_MOD) for j in range(FP_K)]
 # GPT-2-style pre-tokenizer pattern, restricted to constructs RE2
 # (DuckDB) and java.util.regex (Spark) evaluate identically: contraction
 # suffixes, space-prefixed letter runs, digit runs, punctuation runs.
-# No lookahead (RE2 lacks it), no \p classes (ASCII corpus).
-BPE_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+# No lookahead (RE2 lacks it), no \p classes (ASCII corpus), and the
+# whitespace exclusion is the EXPLICIT shared set, not `\s` — Java \s
+# includes \x0B, RE2 \s does not, so the shorthand counted a vertical
+# tab as a punctuation token on one engine only
+# (tests/test_adversarial_docs.py doc 20).
+from database_cloner_spark.llm.textprep import WS_CLASS as _WS_CLASS  # noqa: E402
+
+BPE_PATTERN = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?"
+    + f"[^A-Za-z0-9{_WS_CLASS[1:-1]}]+"
+)
 
 
 def bpe_token_counts(docs: DataFrame) -> DataFrame:
@@ -179,15 +188,22 @@ def language_id(docs: DataFrame, profile_size: int = 40) -> DataFrame:
         .agg(F.count("*").alias("score"))
     )
     w2 = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("profile_lang"))
-    return (
+    best = (
         scored.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == 1)
         .select(
             "doc_id",
-            F.col("lang").alias("actual_lang"),
             F.col("profile_lang").alias("predicted_lang"),
             "score",
         )
+    )
+    # Restore docs with no classifiable trigrams (shorter than 3 chars,
+    # or sharing no trigram with any profile): one row per INPUT doc,
+    # NULL predicted_lang/score — same restore contract as
+    # fingerprints(); silently dropping rows loses doc_ids in
+    # downstream joins.
+    return docs.select("doc_id", F.col("lang").alias("actual_lang")).join(
+        best, "doc_id", "left"
     )
 
 

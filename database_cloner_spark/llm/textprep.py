@@ -32,6 +32,13 @@ def tokens(text: Column) -> Column:
     return F.split(F.btrim(text, F.lit(WS_CHARS)), f"{WS_CLASS}+")
 
 
+def n_tokens(text: Column) -> Column:
+    """Token COUNT under the standard tokenizer, total on NULL text
+    (NULL -> 0; empty/whitespace-only keeps the [''] -> 1 convention).
+    Oracle mirror: oracle_fragments.n_tokens_sql()."""
+    return F.coalesce(F.size(tokens(text)), F.lit(0)).cast("long")
+
+
 def shingles_of_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct n-word shingles from an ALREADY-MATERIALIZED token-array
     column. `toks` must be a plain column reference, not the split
@@ -69,5 +76,12 @@ def shingles(text: Column, n: int = 3) -> Column:
 
 
 def normalized(text: Column) -> Column:
-    """Exact-dedup normalization: lowercase, trim, collapse whitespace."""
-    return F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    """Exact-dedup normalization: lowercase, charset-trim, collapse
+    whitespace runs to single spaces. Same WS_CHARS/WS_CLASS literals
+    as tokens() — the earlier `F.trim` + Java `\\s+` pair diverged from
+    the oracle on vertical-tab bytes (Java \\s includes \\x0B, RE2 \\s
+    does not) and left non-space edge whitespace as a leading/trailing
+    space artifact. Oracle mirror: oracle_fragments.normalized_sql()."""
+    return F.regexp_replace(
+        F.lower(F.btrim(text, F.lit(WS_CHARS))), f"{WS_CLASS}+", " "
+    )

@@ -126,14 +126,8 @@ def _parse_worklist(
 ) -> list[str]:
     """Comma-split + whitespace-trim (clone_databases.sh:1025,:1030)."""
     if tables is None:
-        if source_format == "orc":
-            ext = ".orc"
-            return [
-                f[: -len(ext)]
-                for f in sorted(os.listdir(source_dir))
-                if f.endswith(ext)
-            ]
-        return table_names(source_dir)
+        ext = ".orc" if source_format == "orc" else ".parquet"
+        return table_names(source_dir, ext=ext)
     if isinstance(tables, str):
         return [t.strip() for t in tables.split(",") if t.strip()]
     return [t.strip() for t in tables]

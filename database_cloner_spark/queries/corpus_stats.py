@@ -23,6 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.llm.textprep import n_tokens, tokens
+from database_cloner_spark.queries.oracle_fragments import (
+    n_tokens_sql,
+    tokens_sql,
+)
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
 
@@ -33,7 +38,7 @@ TOKEN_BUDGET = 5_000  # per-source token budget
 _ORACLE_TOKEN_BUDGET = f"""
 WITH scored AS (
   SELECT doc_id, source, n_chars,
-         len(string_split(trim(text), ' '))::BIGINT AS n_tokens
+         {n_tokens_sql()} AS n_tokens
   FROM documents
 ),
 runs AS (
@@ -64,7 +69,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     them — at 100 TB pre-filter with an approximate per-source quantile
     cutoff to bound the sorted span if a source dwarfs its budget."""
     docs = load(spark, sf_dir, "documents")
-    n_toks = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    n_toks = n_tokens(F.col("text"))
     base = docs.select(
         "doc_id", "source", F.col("n_chars"), n_toks.alias("n_tokens")
     )
@@ -86,7 +91,7 @@ VOCAB_TOP_K = 100
 
 _ORACLE_VOCAB = f"""
 WITH terms AS (
-  SELECT UNNEST(string_split(lower(text), ' ')) AS term FROM documents
+  SELECT UNNEST({tokens_sql('lower(text)')}) AS term FROM documents
 ),
 counts AS (
   SELECT term, COUNT(*) AS n FROM terms WHERE term <> '' GROUP BY term
@@ -122,7 +127,7 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row broadcast (audited BNLJ, same as q_text_tfidf's n_docs)."""
     docs = load(spark, sf_dir, "documents").select("text")
     terms = docs.select(
-        F.explode(F.split(F.lower("text"), " ")).alias("term")
+        F.explode(tokens(F.lower("text"))).alias("term")
     ).filter(F.col("term") != "")
     counts = terms.groupBy("term").agg(F.count("*").alias("n"))
     total = counts.agg(F.sum("n").alias("total_tokens"))
@@ -153,7 +158,7 @@ RARE_MAX = 3  # corpus count below which a token is "rare"
 
 _ORACLE_RARITY = f"""
 WITH terms AS (
-  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+  SELECT doc_id, UNNEST({tokens_sql('lower(text)')}) AS term
   FROM documents
 ),
 toks AS (SELECT doc_id, term FROM terms WHERE term <> ''),
@@ -193,7 +198,7 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordering cannot differ."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(tokens(F.lower("text"))).alias("term")
     ).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(F.count("*").alias("cnt"))
     from database_cloner_spark.llm.text import round4_ratio

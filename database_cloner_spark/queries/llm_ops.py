@@ -15,18 +15,28 @@ from pyspark.sql import functions as F
 
 from database_cloner_spark.llm import dedup, similarity, text as llmtext
 from database_cloner_spark.llm.multimodal import assets_from_documents
+from database_cloner_spark.queries.oracle_fragments import (
+    n_tokens_sql,
+    normalized_sql,
+    tokens_sql,
+)
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
 
+# DuckDB mirror of textprep.tokens() — single source of truth in
+# oracle_fragments so engine and oracles cannot drift
+# (tests/test_adversarial_docs.py).
+_TOKS_SQL = tokens_sql()
 
-_ORACLE_DEDUP_EXACT = """
+
+_ORACLE_DEDUP_EXACT = f"""
 WITH doubled AS (
   SELECT doc_id, text FROM documents
   UNION ALL
   SELECT doc_id + 1000000 AS doc_id, text FROM documents
 )
 SELECT MIN(doc_id) AS doc_id,
-       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+       {normalized_sql()} AS norm_text,
        COUNT(*) AS n_copies
 FROM doubled
 GROUP BY 2
@@ -44,9 +54,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(doubled)
 
 
-_ORACLE_DEDUP_FUZZY = """
+_ORACLE_DEDUP_FUZZY = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -245,21 +255,6 @@ def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB mirror of textprep.tokens(): charset-trim the shared
-# whitespace set off both ends (DuckDB trim(str, chars) == Spark
-# btrim), then split on whitespace RUNS. Built from the same
-# WS_CLASS/WS_CHARS literals the engine uses so the two tokenizers
-# cannot drift (single-space string_split matched the fixture corpus
-# but diverged on tabs/newlines/trailing whitespace —
-# tests/test_adversarial_docs.py).
-from database_cloner_spark.llm.textprep import WS_CHARS as _WSC  # noqa: E402
-from database_cloner_spark.llm.textprep import WS_CLASS as _WS  # noqa: E402
-
-_WS_SQL = " || ".join(
-    "' '" if c == " " else f"chr({ord(c)})" for c in _WSC
-)
-_TOKS_SQL = f"string_split_regex(trim(text, {_WS_SQL}), '{_WS}+')"
-
 _ORACLE_TEXT_TOKENS = f"""
 SELECT token, COUNT(*) AS cnt
 FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
@@ -364,7 +359,7 @@ SELECT doc_id,
   CAST(list_min(list_transform(gs, g ->
     list_sum([ascii(g[j:j])::BIGINT * ([{", ".join(str(p) for p in llmtext.FP_POWS)}]::BIGINT[])[j]
               for j in range(1, {llmtext.FP_K + 1})]) % {llmtext.FP_MOD})) AS BIGINT) AS fp_min_hash,
-  len(list_distinct(gs)) AS n_distinct_grams
+  COALESCE(len(list_distinct(gs)), 0) AS n_distinct_grams
 FROM grams
 """
 
@@ -387,7 +382,7 @@ _ORACLE_CURATE = f"""
 WITH deduped AS (
   SELECT MIN(doc_id) AS doc_id,
          arg_min(lang, doc_id) AS lang,
-         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text,
+         {normalized_sql()} AS norm_text,
          COUNT(*) AS n_copies
   FROM documents
   GROUP BY 3
@@ -496,9 +491,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Transitive closure of the fuzzy-dup pair graph: DuckDB brute-forces it
 # with a recursive CTE (fine at oracle scale); the Spark side runs the
 # distributed min-label-propagation loop in dedup.connected_components.
-_ORACLE_DEDUP_CLUSTER = """
+_ORACLE_DEDUP_CLUSTER = f"""
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -597,9 +592,9 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Benchmark-contamination probe: docs sharing >= 2 distinct 3-word
 # shingles with the held-out "benchmark" slice (doc_id % 20 == 0).
-_ORACLE_CONTAMINATION = """
+_ORACLE_CONTAMINATION = f"""
 WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 sh AS (
   SELECT doc_id,
@@ -633,10 +628,10 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence packing: concat-and-chunk into 512-token contexts across 8
 # hash shards. The oracle reproduces the identical multiplicative-hash
 # order and per-shard running sum with SQL window functions.
-_ORACLE_PACK = """
+_ORACLE_PACK = f"""
 WITH base AS (
   SELECT doc_id,
-         len(string_split(trim(text), ' '))::BIGINT AS n_tokens,
+         {n_tokens_sql()} AS n_tokens,
          (doc_id * 2654435761) % 4294967296 AS h,
          ((doc_id * 2654435761) % 4294967296) % 8 AS shard
   FROM documents
@@ -778,9 +773,9 @@ def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The deduplicated-corpus deliverable: drop every non-canonical member
 # of each near-dup cluster, keep everything else.
-_ORACLE_DEDUP_APPLY = """
+_ORACLE_DEDUP_APPLY = f"""
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
 ),
 sh AS (
   SELECT doc_id,

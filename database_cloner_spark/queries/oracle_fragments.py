@@ -17,6 +17,36 @@ empirically, pinned by tests/test_adversarial_events.py):
 
 from __future__ import annotations
 
+from database_cloner_spark.llm.textprep import WS_CHARS, WS_CLASS
+
+# WS_CHARS as a DuckDB string expression (chr() concatenation — DuckDB
+# quoted strings do not process backslash escapes).
+WS_SQL = " || ".join("' '" if c == " " else f"chr({ord(c)})" for c in WS_CHARS)
+
+
+def tokens_sql(col: str = "text") -> str:
+    """DuckDB mirror of textprep.tokens(): charset-trim the shared
+    whitespace set off both ends, then split on whitespace RUNS. Built
+    from the same WS_CLASS/WS_CHARS literals the engine uses so the two
+    tokenizers cannot drift (tests/test_adversarial_docs.py)."""
+    return f"string_split_regex(trim({col}, {WS_SQL}), '{WS_CLASS}+')"
+
+
+def n_tokens_sql(col: str = "text") -> str:
+    """Token COUNT with the engine's NULL contract: NULL text counts 0
+    (engine side coalesces size(tokens(text)) to 0)."""
+    return f"COALESCE(len({tokens_sql(col)}), 0)::BIGINT"
+
+
+def normalized_sql(col: str = "text") -> str:
+    """DuckDB mirror of textprep.normalized(): lowercase, charset-trim,
+    collapse whitespace RUNS to single spaces — same WS literals as the
+    engine (Java \\s includes \\x0B, RE2 \\s does not, so the shorthand
+    classes silently diverge on vertical-tab bytes)."""
+    return (
+        f"regexp_replace(lower(trim({col}, {WS_SQL})), '{WS_CLASS}+', ' ', 'g')"
+    )
+
 
 def json_str(col: str, path: str) -> str:
     """DuckDB mirror of F.get_json_object(col, path): NULL on malformed
@@ -26,9 +56,13 @@ def json_str(col: str, path: str) -> str:
 
 def json_bigint(col: str, path: str) -> str:
     """DuckDB mirror of F.get_json_object(col, path).try_cast('bigint'):
-    NULL unless the extracted text is a plain integer literal."""
+    NULL unless the extracted text is an integer literal under Spark's
+    cast grammar — optional surrounding whitespace and an optional
+    sign, digits only (verified empirically: both engines yield 5 for
+    '+5' and ' 5 ', NULL for '+ 5' and '14.5')."""
     s = json_str(col, path)
     return (
-        f"CASE WHEN regexp_full_match({s}, '-?[0-9]+') "
+        f"CASE WHEN regexp_full_match({s}, "
+        f"'{WS_CLASS}*[+-]?[0-9]+{WS_CLASS}*') "
         f"THEN TRY_CAST({s} AS BIGINT) END"
     )

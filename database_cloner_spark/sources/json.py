@@ -25,9 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -64,17 +62,15 @@ def export_json(df: DataFrame, path: str) -> None:
 
 def events_document_export(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the events table as a nested-document JSON collection
-    (once per sf_dir, cached under the system temp dir) and return its
+    (cached per source CONTENT — sources/export_cache.py) and return its
     path. Shapes each event the way a document store would hold it:
     scalars at the top level, user/props folded into a nested `meta`
     object — so reading it back genuinely exercises nested-struct
     schema inference rather than a flat record."""
+    from database_cloner_spark.sources.export_cache import cached_export
     from database_cloner_spark.sources.parquet import load
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"dcs_events_json_{key}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
+    def build(out: str) -> None:
         ev = load(spark, sf_dir, "events")
         docs = ev.select(
             "event_id",
@@ -90,4 +86,7 @@ def events_document_export(spark: SparkSession, sf_dir: str) -> str:
             ).alias("meta"),
         )
         export_json(docs, out)
-    return out
+
+    return cached_export(
+        "dcs_events_json", os.path.join(sf_dir, "events.parquet"), build
+    )

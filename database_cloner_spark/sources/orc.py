@@ -26,9 +26,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -49,14 +47,14 @@ def export_orc(df: DataFrame, path: str) -> None:
 
 
 def part_orc_export(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize the part table as an ORC dataset (once per sf_dir,
-    cached under the system temp dir) and return its path — the mixed-
-    format-lake fixture that q_scan_orc reads back."""
+    """Materialize the part table as an ORC dataset (cached per source
+    CONTENT, not per path — sources/export_cache.py) and return its
+    path — the mixed-format-lake fixture that q_scan_orc reads back."""
+    from database_cloner_spark.sources.export_cache import cached_export
     from database_cloner_spark.sources.parquet import load
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    out = os.path.join(tempfile.gettempdir(), f"dcs_part_orc_{key}")
-    marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        export_orc(load(spark, sf_dir, "part"), out)
-    return out
+    return cached_export(
+        "dcs_part_orc",
+        os.path.join(sf_dir, "part.parquet"),
+        lambda out: export_orc(load(spark, sf_dir, "part"), out),
+    )

@@ -126,12 +126,10 @@ def load(
     return df
 
 
-def table_names(sf_dir: str) -> list[str]:
+def table_names(sf_dir: str, ext: str = ".parquet") -> list[str]:
     """Tables present in a dataset directory (catalog scan of the at-rest
-    namespace — the parquet analogue of `pg_tables`, clone_databases.sh:415)."""
-    found = [
-        f[: -len(".parquet")]
-        for f in sorted(os.listdir(sf_dir))
-        if f.endswith(".parquet")
+    namespace — the parquet analogue of `pg_tables`, clone_databases.sh:415).
+    `ext` selects the at-rest format (".orc" for ORC namespaces)."""
+    return [
+        f[: -len(ext)] for f in sorted(os.listdir(sf_dir)) if f.endswith(ext)
     ]
-    return found

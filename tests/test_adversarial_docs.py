@@ -48,6 +48,17 @@ _NASTY_DOCS = [
     (17, "two words", "es", "src8"),
     (18, "numbers 123 456.789 0x1f mixed-with-words", "en", "src9"),
     (19, "trailing newline\n", "en", "src9"),
+    # vertical tab: Java \s includes \x0B, RE2 \s does not — pins the
+    # explicit-WS_CLASS contract in tokens()/normalized()
+    (20, "vertical\x0btab and words", "en", "src10"),
+    # whitespace-divergent near-dup pair: identical token sequences,
+    # different separators — shingle Jaccard 1.0 on BOTH engines only
+    # if tokenizers agree (pins the fuzzy-family oracle tokenization)
+    (21, "alpha beta gamma delta epsilon zeta", "en", "src10"),
+    (22, "alpha  beta\tgamma delta\nepsilon zeta ", "en", "src11"),
+    # NULL text: real crawls contain them; every operator must degrade
+    # to NULL/0/absent identically on both engines, never crash
+    (23, None, "en", "src11"),
 ]
 
 _EXEMPT: dict[str, str] = {
@@ -62,7 +73,10 @@ def write_fixture(d: str) -> None:
             "text": pa.array([r[1] for r in _NASTY_DOCS], pa.string()),
             "lang": pa.array([r[2] for r in _NASTY_DOCS], pa.string()),
             "source": pa.array([r[3] for r in _NASTY_DOCS], pa.string()),
-            "n_chars": pa.array([len(r[1]) for r in _NASTY_DOCS], pa.int64()),
+            "n_chars": pa.array(
+                [len(r[1]) if r[1] is not None else 0 for r in _NASTY_DOCS],
+                pa.int64(),
+            ),
         }
     )
     pq.write_table(table, os.path.join(d, "documents.parquet"))

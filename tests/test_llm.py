@@ -175,9 +175,11 @@ def test_langid_deterministic_and_total(spark):
 
 def test_langid_short_docs_contribute_no_trigrams(spark):
     """Sub-3-char docs have no trigrams: they must contribute nothing
-    to the profiles and receive no classification — NOT fabricate junk
-    grams via the descending sequence(1, 0) (the short-doc bug class,
-    tests/test_adversarial_docs.py). Long docs classify unchanged."""
+    to the profiles and come back with NULL predicted_lang — NOT
+    fabricate junk grams via the descending sequence(1, 0) (the
+    short-doc bug class, tests/test_adversarial_docs.py), and NOT be
+    silently dropped (every input doc_id appears exactly once — the
+    fingerprints() restore contract). Long docs classify unchanged."""
     docs = spark.createDataFrame(
         [
             (0, "ab", "en", "s"),
@@ -187,9 +189,10 @@ def test_langid_short_docs_contribute_no_trigrams(spark):
         ],
         "doc_id long, text string, lang string, source string",
     )
-    out = language_id(docs).collect()
-    assert {r.doc_id for r in out} == {2, 3}
-    assert all(r.predicted_lang == "en" for r in out)
+    out = {r.doc_id: r for r in language_id(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].predicted_lang is None and out[1].predicted_lang is None
+    assert out[2].predicted_lang == "en" and out[3].predicted_lang == "en"
 
 
 def test_multimodal_assets_and_features(spark):
