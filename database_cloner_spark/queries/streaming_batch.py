@@ -24,6 +24,7 @@ SELECT
   COUNT(*) AS n,
   ROUND(SUM(value), 2) AS sum_value
 FROM events
+WHERE ts IS NOT NULL  -- Spark window() drops NULL event times
 GROUP BY 1, 2, 3
 """
 
@@ -43,6 +44,7 @@ SELECT
   COUNT(*) AS n
 FROM events
 CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+WHERE ts IS NOT NULL  -- Spark window() drops NULL event times
 GROUP BY 1, 2
 """
 
@@ -61,6 +63,7 @@ WITH seq AS (
               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_sess
   FROM events
+  WHERE ts IS NOT NULL  -- Spark session_window() drops NULL event times
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 ),
 sess AS (
@@ -90,6 +93,7 @@ SELECT
   strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
   COUNT(*) AS n
 FROM events
+WHERE ts IS NOT NULL  -- Spark window() drops NULL event times
 GROUP BY 1
 """
 

@@ -70,7 +70,7 @@ def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_LAG_GAP = """
 SELECT event_id, user_id,
-       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
          AS gap_us
 FROM events
 """
@@ -81,7 +81,7 @@ def q_win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap per user: ts - lag(ts), in microseconds (BIGINT —
     exact, no float drift)."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     us = F.unix_micros("ts")
     return ev.select(
         "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
@@ -91,7 +91,7 @@ def q_win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_RUNNING_SUM = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
 FROM events
 """
@@ -104,7 +104,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return ev.select(
@@ -117,13 +117,13 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MOVING_AVG = """
 SELECT event_id, user_id,
        ROUND(SUM(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
              / COUNT(*) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
        COUNT(*) OVER (
-         PARTITION BY user_id ORDER BY ts, event_id
+         PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS n_in_frame
 FROM events
 """
@@ -148,7 +148,7 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(-3, W.currentRow)
     )
     return ev.select(
@@ -186,13 +186,14 @@ _ORACLE_SESSIONIZE = f"""
 WITH flagged AS (
   SELECT user_id, event_id, epoch_us(ts) AS us, value,
          CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
-              OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS is_new
+              OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) IS NULL
+              THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
 ),
 sess AS (
   SELECT user_id, us, value,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
   FROM flagged
 )
@@ -212,13 +213,13 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning on user_id (one shuffle total); session stats are a
     partial-aggregated groupBy on (user, session)."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     wsum = (
         W.partitionBy("user_id")
-        .orderBy(us, F.col("event_id"))
+        .orderBy(us.asc_nulls_last(), F.col("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sess = ev.select(
@@ -266,7 +267,7 @@ SELECT event_id, user_id,
        LAST_VALUE(value) OVER w AS last_in_frame,
        NTH_VALUE(value, 2) OVER w AS second_in_frame
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
@@ -280,7 +281,7 @@ def q_win_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), "event_id")
         .rowsBetween(-2, W.currentRow)
     )
     return ev.select(

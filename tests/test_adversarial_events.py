@@ -73,6 +73,10 @@ _NASTY_EVENTS = [
     (24, _ts("2024-01-04T00:00:00"), 10, "view", 1.0, '{"k": 5}'),
     (25, _ts("2024-01-04T00:01:00"), 10, "click", 2.0, '{"k": 6}'),
     (26, _ts("2024-01-04T00:02:00"), 10, "purchase", 3.0, '{"k": 7}'),
+    # NULL timestamp: Spark ASC sorts nulls FIRST, DuckDB nulls LAST —
+    # every window/sessionize ordering over ts must pin the null order
+    # explicitly or the engines silently disagree
+    (27, None, 10, "view", 4.0, '{"k": 8}'),
 ]
 
 _EXEMPT: dict[str, str] = {
