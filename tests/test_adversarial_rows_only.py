@@ -52,3 +52,25 @@ def test_rows_only_total_on_nasty_input(spark, nasty_all_dir, name):
         pytest.skip(_EXEMPT[name])
     df = specs()[name].builder(spark, nasty_all_dir)
     assert df.count() >= 0  # force full execution; totality is the assertion
+
+
+def test_clone_pipeline_total_on_nasty_namespace(spark, nasty_all_dir, tmp_path):
+    """The reference's main surface must survive the nasty namespace
+    end-to-end: clone every nasty table with content verification ON
+    (fingerprints over NULL-ridden, unicode, NULL-timestamp data) and
+    succeed for all of them."""
+    from database_cloner_spark.pipeline import CloneConfig, ClonePipeline
+
+    result = ClonePipeline(
+        spark,
+        CloneConfig(
+            source_dir=nasty_all_dir,
+            target_dir=str(tmp_path / "nasty_clone"),
+            verify_clone=True,
+            parallelism=4,
+            seed=3,
+        ),
+    ).run()
+    assert result.ok, [(r.table, r.status, r.error) for r in result.results]
+    assert result.total_count == 10  # documents+events+7 relational+embeddings
+    assert all(r.verified for r in result.results)
