@@ -69,21 +69,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
 
-    # Secondary, NON-GATING figure (VERDICT r3 #8): one timed pass over
+    # Secondary, NON-GATING figure (VERDICT r3 #8): a timed pass over
     # EVERY oracled key, so regressions in non-headline operators are
-    # visible round-over-round. Best-of-1 by design — the headline
-    # metric (above, best-of-3, frozen set) stays the gate; this sweep
-    # is a trend line, ±noise. SPARK_GRAFT_SKIP_SWEEP=1 skips it.
+    # visible round-over-round. Best-of-2: the first execution of a
+    # heavy key is dominated by whole-stage-codegen compile (measured
+    # 2-5x steady state — e.g. q_text_fingerprint 7s cold vs 1.9s
+    # warm), a fixed cost that amortizes at scale and would otherwise
+    # swamp the trend line. The headline metric (above, best-of-3,
+    # frozen set) stays the gate. SPARK_GRAFT_SKIP_SWEEP=1 skips it.
     sweep: dict[str, float] = {}
     if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
         for name, spec in registry.items():
             if spec.oracle is None or name in timings:
                 continue
-            t0 = time.perf_counter()
-            spec.builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            sweep[name] = round(time.perf_counter() - t0, 4)
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            sweep[name] = round(best, 4)
     # oracled headline keys contribute their (best-of-3) headline timing
     headline_oracled = sum(
         t for n, t in timings.items() if registry[n].oracle is not None
