@@ -119,3 +119,34 @@ def test_adversarial_parity(spark, nasty_dir, name):
         pytest.skip(_EXEMPT[name])
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
+
+
+def test_known_unicode_casefold_limit_is_real_and_documented(spark):
+    """KNOWN cross-engine limit, pinned so it stays visible: lower()
+    uses Java's FULL Unicode case mapping on the engine (Turkish
+    dotted-I lowers to 'i' + U+0307 combining dot; final-position Σ
+    lowers to final sigma ς) while DuckDB's utf8proc uses SIMPLE
+    mappings (plain 'i', plain σ). The ENGINE semantics is the
+    contract — it is the more correct mapping — so oracle parity for
+    lower()-consuming keys (normalized/exact-dedup, char n-grams,
+    vocab/rarity) is claimed only for inputs without locale-sensitive
+    case mappings; the nasty fixtures avoid İ/Σ-class characters
+    deliberately. If this test ever FAILS, the engines have converged
+    and the restriction can be lifted."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    s = "İΣ"
+    engine = (
+        spark.createDataFrame([(s,)], "s string")
+        .select(F.lower("s").alias("l"))
+        .collect()[0]
+        .l
+    )
+    con = duckdb.connect()
+    oracle = con.execute("SELECT lower(?)", [s]).fetchone()[0]
+    con.close()
+    assert engine == "i̇ς"  # full mapping: i + combining dot, final sigma
+    assert oracle == "iσ"  # simple mapping: plain i, plain sigma
+    assert engine != oracle
