@@ -54,15 +54,20 @@ def json_str(col: str, path: str) -> str:
     return f"json_extract_string(TRY_CAST({col} AS JSON), '{path}')"
 
 
-def json_bigint(col: str, path: str) -> str:
-    """DuckDB mirror of F.get_json_object(col, path).try_cast('bigint'):
-    NULL unless the extracted text is an integer literal under Spark's
-    cast grammar — optional surrounding whitespace and an optional
-    sign, digits only (verified empirically: both engines yield 5 for
-    '+5' and ' 5 ', NULL for '+ 5' and '14.5')."""
-    s = json_str(col, path)
+def guarded_int_cast(expr: str, sql_type: str = "BIGINT") -> str:
+    """DuckDB mirror of Spark's `try_cast(<string> AS <integral>)`:
+    NULL unless the text is an integer literal under Spark's cast
+    grammar — optional surrounding whitespace and an optional sign,
+    digits only. A bare DuckDB TRY_CAST is NOT equivalent: it ROUNDS
+    '14.5' to 15 where Spark yields NULL (verified empirically; both
+    engines agree on '+5', ' 5 ', and '+ 5' -> NULL)."""
     return (
-        f"CASE WHEN regexp_full_match({s}, "
+        f"CASE WHEN regexp_full_match({expr}, "
         f"'{WS_CLASS}*[+-]?[0-9]+{WS_CLASS}*') "
-        f"THEN TRY_CAST({s} AS BIGINT) END"
+        f"THEN TRY_CAST({expr} AS {sql_type}) END"
     )
+
+
+def json_bigint(col: str, path: str) -> str:
+    """DuckDB mirror of F.get_json_object(col, path).try_cast('bigint')."""
+    return guarded_int_cast(json_str(col, path))

@@ -273,8 +273,12 @@ FROM nation WHERE n_name = 'NATION_3'
 @register("q_map_config", oracle=_ORACLE_MAP, tier="C")
 def q_map_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Config-as-map lookup (sourced conf key→value, clone_databases.sh:62):
-    fold rows into a MapType column, then getItem a key."""
-    nat = load(spark, sf_dir, "nation")
+    fold rows into a MapType column, then getItem a key. NULL keys are
+    dropped BEFORE the fold: collect_list skips NULLs, so a NULL key
+    row would desynchronize the two collected arrays and
+    map_from_arrays dies on the length mismatch (a config map has no
+    NULL keys by contract — tests/test_adversarial_relational.py)."""
+    nat = load(spark, sf_dir, "nation").filter(F.col("n_name").isNotNull())
     as_map = nat.agg(
         F.map_from_arrays(
             F.collect_list("n_name"), F.collect_list("n_nationkey")

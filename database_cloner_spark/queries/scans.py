@@ -15,7 +15,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from database_cloner_spark.queries.oracle_fragments import json_bigint
+from database_cloner_spark.queries.oracle_fragments import (
+    guarded_int_cast,
+    json_bigint,
+)
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load, table_names
 
@@ -119,15 +122,22 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- q_scan_delim: `:`-delimited record parse (CS:574, CS:972) -------------
 
-_ORACLE_SCAN_DELIM = """
+# List indexing (ts[i] -> NULL out of bounds) instead of split_part
+# (which returns '' for missing parts): mirrors Spark's F.get exactly
+# for SHORT records — a NULL field makes concat_ws emit fewer parts,
+# and the unguarded getItem/CAST crashed under ANSI
+# (tests/test_adversarial_relational.py NULL c_mktsegment row).
+_ORACLE_SCAN_DELIM = f"""
 WITH rec AS (
-  SELECT c_name || ':' || c_mktsegment || ':' || CAST(c_custkey AS VARCHAR) AS line
+  SELECT string_split(
+    concat_ws(':', c_name, c_mktsegment, CAST(c_custkey AS VARCHAR)), ':'
+  ) AS ts
   FROM customer
 )
 SELECT
-  split_part(line, ':', 1) AS f_user,
-  split_part(line, ':', 2) AS f_role,
-  CAST(split_part(line, ':', 3) AS BIGINT) AS f_key
+  ts[1] AS f_user,
+  ts[2] AS f_role,
+  {guarded_int_cast("ts[3]")} AS f_key
 FROM rec
 """
 
@@ -137,26 +147,36 @@ def q_scan_delim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse `:`-separated credential-style records into typed fields
     (the 5-field PG / 3-field Mongo formats, clone_databases.sh:574,:972).
     The file-based path is sources/delimited.py; here the parse semantics
-    are exercised as codegen'd column expressions over testdata."""
+    are exercised as codegen'd column expressions over testdata.
+    F.get + try_cast, not getItem + cast: a record with a NULL field is
+    SHORTER (concat_ws skips NULLs), and under ANSI an out-of-bounds
+    getItem / malformed cast kills the whole scan — short records must
+    parse to NULL fields instead."""
     cust = load(spark, sf_dir, "customer")
     line = F.concat_ws(":", F.col("c_name"), F.col("c_mktsegment"), F.col("c_custkey"))
     parts = F.split(line, ":")
     return cust.select(
-        parts.getItem(0).alias("f_user"),
-        parts.getItem(1).alias("f_role"),
-        parts.getItem(2).cast("bigint").alias("f_key"),
+        F.get(parts, 0).alias("f_user"),
+        F.get(parts, 1).alias("f_role"),
+        F.get(parts, 2).try_cast("bigint").alias("f_key"),
     )
 
 
 # --- q_scan_kv_config: key=value config scan (CS:62, PC:6-45) --------------
 
-_ORACLE_SCAN_KV = """
+# Same short-record contract as _ORACLE_SCAN_DELIM: a NULL n_name makes
+# the line '='-less, so the value slot must parse to NULL, not crash.
+# DuckDB has no limit-2 split; reassemble the tail to mirror
+# F.split(line, '=', 2).
+_ORACLE_SCAN_KV = f"""
 WITH conf AS (
-  SELECT n_name || '=' || CAST(n_nationkey AS VARCHAR) AS line FROM nation
+  SELECT string_split(concat_ws('=', n_name, CAST(n_nationkey AS VARCHAR)), '=') AS ts
+  FROM nation
 )
 SELECT
-  split_part(line, '=', 1) AS conf_key,
-  CAST(split_part(line, '=', 2) AS INTEGER) AS conf_value
+  ts[1] AS conf_key,
+  {guarded_int_cast("CASE WHEN len(ts) >= 2 THEN array_to_string(ts[2:], '=') END", "INTEGER")}
+    AS conf_value
 FROM conf
 """
 
@@ -164,13 +184,15 @@ FROM conf
 @register("q_scan_kv_config", oracle=_ORACLE_SCAN_KV, tier="C")
 def q_scan_kv_config(spark: SparkSession, sf_dir: str) -> DataFrame:
     """key=value config parsing (`source conf`, clone_databases.sh:62) as a
-    2-column DataFrame; split limited to the first '=' like the shell does."""
+    2-column DataFrame; split limited to the first '=' like the shell
+    does. F.get + try_cast: an '='-less line (NULL key field) must parse
+    to a NULL value, not kill the scan under ANSI."""
     nat = load(spark, sf_dir, "nation")
     line = F.concat_ws("=", F.col("n_name"), F.col("n_nationkey"))
     kv = F.split(line, "=", 2)
     return nat.select(
-        kv.getItem(0).alias("conf_key"),
-        kv.getItem(1).cast("int").alias("conf_value"),
+        F.get(kv, 0).alias("conf_key"),
+        F.get(kv, 1).try_cast("int").alias("conf_value"),
     )
 
 

@@ -120,16 +120,23 @@ def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# List indexing mirrors F.get (NULL for an '='-less entry, e.g. a
+# region name containing ';'); split_part would return '' instead. The
+# tail reassembly mirrors the engine's limit-2 split.
 _ORACLE_UDTF = """
 WITH conf AS (
   SELECT r_regionkey,
          'REGION_NAME=' || r_name || ';REGION_KEY=' || CAST(r_regionkey AS VARCHAR) AS body
   FROM region
+),
+entries AS (
+  SELECT r_regionkey, string_split(unnest(string_split(body, ';')), '=') AS ts
+  FROM conf
 )
 SELECT r_regionkey,
-       split_part(entry, '=', 1) AS conf_key,
-       split_part(entry, '=', 2) AS conf_value
-FROM (SELECT r_regionkey, unnest(string_split(body, ';')) AS entry FROM conf)
+       ts[1] AS conf_key,
+       CASE WHEN len(ts) >= 2 THEN array_to_string(ts[2:], '=') END AS conf_value
+FROM entries
 """
 
 
@@ -149,10 +156,12 @@ def q_udtf_explode_config(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey", F.explode(F.split(body, ";")).alias("entry")
     )
     kv = F.split(F.col("entry"), "=", 2)
+    # F.get, not getItem: an '='-less entry (a region name containing
+    # ';') has one part, and getItem(1) kills the job under ANSI.
     return exploded.select(
         "r_regionkey",
-        kv.getItem(0).alias("conf_key"),
-        kv.getItem(1).alias("conf_value"),
+        F.get(kv, 0).alias("conf_key"),
+        F.get(kv, 1).alias("conf_value"),
     )
 
 

@@ -22,11 +22,16 @@ def read_kv_df(spark: SparkSession, path: str) -> DataFrame:
     Quotes around values are stripped like the shell would."""
     lines = spark.read.text(path)
     kv = F.split(F.col("value"), "=", 2)
+    # F.get, not getItem: a non-comment line WITHOUT '=' has one part,
+    # and getItem(1) kills the whole config read under ANSI — a
+    # malformed conf line must surface as a NULL value instead.
     return (
         lines.filter(~F.col("value").rlike(r"^\s*(#|$)"))
         .select(
-            F.trim(kv.getItem(0)).alias("key"),
-            F.regexp_replace(F.trim(kv.getItem(1)), r'^"(.*)"$', r"$1").alias("value"),
+            F.trim(F.get(kv, 0)).alias("key"),
+            F.regexp_replace(
+                F.trim(F.get(kv, 1)), r'^"(.*)"$', r"$1"
+            ).alias("value"),
         )
     )
 

@@ -56,30 +56,43 @@ def write_fixture(d: str) -> None:
 
     region = _tbl(
         {
-            "r_regionkey": ([0, 1, 2], i32),
-            # empty name, unicode name, region with no nations (2)
-            "r_name": (["", "ASIE-ÉST", "ORPHAN"], s),
+            "r_regionkey": ([0, 1, 2, 3], i32),
+            # empty name, unicode name, region with no nations (2), and
+            # a name containing the config-entry separator (';' makes
+            # an '='-less entry in q_udtf_explode_config)
+            "r_name": (["", "ASIE-ÉST", "ORPHAN", "SEMI;COLON"], s),
         }
     )
     nation = _tbl(
         {
-            "n_nationkey": ([0, 1, 2, 3], i32),
-            "n_name": (["ALPHA", "", "gamma-γ", "DELTA"], s),
+            # row 4: NULL name — the kv 'NAME=key' line degenerates to a
+            # bare value with no '=' (q_scan_kv_config short-record path)
+            "n_nationkey": ([0, 1, 2, 3, 4], i32),
+            "n_name": (["ALPHA", "", "gamma-γ", "DELTA", None], s),
             # 9 -> missing region; NULL regionkey
-            "n_regionkey": ([0, 1, 9, None], i32),
+            "n_regionkey": ([0, 1, 9, None, 0], i32),
         }
     )
     customer = _tbl(
         {
-            "c_custkey": ([1, 2, 3, 4, 5, 6, 7, 8], i64),
+            # rows 9/10: NULL name / NULL mktsegment — concat_ws skips
+            # NULL fields, so delimited records come out SHORT; the
+            # parse side must yield NULL fields, not crash (ANSI
+            # getItem out-of-bounds — q_scan_delim)
+            "c_custkey": ([1, 2, 3, 4, 5, 6, 7, 8, 9, 10], i64),
             "c_name": (
-                ["Alice", "Alice", "", "Bob-ß", "Carl", "Dora", "Eve", "Frank"],
+                ["Alice", "Alice", "", "Bob-ß", "Carl", "Dora", "Eve", "Frank",
+                 None, "Grace"],
                 s,
             ),
-            "c_nationkey": ([0, 0, 1, 2, None, 3, 0, 1], i32),
-            "c_acctbal": ([0.25, -512.5, 0.0, None, 999999.75, -0.0, 10.25, 7.5], f64),
+            "c_nationkey": ([0, 0, 1, 2, None, 3, 0, 1, 2, 3], i32),
+            "c_acctbal": (
+                [0.25, -512.5, 0.0, None, 999999.75, -0.0, 10.25, 7.5, 1.0, 2.0],
+                f64,
+            ),
             "c_mktsegment": (
-                ["BUILDING", "", "BUILDING", "AUTO", "MACHINË", "AUTO", "BUILDING", "AUTO"],
+                ["BUILDING", "", "BUILDING", "AUTO", "MACHINË", "AUTO",
+                 "BUILDING", "AUTO", "AUTO", None],
                 s,
             ),
         }
