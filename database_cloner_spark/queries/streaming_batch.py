@@ -107,8 +107,17 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.with_watermark_filter(load(spark, sf_dir, "events"))
 
 
+# Canonical-survivor dedup (see ops.dedup_events): one row per
+# event_id, minimal (user_id, event_type), NULLS LAST — a bare
+# DISTINCT would keep BOTH rows of a conflicting duplicate id.
 _ORACLE_STREAM_DEDUP = """
-SELECT DISTINCT event_id, user_id, event_type FROM events
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY event_id
+                            ORDER BY user_id NULLS LAST,
+                                     event_type NULLS LAST) AS rn
+  FROM (SELECT DISTINCT event_id, user_id, event_type FROM events)
+) WHERE rn = 1
 """
 
 

@@ -148,17 +148,39 @@ def user_running_totals_batch(events: DataFrame) -> DataFrame:
 
 
 def dedup_events(events: DataFrame, within_watermark: bool = False) -> DataFrame:
-    """Stateful dedup on event_id. Streaming: dropDuplicatesWithinWatermark
-    bounds the key state; batch: plain dropDuplicates (same result set)."""
+    """Stateful dedup on event_id.
+
+    Streaming: dropDuplicatesWithinWatermark — FIRST-ARRIVAL survivor,
+    bounded key state (arrival order is the only order a stream has).
+
+    Batch: deterministic CANONICAL survivor — the minimal
+    (user_id, event_type) row per id, nulls last. A bare
+    dropDuplicates(["event_id"]) picks whichever row a task sees first,
+    which changes across partitionings/retries when duplicate ids carry
+    CONFLICTING payloads (at-least-once upstreams produce those), and
+    can never be oracle-checked. On conflicting duplicates the batch
+    and streaming survivors may therefore legitimately differ — batch
+    answers "one canonical row per id", streaming answers "the first
+    one seen"."""
     cols = ["event_id", "user_id", "event_type"]
-    projected = events.select(*cols)
     if within_watermark:
         return (
             events.withWatermark("ts", "1 hour")
             .dropDuplicatesWithinWatermark(["event_id"])
             .select(*cols)
         )
-    return projected.dropDuplicates(["event_id"])
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_id").orderBy(
+        F.asc_nulls_last("user_id"), F.asc_nulls_last("event_type")
+    )
+    return (
+        events.select(*cols)
+        .dropDuplicates(cols)  # full-row dups die before the window
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def purchase_click_interval_join(events: DataFrame) -> DataFrame:

@@ -77,6 +77,10 @@ _NASTY_EVENTS = [
     # every window/sessionize ordering over ts must pin the null order
     # explicitly or the engines silently disagree
     (27, None, 10, "view", 4.0, '{"k": 8}'),
+    # CONFLICTING duplicate event_id (at-least-once upstream rewrote the
+    # payload): dedup must pick a DETERMINISTIC canonical survivor, not
+    # whichever row a task saw first
+    (0, _ts("2024-01-05T00:00:00"), 99, "error", 9.75, '{"k": 99}'),
 ]
 
 _EXEMPT: dict[str, str] = {
