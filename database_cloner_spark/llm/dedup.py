@@ -36,11 +36,47 @@ from database_cloner_spark.llm.textprep import (
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """One surviving doc_id per normalized text + multiplicity."""
+    """One surviving doc_id per normalized text + multiplicity.
+
+    The shuffle key is `xxhash64(norm_text)` — 8 bytes — not the
+    document itself: at 100 TB, hash-partitioning, sorting and
+    comparing full documents as the group key is the dominant cost,
+    while an 8-byte key keeps the exchange narrow and the (radix)
+    sort cheap. The text still rides along ONCE per map-side partial
+    group (as the `min` aggregate value, combined map-side), because
+    the output contract includes it. Collision audit: a SECOND
+    independent 64-bit fingerprint (xxhash64 over salted text) must be
+    constant within each group — min==max over a long buffer, so the
+    audit ships 16 extra bytes per group instead of a second copy of
+    the document (a `max(norm_text)` audit would double the shuffled
+    text). `assert_true` fails the job loudly on a real collision
+    (both 64-bit hashes colliding: P ≈ n²/2¹²⁹) instead of silently
+    merging two distinct documents. The string agg buffer makes this a
+    SortAggregate rather than HashAggregate — sorting 8-byte keys
+    map-side is the cheap trade for the narrow exchange."""
+    h = F.xxhash64(F.col("norm_text"))
+    # independent fingerprint: salting the input is equivalent to an
+    # independent hash function (xxhash64's seed is not exposed)
+    h2 = F.xxhash64(F.concat(F.col("norm_text"), F.lit("\x01dcs")))
     return (
         docs.select(F.col("doc_id"), normalized(F.col(text_col)).alias("norm_text"))
-        .groupBy("norm_text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .groupBy(h.alias("__h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_copies"),
+            F.min("norm_text").alias("norm_text"),
+            F.min(h2).alias("__fp_lo"),
+            F.max(h2).alias("__fp_hi"),
+        )
+        .withColumn(
+            "__audit",
+            F.assert_true(
+                # null-safe: an all-NULL-text group must pass the audit
+                F.col("__fp_lo").eqNullSafe(F.col("__fp_hi")),
+                F.concat(F.lit("xxhash64 collision on exact-dedup key "), F.col("__h")),
+            ),
+        )
+        .filter(F.col("__audit").isNull())  # always true; keeps audit in the plan
         .select("doc_id", "norm_text", "n_copies")
     )
 

@@ -215,6 +215,91 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_RANGE_GRID = """
+SELECT band_id,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS band_total
+FROM orders
+JOIN (SELECT n_nationkey                    AS band_id,
+             n_nationkey * 7000.0           AS lo,
+             n_nationkey * 7000.0 + 21000.0 AS hi
+      FROM nation) bands
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_id
+"""
+
+
+@register("q_join_range_grid", oracle=_ORACLE_RANGE_GRID, tier="X")
+def q_join_range_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Big-big range join via grid bucketing (functions/range_join.py):
+    orders joined to OVERLAPPING nation-derived bands (width 21000,
+    stride 7000 — each total lands in up to 3 bands) with NO broadcast
+    hint on either side. The value domain is cut into fixed-width cells;
+    points land in one cell, intervals explode to every overlapping
+    cell, and the match is a plain hash equi-join on cell id — the
+    formulation that survives when BOTH sides are too large to
+    broadcast (a BNLJ there is |L|×|R|). Plan guarded no-BNLJ in
+    tests/test_range_join.py; output equality with the naive theta join
+    proven there for three cell widths. Oracle is the plain theta-join
+    SQL. (Ref analogue: the band probes of clone_databases.sh:632-641.)"""
+    points = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    intervals = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("band_id"),
+        (F.col("n_nationkey") * 7000.0).alias("lo"),
+        (F.col("n_nationkey") * 7000.0 + 21000.0).alias("hi"),
+    )
+    from database_cloner_spark.functions.range_join import grid_range_join
+
+    joined = grid_range_join(
+        points, intervals, "o_totalprice", "lo", "hi", cell_width=7000.0
+    )
+    return joined.groupBy("band_id").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("band_total"),
+    )
+
+
+_ORACLE_BUCKETED = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("q_join_bucketed", oracle=_ORACLE_BUCKETED, tier="X")
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join over bucketed storage (sources/bucketed.py):
+    lineitem and orders are persisted `bucketBy(8, orderkey)` +
+    bucket-sorted, so the join plan has NO Exchange on either side —
+    the write pays the shuffle once, every later join on that key is
+    free. This is the 100 TB answer to re-shuffling the same fact
+    table for every join. Plan-asserted shuffle-free in
+    tests/test_bucketed.py; here the driver checks output equality
+    with the plain (shuffled) join oracle. Bucketed tables are
+    external (explicit path under a per-user temp dir) so a plain
+    driver session needs no warehouse config; the write is skipped
+    when this session already registered the table (bucket metadata
+    is catalog-scoped, data is content-addressed by sf_dir)."""
+    from database_cloner_spark.sources.bucketed import (
+        bucketed_table_for,
+        bucketed_join,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    od = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    lt = bucketed_table_for(spark, li, sf_dir, "lineitem_bkt", "l_orderkey", 8)
+    rt = bucketed_table_for(spark, od, sf_dir, "orders_bkt", "l_orderkey", 8)
+    return bucketed_join(spark, lt, rt, "l_orderkey").groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+    )
+
+
 _ORACLE_ASOF = """
 SELECT
   p.event_id                                   AS purchase_id,

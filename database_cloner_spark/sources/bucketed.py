@@ -18,17 +18,75 @@ Rules encoded here:
 
 from __future__ import annotations
 
+import getpass
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed(
-    df: DataFrame, table: str, key: str, n_buckets: int = 32, sort: bool = True
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    path: str | None = None,
 ) -> None:
-    """Persist df hash-bucketed (and bucket-sorted) by `key`."""
+    """Persist df hash-bucketed (and bucket-sorted) by `key`.
+
+    With `path`, the table is EXTERNAL (data at `path`, bucket metadata
+    in the session catalog) — this decouples the write from
+    `spark.sql.warehouse.dir`, so it works in a plain foreign session
+    (e.g. the correctness driver's) whose warehouse location we don't
+    control."""
     writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
+
+
+def _scratch_root() -> str:
+    """Per-user 0o700 scratch dir for bucketed-table data (predictable
+    shared-tmp paths are clobber-able by other users — same hygiene as
+    sources/export_cache.py)."""
+    root = os.path.join(
+        tempfile.gettempdir(), f"dcs_buckets_{getpass.getuser()}"
+    )
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
+
+
+def bucketed_table_for(
+    spark: SparkSession,
+    df: DataFrame,
+    sf_dir: str,
+    base_name: str,
+    key: str,
+    n_buckets: int = 32,
+) -> str:
+    """Idempotently materialize `df` as a bucketed catalog table whose
+    identity is content-addressed by (sf_dir, base_name, key, buckets):
+    a different scale factor gets a different table, and a repeat call
+    in the same session reuses the catalog entry without re-paying the
+    bucketing shuffle (that once-only cost is the whole point of
+    bucketed storage)."""
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{base_name}|{key}|{n_buckets}".encode()
+    ).hexdigest()[:10]
+    table = f"dcs_{base_name}_{tag}"
+    if not spark.catalog.tableExists(table):
+        write_bucketed(
+            df,
+            table,
+            key,
+            n_buckets=n_buckets,
+            path=os.path.join(_scratch_root(), table),
+        )
+    return table
 
 
 def bucketed_join(

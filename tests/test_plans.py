@@ -106,9 +106,12 @@ def test_scan_projection_prunes_columns(spark):
 @pytest.mark.parametrize("name", ["q_dedup_exact", "q_text_line_dedup"])
 def test_dedup_aggs_partial_before_shuffle(spark, name):
     """Corpus-wide dedup/df aggregations must combine map-side (two
-    HashAggregate phases), not ship raw rows to one reducer."""
+    aggregate phases), not ship raw rows to one reducer. q_dedup_exact
+    plans SortAggregate (its string min buffer is not hash-map
+    mutable) — the partial/final split is what matters."""
     plan = _plan(spark, name)
-    assert plan.count("HashAggregate") >= 2
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "partial_" in plan
 
 
 @pytest.mark.parametrize("name", ["q3_shipping_priority", "q18_large_orders"])
@@ -156,3 +159,45 @@ def test_q3_filters_reach_scans(spark):
     plan = _plan(spark, "q3_shipping_priority")
     assert "GreaterThan(l_shipdate" in plan
     assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_exact_dedup_shuffles_hash_key_not_text(spark):
+    """VERDICT r4 #5: q_dedup_exact's group key must be the 8-byte
+    xxhash64, not the full document — at 100 TB that is the difference
+    between shuffling/sorting hashes and shuffling documents. The audit
+    (min(text) <=> max(text) per hash) must survive optimization so a
+    real collision fails loudly instead of silently merging docs."""
+    plan = _plan(spark, "q_dedup_exact")
+    assert "xxhash64" in plan, plan
+    assert "raise_error" in plan, plan  # assert_true lowers to raise_error
+    # the exchange partitions on the computed hash key, not norm_text
+    exchange = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchange and all("norm_text" not in ln for ln in exchange), plan
+    # still two-phase: partial agg map-side before the exchange
+    assert "partial_min" in plan
+
+
+def test_grid_range_join_key_plans_equi_join(spark):
+    """q_join_range_grid is the big-big formulation: the grid-cell
+    match must plan as an equi-join (hash/merge), never a nested loop
+    over the interval side."""
+    plan = _plan(spark, "q_join_range_grid")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert any(
+        j in plan for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    ), plan
+
+
+def test_bucketed_join_key_is_shuffle_free(spark):
+    """q_join_bucketed: with broadcast off (the 100 TB condition), the
+    only Exchange in the whole plan is the post-join groupBy — the join
+    itself reads both bucketed sides with zero shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "q_join_bucketed")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
