@@ -69,30 +69,42 @@ def cosine_topk_pandas(
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # np.stack needs a uniform shape: drop NULL and
-            # probe-dim-mismatched vectors (unscorable — the HOF path
-            # yields NULL cosine for them; here they simply don't
-            # compete for the top-k). One ragged batch must not kill
-            # the job (tests/test_adversarial_rows_only.py).
-            valid = pdf[vec_col].map(
-                lambda v: v is not None and len(v) == p.size
+            # Unscorable vectors (NULL, probe-dim mismatch, zero norm)
+            # get a NULL cosine — the SAME rows the exact HOF path
+            # produces via try_divide. Dropping them instead would make
+            # the two paths return different row counts whenever fewer
+            # than k scorable vectors exist (ADVICE r4): NULL-cosine
+            # rows still fill the LIMIT k, ranked last by
+            # desc-nulls-last + vec_id. np.stack needs a uniform shape,
+            # so scorables are scored as a sub-matrix and scattered
+            # back; one ragged batch must not kill the job
+            # (tests/test_adversarial_rows_only.py).
+            vecs = pdf[vec_col].to_numpy()
+            cos = np.full(len(pdf), np.nan)
+            idx = [
+                i
+                for i, v in enumerate(vecs)
+                if v is not None and len(v) == p.size
+            ]
+            if idx:
+                m = np.stack([np.asarray(vecs[i]) for i in idx]).astype(
+                    np.float64
+                )
+                norms = np.linalg.norm(m, axis=1)
+                sub = np.full(len(idx), np.nan)
+                scorable = norms > 0
+                sub[scorable] = (m[scorable] @ p_unit) / norms[scorable]
+                cos[idx] = sub
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    # nullable Float64: NaN -> <NA> -> Arrow null. A raw
+                    # float64 NaN would arrive as Spark NaN, which sorts
+                    # ABOVE every number in desc order — the opposite of
+                    # the exact path's NULL-last ranking.
+                    "cosine": pd.array(np.round(cos, 4), dtype="Float64"),
+                }
             )
-            pdf = pdf[valid]
-            if pdf.empty:
-                continue
-            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(m, axis=1)
-            # zero-norm vectors are unscorable too — the HOF path's
-            # try_divide cosine yields NULL for them (ranked last /
-            # excluded from the top-k); scoring them 0.0 here would rank
-            # them ABOVE negative-cosine neighbors and diverge from the
-            # exact form.
-            scorable = norms > 0
-            pdf, m, norms = pdf[scorable], m[scorable], norms[scorable]
-            if pdf.empty:
-                continue
-            cos = (m @ p_unit) / norms
-            yield pd.DataFrame({"vec_id": pdf["vec_id"], "cosine": np.round(cos, 4)})
 
     scored = embs.select("vec_id", vec_col).mapInPandas(
         score, schema="vec_id long, cosine double"

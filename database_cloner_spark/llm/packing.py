@@ -133,7 +133,10 @@ def pack_bins(
             n = int(n)
             if n > ctx_len:
                 assign.append(len(remaining))
-                remaining.append(0)  # dedicated, never joined
+                # dedicated, never joined: -1 sentinel so even a
+                # zero-token doc (rem >= n would hold at rem == n == 0)
+                # cannot first-fit into an oversize bin
+                remaining.append(-1)
                 used.append(n)
                 oversize.append(True)
                 continue

@@ -342,10 +342,56 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.quality_scores(load(spark, sf_dir, "documents"))
 
 
-@register("q_text_langid", oracle=None, tier="X")
+# Full two-phase oracle (VERDICT r4 #9 upgraded beyond the sketch: no
+# faked profile — DuckDB rebuilds the trigram profiles from scratch).
+# Determinism hinges on identical tie-breaks, which both engines give:
+# ROW_NUMBER over (n DESC, tg ASC) — string order is raw UTF-8 bytes on
+# both (= codepoint order) — and (score DESC, profile_lang ASC).
+_ORACLE_LANGID = """
+WITH tri AS (
+  SELECT DISTINCT doc_id, lang, tg
+  FROM (
+    SELECT doc_id, lang,
+           unnest([text[i:i+2] for i in range(1, len(text) - 1)]) AS tg
+    FROM documents WHERE len(text) >= 3
+  )
+),
+counts AS (
+  SELECT lang, tg, COUNT(*) AS n FROM tri GROUP BY lang, tg
+),
+profiles AS (
+  SELECT lang AS profile_lang, tg
+  FROM (SELECT lang, tg,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, tg ASC) AS rn
+        FROM counts)
+  WHERE rn <= 40
+),
+scored AS (
+  SELECT t.doc_id, p.profile_lang, COUNT(*) AS score
+  FROM tri t JOIN profiles p USING (tg)
+  GROUP BY t.doc_id, p.profile_lang
+),
+best AS (
+  SELECT doc_id, profile_lang AS predicted_lang, score
+  FROM (SELECT doc_id, profile_lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC,
+                                           profile_lang ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT d.doc_id, d.lang AS actual_lang, b.predicted_lang, b.score
+FROM documents d LEFT JOIN best b USING (doc_id)
+"""
+
+
+@register("q_text_langid", oracle=_ORACLE_LANGID, tier="X")
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Character-trigram-profile language ID (rows-only: two-phase
-    profile build + classify; determinism asserted in tests)."""
+    """Character-trigram-profile language ID: per-language top-40
+    trigram profiles built from the corpus itself, docs classified by
+    profile overlap (deterministic tie-breaks both phases). Fully
+    oracled — DuckDB rebuilds the profiles too (VERDICT r4 #9)."""
     return llmtext.language_id(load(spark, sf_dir, "documents"))
 
 

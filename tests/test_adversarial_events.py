@@ -12,7 +12,6 @@ with DuckDB on those inputs too.
 from __future__ import annotations
 
 import os
-import re
 from datetime import datetime
 
 import pyarrow as pa
@@ -20,7 +19,6 @@ import pyarrow.parquet as pq
 import pytest
 
 from database_cloner_spark.registry import specs
-from database_cloner_spark.sources.parquet import TABLES
 from tests.oracle_harness import compare_query
 
 
@@ -110,18 +108,9 @@ def nasty_dir(tmp_path_factory):
     return d
 
 
-def _events_only_keys() -> list[str]:
-    out = []
-    for name, spec in specs().items():
-        if spec.oracle is None:
-            continue
-        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
-        if used == {"events"}:
-            out.append(name)
-    return sorted(out)
+from database_cloner_spark.table_usage import keys_reading_only
 
-
-_KEYS = _events_only_keys()
+_KEYS = keys_reading_only({"events"})
 
 
 def test_events_only_key_inventory_is_substantial():

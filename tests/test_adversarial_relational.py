@@ -23,7 +23,6 @@ documented in tests/test_adversarial_events.py).
 from __future__ import annotations
 
 import os
-import re
 from datetime import datetime
 
 import pyarrow as pa
@@ -31,7 +30,6 @@ import pyarrow.parquet as pq
 import pytest
 
 from database_cloner_spark.registry import specs
-from database_cloner_spark.sources.parquet import TABLES
 from tests.oracle_harness import compare_query
 
 _REL = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
@@ -238,21 +236,12 @@ _EXEMPT: dict[str, str] = {
 }
 
 
-def _relational_keys() -> list[str]:
-    # Tolerance-verdict keys: oracle is a literal TRUE (no table names to
-    # discover), but the builder reads lineitem — the sketch-vs-exact
-    # bound must hold on nasty data too.
-    out = ["q_agg_approx_distinct", "q_agg_approx_percentile"]
-    for name, spec in specs().items():
-        if spec.oracle is None:
-            continue
-        used = {t for t in TABLES if re.search(rf"\b{t}\b", spec.oracle)}
-        if used and used <= set(_REL):
-            out.append(name)
-    return sorted(out)
+# Declared-usage selection (table_usage.py): includes the
+# tolerance-verdict keys automatically — their oracle is a literal TRUE
+# but their declared tables record the builder's lineitem input.
+from database_cloner_spark.table_usage import keys_reading_only
 
-
-_KEYS = _relational_keys()
+_KEYS = keys_reading_only(set(_REL))
 
 
 def test_relational_key_inventory_is_substantial():

@@ -734,3 +734,60 @@ def test_pack_bins_invariants(spark, sf_dir):
 
     again = pack_bins(docs, ctx_len=ctx).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pandas_cosine_topk_keeps_unscorable_rows(spark):
+    """ADVICE r4: with fewer than k scorable vectors, the pandas path
+    must match the exact HOF path row-for-row — unscorable vectors
+    (NULL / dim-mismatch / zero norm) surface as NULL-cosine rows that
+    fill the LIMIT k, ranked last, not silently dropped."""
+    from database_cloner_spark.functions.vector import cosine_topk_pandas
+    from database_cloner_spark.llm import similarity
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.5, 0.5, 0.0]),
+        (2, None),              # NULL vector
+        (3, [0.0, 0.0, 0.0]),   # zero norm
+        (4, [1.0, 0.0]),        # dim mismatch vs probe
+        (5, [0.0, 1.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = embs.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe")
+    )
+    exact = similarity.brute_force_topk(embs, probe, k=6).collect()
+    fast = cosine_topk_pandas(embs, [1.0, 0.0, 0.0], k=6).collect()
+    assert len(fast) == len(exact) == 6
+    assert [r.vec_id for r in fast] == [r.vec_id for r in exact]
+    for f, e in zip(fast, exact):
+        assert (f.cosine is None) == (e.cosine is None)
+        if f.cosine is not None:
+            assert abs(f.cosine - e.cosine) <= 1e-4
+
+
+def test_pack_bins_zero_token_doc_never_joins_oversize_bin(spark):
+    """ADVICE r4 (latent): a zero-token doc (NULL text) used to
+    first-fit into a dedicated oversize bin (remaining == 0 satisfies
+    rem >= n at n == 0). With the -1 sentinel it must land in a normal
+    bin; every oversize bin keeps exactly one member."""
+    from database_cloner_spark.llm.packing import pack_bins
+
+    rows = [
+        (1, "tok " * 600),  # oversize at ctx 512
+        (2, None),          # zero tokens
+        (3, "tok " * 700),  # oversize
+        (4, ""),            # zero tokens
+        (5, "a b c"),       # small normal doc
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_bins(docs, ctx_len=512, n_shards=1).collect()
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r.bin_id, []).append(r)
+    for members in by_bin.values():
+        if any(m.oversize for m in members):
+            assert len(members) == 1, members
+    zero_bins = {r.bin_id for r in out if r.n_tokens == 0}
+    oversize_bins = {r.bin_id for r in out if r.oversize}
+    assert not (zero_bins & oversize_bins)

@@ -387,3 +387,44 @@ def test_streaming_total_on_nasty_events(spark, tmp_path):
         for r in ops.tumbling_counts(load(spark, d, "events")).collect()
     }
     assert got == want and got
+
+
+def test_late_nanos_file_fails_stream_loudly(spark, tmp_path):
+    """VERDICT r4 #8: when the footer probe fell back to the MICROS
+    schema (no file at stream-definition time), a legacy
+    TIMESTAMP(NANOS) file arriving later must FAIL the stream — a
+    parquet type mismatch (nanosAsLong surfaces the column as INT64,
+    rejected by the declared TimestampType) — never a silent 1000x
+    timestamp misread."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    d = str(tmp_path / "late_nanos")
+    os.makedirs(d)
+    stream = events_stream(spark, d)  # probe falls back: no file yet
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                [1700000000_000_000_000, 1700000100_000_000_000],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([1, 1], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("late_nanos_loud")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="MISMATCH|mismatch"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    assert q.exception() is not None
