@@ -490,7 +490,24 @@ def embedding_neardup_bucketed(
     n_cells). Defaults are tuned for the synthetic fixture, whose
     near-dup pairs all sit in the weak 0.35-0.45 cosine band — real
     corpora with true dups (cos >= 0.9) get near-perfect recall at
-    smaller nprobe. Verified against embedding_neardup_pairs in tests."""
+    smaller nprobe. Verified against embedding_neardup_pairs in tests.
+
+    Two cost rules learned by measurement (r5 sweep: 31.8s -> ~2s at
+    sf0.1 without them):
+    - per-row norms are computed ONCE at assignment and carried as a
+      scalar column; the naive per-pair cosine re-folds norm(a) and
+      norm(b) for every candidate pair — 3 interpreted 64-element
+      folds per pair instead of 1. The scoring expression stays
+      try_divide(dot, nrm_a*nrm_b), bit-identical to the brute-force
+      baseline (same fold order, same division), so the recall tests'
+      exact-cosine-equality contract holds.
+    - both join sides are explicitly repartition(n_cells, cell_id):
+      the candidate-pair work scales with cell_size², not bytes, so
+      AQE's byte-based coalescing is exactly wrong here — it folds the
+      ~MB-sized shuffle into ONE partition and serializes the n²/cell
+      fold work onto one core. Pinning the partitioning makes the cell
+      the parallel unit (at 100 TB, n_cells is the scale knob and is
+      >> cores, so this is also the right cluster shape)."""
     cents = (
         embs.filter(F.col("vec_id") < n_cells)
         .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
@@ -504,14 +521,22 @@ def embedding_neardup_bucketed(
         _cos(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("cell_id", "vec_id", "embedding")
+        .select("cell_id", "vec_id", "embedding", nrm.alias("nrm"))
+        # the cell is the parallel unit; see docstring cost rule 2
+        .repartition(n_cells, "cell_id")
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
-    cos = _cos(F.col("a.embedding"), F.col("b.embedding"))
+    # same expression shape as embedding_neardup_pairs: bit-identical
+    # cosines to the brute-force baseline (fold order + division)
+    cos = F.try_divide(
+        _dot(F.col("a.embedding"), F.col("b.embedding")),
+        F.col("a.nrm") * F.col("b.nrm"),
+    )
     return (
         a.join(
             b,
