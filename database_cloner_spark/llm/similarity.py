@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from database_cloner_spark.functions.partitioning import spread
 from database_cloner_spark.functions.vector import cosine as _cosine
 from database_cloner_spark.functions.vector import dot as _dot
 from database_cloner_spark.functions.vector import norm as _norm
@@ -66,6 +67,10 @@ def kmeans_centroids(
     worst within-cell join cost of the bucketed near-dup
     (~Σcell²) and evens IVF probe latency."""
     cents = seed_centroids(embs, n_cells)
+    # per-vector scoring folds are map-side work bounded by the scan's
+    # split count — a one-file local dataset runs them on one core
+    # without this (identity at production split counts)
+    embs = spread(embs)
     for _ in range(iters):
         scored = embs.crossJoin(F.broadcast(cents)).select(
             "vec_id",
@@ -106,7 +111,7 @@ def ivf_assign(
     `kmeans_centroids(...)` output for refined cells. Output is the
     reusable inverted file: (cell_id, vec_id, embedding)."""
     cents = centroids if centroids is not None else seed_centroids(embs, n_cells)
-    scored = embs.crossJoin(F.broadcast(cents)).select(
+    scored = spread(embs).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell_id",
@@ -228,7 +233,10 @@ def pq_subvectors(embs: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.slice(F.col("embedding"), j * d + F.lit(1), F.lit(d)),
     )
-    return embs.select(
+    # downstream consumers (codebook refinement, encoding) do per-row
+    # l2 folds against a broadcast codebook map-side — bound by split
+    # count, so spread a one-split local dataset first
+    return spread(embs).select(
         "vec_id", F.posexplode(pieces).alias("sub", "subvec")
     )
 
@@ -284,6 +292,10 @@ def pq_codebooks(
                 F.transform(F.col("__dm"), lambda s: s["m"]).alias("codeword"),
             )
         )
+    # NOTE: cb is consumed by both pq_encode and the ADC table; a lazy
+    # localCheckpoint here was measured NEUTRAL at sf0.1 (the refinement
+    # recompute is cheaper than the materialization barrier), so the
+    # plan is left pure.
     return cb
 
 
