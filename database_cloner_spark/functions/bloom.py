@@ -1,0 +1,85 @@
+"""Distributed Bloom filter as pure DataFrame ops.
+
+The classic 100 TB membership primitive: "is this key in that other
+table?" without shuffling either side. Spark's runtime uses Bloom
+filters internally for join pruning, but `bloom_filter_agg` is not
+exposed as a SQL-callable routine in Spark 4 — so this module builds
+the same structure from first principles, keeping every step JVM-side:
+
+- k independent hash positions per key via SALTED `xxhash64(key, i)`
+  (hashing the (key, salt) tuple is an independent 64-bit family);
+- build: explode keys to (word, bit) pairs and `bit_or`-aggregate a
+  word-indexed bitmap — the shuffle carries ≤ n_keys × k rows of 16
+  bytes, partially combined map-side, and the result is m/64 longs
+  (a 1 Mbit filter is 16 KB — broadcast-trivial);
+- probe: the bitmap broadcasts as a map<word,bits>; membership is a
+  map-side conjunction of k bit tests. `try_element_at` (not
+  `element_at`) for absent words: ANSI mode throws on missing map
+  keys, and a sparse filter legitimately omits all-zero words.
+
+Guarantees are the textbook ones: NO false negatives (verified as a
+hard invariant by q_bloom_probe), false-positive rate ≈
+(1 - e^(-k·n/m))^k — with the default m=2²⁰ bits, k=5 and 100k keys
+that is ~0.2%. Size m for the EXPECTED key count at your scale; the
+filter itself never degrades silently, only the FP rate grows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_M_BITS = 1 << 20
+DEFAULT_K = 5
+
+
+def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    """k independent bit positions in [0, m_bits)."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)) for i in range(k)
+    ]
+
+
+def build_bloom(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = DEFAULT_M_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Aggregate `keys[key_col]` (NULLs ignored — NULL is not a member)
+    into a single-row bitmap: (bloom: map<long,long>) of word_index →
+    64-bit word, all-zero words omitted."""
+    pos = keys.filter(F.col(key_col).isNotNull()).select(
+        F.explode(F.array(*_positions(F.col(key_col), m_bits, k))).alias("p")
+    )
+    words = pos.select(
+        (F.col("p") / 64).cast("long").alias("w"),
+        F.shiftleft(F.lit(1).cast("long"), F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("b"),
+    )
+    return (
+        words.groupBy("w")
+        .agg(F.bit_or("b").alias("bits"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("w", "bits")))
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_contains(key: Column, bloom: Column, m_bits: int = DEFAULT_M_BITS, k: int = DEFAULT_K) -> Column:
+    """Map-side membership test: true iff every one of the key's k bits
+    is set. NULL keys test false (a NULL was never inserted)."""
+    def bit_set(p: Column) -> Column:
+        word = F.coalesce(
+            F.try_element_at(bloom, (p / 64).cast("long")), F.lit(0).cast("long")
+        )
+        mask = F.shiftleft(F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int"))
+        return word.bitwiseAND(mask) != F.lit(0).cast("long")
+
+    tests = [bit_set(p) for p in _positions(key, m_bits, k)]
+    return F.when(key.isNull(), F.lit(False)).otherwise(
+        reduce(lambda a, b: a & b, tests)
+    )

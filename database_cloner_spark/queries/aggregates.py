@@ -273,3 +273,66 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Empty/all-NULL column: approx is NULL, comparisons are NULL — the
     # guarantee is vacuously met.
     return ranked.select(F.coalesce(ok, F.lit(True)).alias("within_tolerance"))
+
+
+# Bloom membership: n_member_keys is exact (hash-checkable); the filter
+# quality claims are verdicts — NO false negative ever (hard invariant
+# of the structure), FP rate under a generous bound (deterministic
+# given the data: xxhash64 is seeded, not random).
+_ORACLE_BLOOM_PROBE = """
+SELECT COUNT(DISTINCT o_custkey)    AS n_member_keys,
+       CAST(0 AS BIGINT)            AS false_negatives,
+       TRUE                         AS within_tolerance
+FROM orders WHERE o_custkey IS NOT NULL
+"""
+
+
+@register("q_bloom_probe", oracle=_ORACLE_BLOOM_PROBE, tier="X")
+def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom-filter membership (functions/bloom.py): build
+    a bitmap over orders' customer keys (explode to (word, bit) +
+    map-side-combined bit_or — the 100 TB build is one narrow shuffle
+    of 16-byte rows), broadcast it as a map<word,bits>, and probe the
+    key universe map-side. Verifies the textbook contract: every true
+    member hits (false_negatives == 0, a hard invariant), false-positive
+    rate among true non-members stays under 5% (default sizing
+    m=2^20/k=5 gives ~0.2% at 100k keys). This is the shuffle-free
+    pre-filter for semi-joins: at scale, probing a broadcast 16 KB-16 MB
+    bitmap replaces shuffling the fact table against the key set."""
+    from database_cloner_spark.functions.bloom import bloom_contains, build_bloom
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    bloom = build_bloom(orders, "o_custkey")
+    mem = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+        .withColumn("member", F.lit(True))
+    )
+    non = (
+        cust.select(F.col("c_custkey").alias("key"))
+        .distinct()
+        .join(mem.select("key"), "key", "left_anti")
+        .withColumn("member", F.lit(False))
+    )
+    univ = mem.unionByName(non)
+    probed = univ.crossJoin(F.broadcast(bloom)).select(
+        "key",
+        "member",
+        bloom_contains(F.col("key"), F.col("bloom")).alias("hit"),
+    )
+    m = probed.agg(
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_member_keys"),
+        F.sum(F.when(F.col("member") & ~F.col("hit"), 1).otherwise(0)).alias(
+            "false_negatives"
+        ),
+        F.sum(F.when(~F.col("member") & F.col("hit"), 1).otherwise(0)).alias("__fp"),
+        F.sum(F.when(~F.col("member"), 1).otherwise(0)).alias("__non"),
+    )
+    ok = (F.col("false_negatives") == 0) & (
+        (F.col("__non") == 0) | (F.col("__fp") / F.col("__non") <= 0.05)
+    )
+    return m.select(
+        "n_member_keys", "false_negatives", ok.alias("within_tolerance")
+    )
