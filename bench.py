@@ -55,16 +55,24 @@ def main() -> None:
     # Warm-up: JVM JIT + parquet footer cache (untimed).
     registry["q1_pricing_summary"].builder(spark, sf_dir).count()
 
+    # ONE broken key must cost one `errors` entry, not the whole artifact:
+    # r5's never-executed bloom commit crashed the sweep and zeroed
+    # BENCH_r05.json (rc 1, parsed null) — the gating figure lost again.
+    errors: dict[str, str] = {}
     timings: dict[str, float] = {}
     for name in names:
         builder = registry[name].builder
         best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            df = builder(spark, sf_dir)
-            # Force full execution without driver-side row transfer.
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.perf_counter()
+                df = builder(spark, sf_dir)
+                # Force full execution without driver-side row transfer.
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -80,19 +88,46 @@ def main() -> None:
     # otherwise swamp the trend line. The headline metric (above,
     # best-of-3, frozen set) stays the gate. SPARK_GRAFT_SKIP_SWEEP=1
     # skips it.
-    sweep: dict[str, float] = {}
-    if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
+    def sweep_all(d: str, skip: set[str], errs: dict[str, str]) -> dict[str, float]:
+        out: dict[str, float] = {}
         for name, spec in registry.items():
-            if name in timings:
+            if name in skip or name in errs:
                 continue
             best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                spec.builder(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                best = min(best, time.perf_counter() - t0)
-            sweep[name] = round(best, 4)
+            try:
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    spec.builder(spark, d).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                errs[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            out[name] = round(best, 4)
+        return out
+
+    sweep: dict[str, float] = {}
+    if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
+        sweep = sweep_all(sf_dir, set(timings), errors)
+
+    # Second-scale sweep (VERDICT r5 #7): the ROUND-tie and AQE-coalescing
+    # pathologies were only ever caught by running the SAME plans at a
+    # different sf — plan flips (broadcast<->SMJ, coalesce collapse) are
+    # scale-dependent. Full sweep incl. the headline keys, single pass
+    # economics via best-of-2; recorded per-sf in BENCH_DETAIL.json only
+    # (non-gating).
+    second_sf_dir = os.environ.get(
+        "SPARK_GRAFT_SECOND_SF_DIR", "/root/testdata/sf0.01"
+    )
+    second_sweep: dict[str, float] = {}
+    second_errors: dict[str, str] = {}
+    if (
+        not os.environ.get("SPARK_GRAFT_SKIP_SWEEP")
+        and os.path.isdir(second_sf_dir)
+        and os.path.realpath(second_sf_dir) != os.path.realpath(sf_dir)
+    ):
+        second_sweep = sweep_all(second_sf_dir, set(), second_errors)
     # headline keys contribute their (best-of-3) headline timing
     sweep_total = round(sum(sweep.values()) + sum(timings.values()), 4)
     sweep_n = len(sweep) + len(timings)
@@ -108,6 +143,7 @@ def main() -> None:
     from database_cloner_spark.pipeline.clone import CloneConfig, ClonePipeline
 
     scratch = tempfile.mkdtemp(prefix="dcs_bench_clone_")
+    clone_rows, clone_sec, clone_rps = 0, 0.0, 0
     try:
         t0 = time.perf_counter()
         run = ClonePipeline(
@@ -123,6 +159,8 @@ def main() -> None:
         clone_sec = time.perf_counter() - t0
         clone_rows = sum(r.rows for r in run.results)
         clone_rps = round(clone_rows / clone_sec) if clone_sec > 0 else 0
+    except Exception as exc:  # noqa: BLE001 — gate line must still print
+        errors["__clone_pipeline__"] = f"{type(exc).__name__}: {exc}"[:200]
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 
@@ -142,6 +180,11 @@ def main() -> None:
                 "all_keys_queries": sweep,
                 "all_keys_total_sec": sweep_total,
                 "all_keys_n": sweep_n,
+                "errors": errors,
+                "second_sf": second_sf_dir.rstrip("/").split("sf")[-1],
+                "second_sf_queries": second_sweep,
+                "second_sf_total_sec": round(sum(second_sweep.values()), 4),
+                "second_sf_errors": second_errors,
             },
             fh,
             indent=1,
@@ -165,6 +208,7 @@ def main() -> None:
                 "clone_rows": clone_rows,
                 "clone_sec": round(clone_sec, 4),
                 "clone_rows_per_sec": clone_rps,
+                "n_errors": len(errors),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -42,6 +42,17 @@ def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
     ]
 
 
+def _bit_mask(p: Column) -> Column:
+    """1L << (p % 64) with a COLUMN shift amount. The PySpark wrapper
+    `F.shiftleft(col, numBits)` only accepts a Python-int shift
+    (py4j raises "Column is not iterable" at plan-build otherwise —
+    the r5 bloom crash); the underlying SQL function takes any
+    expression, so call it directly."""
+    return F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+    )
+
+
 def build_bloom(
     keys: DataFrame,
     key_col: str,
@@ -56,7 +67,7 @@ def build_bloom(
     )
     words = pos.select(
         (F.col("p") / 64).cast("long").alias("w"),
-        F.shiftleft(F.lit(1).cast("long"), F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("b"),
+        _bit_mask(F.col("p")).alias("b"),
     )
     return (
         words.groupBy("w")
@@ -76,8 +87,7 @@ def bloom_contains(key: Column, bloom: Column, m_bits: int = DEFAULT_M_BITS, k: 
         word = F.coalesce(
             F.try_element_at(bloom, (p / 64).cast("long")), F.lit(0).cast("long")
         )
-        mask = F.shiftleft(F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int"))
-        return word.bitwiseAND(mask) != F.lit(0).cast("long")
+        return word.bitwiseAND(_bit_mask(p)) != F.lit(0).cast("long")
 
     tests = [bit_set(p) for p in _positions(key, m_bits, k)]
     return F.when(key.isNull(), F.lit(False)).otherwise(

@@ -330,8 +330,12 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~F.col("member") & F.col("hit"), 1).otherwise(0)).alias("__fp"),
         F.sum(F.when(~F.col("member"), 1).otherwise(0)).alias("__non"),
     )
+    # try_divide, not `/`: ANSI division only avoids DIVIDE_BY_ZERO here
+    # via runtime Or short-circuiting — fragile; engine-wide totality rule
+    # (SCALE.md rule 7) says data-driven divides are always the try_ form.
     ok = (F.col("false_negatives") == 0) & (
-        (F.col("__non") == 0) | (F.col("__fp") / F.col("__non") <= 0.05)
+        (F.col("__non") == 0)
+        | (F.try_divide(F.col("__fp"), F.col("__non")) <= 0.05)
     )
     return m.select(
         "n_member_keys", "false_negatives", ok.alias("within_tolerance")

@@ -340,3 +340,44 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         F.date_format("last_click_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
     )
+
+
+_ORACLE_BLOOM_SEMI = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+@register("q_join_bloom_semi", oracle=_ORACLE_BLOOM_SEMI, tier="X")
+def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated semi-join — the membership primitive of
+    functions/bloom.py doing its actual 100 TB job. The key set
+    (BUILDING-segment customers) is aggregated into a 16 KB bitmap;
+    the fact side (orders) probes it MAP-SIDE via the broadcast
+    map<word,bits> — at scale this discards ~all non-members before
+    any join machinery runs — and the survivors (true members + the
+    ~0.2% false positives the filter admits) are finished with an
+    exact broadcast LEFT SEMI join, so the OUTPUT is exactly the
+    plain semi-join (the oracle) regardless of FP rate. The probe
+    side never shuffles: the only Exchanges in the plan belong to the
+    tiny build side (bitmap groupBy + broadcasts) —
+    tests/test_plans.py pins `hashpartitioning(o_` out of the plan."""
+    from database_cloner_spark.functions.bloom import bloom_contains, build_bloom
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    bloom = build_bloom(keys, "c_custkey")
+    prefiltered = (
+        orders.join(F.broadcast(bloom))  # 1-row bitmap: BNLJ, audited
+        .filter(bloom_contains(F.col("o_custkey"), F.col("bloom")))
+        .select("o_orderkey", "o_custkey")
+    )
+    exact = F.broadcast(keys)
+    return prefiltered.join(
+        exact, prefiltered.o_custkey == exact.c_custkey, "left_semi"
+    )

@@ -69,13 +69,18 @@ def bucketed_table_for(
     n_buckets: int = 32,
 ) -> str:
     """Idempotently materialize `df` as a bucketed catalog table whose
-    identity is content-addressed by (sf_dir, base_name, key, buckets):
-    a different scale factor gets a different table, and a repeat call
+    identity is content-addressed by (sf_dir FINGERPRINT, base_name,
+    key, buckets): a different scale factor gets a different table, a
+    fixture dir REWRITTEN in place gets a fresh table (the fingerprint
+    covers every member file's mtime+size — ADVICE r5: a path-only tag
+    silently reused stale buckets within a session), and a repeat call
     in the same session reuses the catalog entry without re-paying the
     bucketing shuffle (that once-only cost is the whole point of
     bucketed storage)."""
+    from database_cloner_spark.sources.export_cache import dataset_fingerprint
+
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{base_name}|{key}|{n_buckets}".encode()
+        f"{dataset_fingerprint(sf_dir)}|{base_name}|{key}|{n_buckets}".encode()
     ).hexdigest()[:10]
     table = f"dcs_{base_name}_{tag}"
     if not spark.catalog.tableExists(table):

@@ -23,23 +23,25 @@ LEDGER = os.path.join(
 
 
 def main(paths: list[str]) -> None:
-    ledger: dict[str, dict] = {}
+    # The ledger on disk is a plain sorted LIST of green key names —
+    # registry._driver_green() does set(json.load(f)). (An earlier dict
+    # format also round-trips: set(dict) is its keys.)
+    ledger: set[str] = set()
     if os.path.exists(LEDGER):
         with open(LEDGER) as f:
-            ledger = json.load(f)
+            ledger = set(json.load(f))
     for path in paths:
-        rnd = os.path.basename(path)
         with open(path) as f:
             rows = json.load(f)
         for key, row in rows.items():
             if row.get("hash_match") is True:
-                ledger[key] = {"status": "pass", "source": rnd}
+                ledger.add(key)
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # Rows-only by design (SURVEY.md marks these ✗-oracle).
-                ledger[key] = {"status": "rows_only", "source": rnd}
+                ledger.add(key)
             # FAIL rows and missing keys stay out: they must be re-checked.
     with open(LEDGER, "w") as f:
-        json.dump(dict(sorted(ledger.items())), f, indent=1)
+        json.dump(sorted(ledger), f, indent=0)
         f.write("\n")
     print(f"ledger: {len(ledger)} driver-green keys -> {LEDGER}")
 

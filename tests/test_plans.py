@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "q_sim_pq_topk",             # 1-row probe vector vs m×k codebook
     "q_sim_ivfpq_topk",          # 1-row probe vector (cell ranking + ADC table)
     "q_agg_approx_percentile",   # 1-row sketch result broadcast for the rank check
+    "q_bloom_probe",             # 1-row bloom bitmap broadcast for the probe
+    "q_join_bloom_semi",         # 1-row bloom bitmap broadcast pre-filter
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -201,3 +203,15 @@ def test_bucketed_join_key_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_bloom_semi_probe_side_never_shuffles(spark):
+    """q_join_bloom_semi: the fact (probe) side must never be a shuffle
+    key — the bloom bitmap pre-filter is map-side against a broadcast
+    map, and the exact FP-kill is a broadcast LEFT SEMI. The only
+    Exchanges allowed belong to the tiny build side (the bitmap groupBy
+    on word index + broadcasts)."""
+    plan = _plan(spark, "q_join_bloom_semi")
+    assert "hashpartitioning(o_custkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
