@@ -340,3 +340,73 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "n_member_keys", "false_negatives", ok.alias("within_tolerance")
     )
+
+
+# CMS verdict: the top-10 keys and their exact counts are hash-checked
+# against the oracle; the sketch-quality claims are verdict columns —
+# an estimate NEVER undercounts (hard CMS invariant), and overcounts
+# by at most ceil(e/w * N) (deterministic: xxhash64 is seeded).
+_ORACLE_FREQ_SKETCH = """
+SELECT o_custkey, cnt AS true_cnt,
+       TRUE AS no_underestimate,
+       TRUE AS within_bound
+FROM (
+  SELECT o_custkey, COUNT(*) AS cnt
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY o_custkey
+  ORDER BY cnt DESC, o_custkey
+  LIMIT 10
+)
+"""
+
+
+@register("q_freq_sketch_topk", oracle=_ORACLE_FREQ_SKETCH, tier="X")
+def q_freq_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy-hitter check (functions/sketch.py): build
+    a d=5 × w=2048 counter sketch over orders' customer keys (explode
+    to cells + map-side-combined counts — the 100 TB build is one
+    narrow shuffle of 16-byte rows into a FIXED-size, mergeable
+    structure), broadcast it as a map, and probe the exact top-10 keys
+    map-side. Verifies the textbook one-sided contract per key:
+    estimate >= exact count (hard invariant) and estimate - exact <=
+    ceil(e/w * N) (the Cormode-Muthukrishnan bound). At scale this is
+    how per-key frequencies are tracked without a 10^9-entry hash map:
+    the sketch is ~160 KB no matter the cardinality and merges across
+    days/partitions by cell-wise addition."""
+    import math
+
+    from database_cloner_spark.functions.sketch import (
+        DEFAULT_W,
+        build_cms,
+        cms_estimate,
+    )
+
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .filter(F.col("o_custkey").isNotNull())
+    )
+    cms = build_cms(keys, "o_custkey")
+    exact = keys.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    top = exact.orderBy(F.desc("true_cnt"), F.asc("o_custkey")).limit(10)
+    # N rides along as a 1-row broadcast (same pattern as the tf-idf
+    # corpus count); e/w * N is the public overcount bound.
+    total = keys.agg(F.count(F.lit(1)).alias("__n"))
+    probed = (
+        top.join(F.broadcast(cms))
+        .join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "true_cnt",
+            cms_estimate(F.col("o_custkey"), F.col("cms")).alias("__est"),
+            F.ceil(F.col("__n") * F.lit(math.e / DEFAULT_W)).alias("__bound"),
+        )
+    )
+    return probed.select(
+        "o_custkey",
+        "true_cnt",
+        (F.col("__est") >= F.col("true_cnt")).alias("no_underestimate"),
+        ((F.col("__est") - F.col("true_cnt")) <= F.col("__bound")).alias(
+            "within_bound"
+        ),
+    )

@@ -396,3 +396,64 @@ def q_sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("doc_id", "lang")
     )
+
+
+_ES_SEED = 7
+_ES_K = 50
+
+# Efraimidis–Spirakis key in SQL: u = (knuth_hash(doc_id + seed) + 0.5)/MOD
+# is a deterministic uniform in (0,1); ln(u)/w is the ES priority
+# (maximizing it == maximizing u^(1/w)). Both engines evaluate the same
+# IEEE-754 double expression; the only transcendental is ln, whose
+# cross-engine agreement has ~1e16 relative margin against the key gaps
+# at the rank-k boundary (adjacent priorities differ in the 3rd-6th
+# digit on every fixture — pinned in tests/test_sampling.py).
+_ORACLE_SAMPLE_WEIGHTED = f"""
+SELECT doc_id FROM (
+  SELECT doc_id,
+         ln(((((doc_id + {_ES_SEED}) % {_MOD}) * {_KNUTH}) % {_MOD} + 0.5)
+            / {_MOD}) / n_chars AS es_key
+  FROM documents
+  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY es_key DESC, doc_id
+  LIMIT {_ES_K}
+)
+"""
+
+
+def es_sample(df, key_col: str, weight_col: str, k: int, seed: int = _ES_SEED):
+    """Efraimidis–Spirakis weighted sample WITHOUT replacement: the k
+    rows with the largest hash-derived priorities u^(1/w) (compared in
+    the monotone-equivalent ln(u)/w form). Deterministic in (key, seed);
+    rows with NULL keys or non-positive/NULL weights are excluded."""
+    eligible = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(weight_col).isNotNull()
+        & (F.col(weight_col) > 0)
+    )
+    h = (((F.col(key_col) + F.lit(seed)) % F.lit(_MOD)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    u = (h + F.lit(0.5)) / F.lit(_MOD)
+    es_key = F.log(u) / F.col(weight_col)
+    return (
+        eligible.withColumn("__es_key", es_key)
+        .orderBy(F.desc("__es_key"), F.asc(key_col))
+        .limit(k)
+    )
+
+
+@register("q_sample_weighted", oracle=_ORACLE_SAMPLE_WEIGHTED, tier="X")
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis 2006, public): each doc draws priority
+    u^(1/w) — u a hash-derived uniform, w = n_chars — and the k
+    largest priorities are the sample, so inclusion probability is
+    weight-proportional. This is the training-mix primitive ("sample
+    50 docs weighted by length/quality score") done the deterministic
+    way: same rows selected on any cluster, any partitioning, any
+    retry — unlike rand()-based samplers. Scale shape: the priority is
+    a map-side expression and top-k is TakeOrderedAndProject
+    (per-partition heaps) — embarrassingly parallel, no global sort,
+    no weight-explode (O(n), not O(total_weight)). Zero/NULL weights
+    are excluded (a zero-weight doc must never be drawn)."""
+    docs = load(spark, sf_dir, "documents")
+    return es_sample(docs, "doc_id", "n_chars", _ES_K).select("doc_id")

@@ -123,3 +123,48 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey")
     li = load(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
     return orders.intersect(li)
+
+
+def _zorder_oracle() -> str:
+    from database_cloner_spark.functions.zorder import z_value_sql
+
+    z = z_value_sql("o_custkey", "day_nr")
+    return f"""
+SELECT o_orderkey, CAST({z} AS BIGINT) AS zval
+FROM (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS day_nr
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+)
+ORDER BY zval, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q_sort_zorder", oracle=_zorder_oracle(), tier="X")
+def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) multi-dimensional sort key (functions/zorder.py):
+    interleave the low 8 bits of customer key and order-date day-number
+    into one long and take the 20 smallest — the code is a pure
+    whole-stage-codegen bit expression, and the identical SQL form
+    (z_value_sql) lets the oracle hash-check every interleaved value
+    cross-engine. The 100 TB use is LAYOUT, not this query: writing
+    files range-partitioned on z bounds each file's (custkey, date)
+    min/max to a Morton rectangle so filters on EITHER dimension prune
+    files (tests/test_zorder.py measures the second-dimension span
+    collapse vs a single-key sort). Top-k is TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    from database_cloner_spark.functions.zorder import z_value
+
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
+    day_nr = F.datediff(
+        F.to_date("o_orderdate"), F.to_date(F.lit("1992-01-01"))
+    )
+    with_z = orders.select(
+        "o_orderkey",
+        z_value(F.col("o_custkey"), day_nr).alias("zval"),
+    )
+    return with_z.orderBy(F.asc("zval"), F.asc("o_orderkey")).limit(20)

@@ -75,6 +75,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_filter_notpid": ("events",),
     "q_filter_prefix": ("customer",),
     "q_filter_rlike": ("documents",),
+    "q_freq_sketch_topk": ("orders",),
     "q_funnel": ("events",),
     "q_intersect": ("lineitem", "orders"),
     "q_join_anti": ("customer", "orders"),
@@ -105,6 +106,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sample_mixture": ("documents",),
     "q_sample_pergroup": ("documents",),
     "q_sample_split": ("documents",),
+    "q_sample_weighted": ("documents",),
     "q_sample_stratified": ("documents",),
     "q_sample_token_budget": ("documents",),
     "q_scan_binary": ALL_TABLES,  # binaryFile scan of the whole sf_dir
@@ -123,6 +125,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sim_topk": ("embeddings",),
     "q_sim_topk_pandas": ("embeddings",),
     "q_sort": ("orders",),
+    "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
     "q_str_concat": ("nation",),
     "q_str_mask": ("supplier",),

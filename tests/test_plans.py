@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "q_agg_approx_percentile",   # 1-row sketch result broadcast for the rank check
     "q_bloom_probe",             # 1-row bloom bitmap broadcast for the probe
     "q_join_bloom_semi",         # 1-row bloom bitmap broadcast pre-filter
+    "q_freq_sketch_topk",        # 1-row CMS map + 1-row total-count frame
 }
 
 SF_DIR = "/root/testdata/sf0.001"
