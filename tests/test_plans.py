@@ -216,3 +216,23 @@ def test_bloom_semi_probe_side_never_shuffles(spark):
     assert "hashpartitioning(o_custkey" not in plan, plan
     assert "hashpartitioning(o_orderkey" not in plan, plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q_sort_zorder", "q_sample_weighted"])
+def test_priority_topk_keys_never_shuffle(spark, name):
+    """Z-order top-k and ES weighted sampling are map-side priority
+    expressions + TakeOrderedAndProject (per-partition heaps): ZERO
+    exchanges besides the final limit gather — the O(n), shuffle-free
+    shape both claim at 100 TB."""
+    plan = _plan(spark, name)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_cms_build_combines_map_side(spark):
+    """q_freq_sketch_topk: the sketch build and the exact-count branch
+    must both partial-aggregate before their exchanges — the shuffle
+    carries combined cell counts, not one row per (key, hash)."""
+    plan = _plan(spark, "q_freq_sketch_topk")
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
