@@ -128,6 +128,31 @@ def main() -> None:
         and os.path.realpath(second_sf_dir) != os.path.realpath(sf_dir)
     ):
         second_sweep = sweep_all(second_sf_dir, set(), second_errors)
+
+    # Automated scale-flip detection over the two sweeps. With ~10x the
+    # data a healthy key grows at most ~linearly (ratio <= ~10 plus
+    # fixed overhead); flag the two pathology shapes:
+    #  - superlinear: big-sf time >> data growth x small-sf time (an
+    #    all-pairs/cartesian shape, or AQE collapsing a compute-heavy
+    #    stage — the q_dedup_embedding_bucketed class);
+    #  - inverted: SMALLER data measurably slower (a plan flip, e.g.
+    #    broadcast->SMJ at one size only, or a size-triggered replan).
+    # Thresholds are conservative (absolute floors above the ~0.3s
+    # noise band) so the list is actionable, not noisy.
+    scale_flags: dict[str, str] = {}
+    primary = {**timings, **sweep}
+    for name, t_small in second_sweep.items():
+        t_big = primary.get(name)
+        if t_big is None:
+            continue
+        if t_big > 1.0 and t_big > 12 * max(t_small, 0.05):
+            scale_flags[name] = (
+                f"superlinear: {t_small}s @sf-small -> {t_big}s @sf-primary"
+            )
+        elif t_small > t_big + 0.5 and t_small > 1.5 * t_big:
+            scale_flags[name] = (
+                f"inverted: {t_small}s @sf-small vs {t_big}s @sf-primary"
+            )
     # headline keys contribute their (best-of-3) headline timing
     sweep_total = round(sum(sweep.values()) + sum(timings.values()), 4)
     sweep_n = len(sweep) + len(timings)
@@ -185,6 +210,7 @@ def main() -> None:
                 "second_sf_queries": second_sweep,
                 "second_sf_total_sec": round(sum(second_sweep.values()), 4),
                 "second_sf_errors": second_errors,
+                "scale_flags": scale_flags,
             },
             fh,
             indent=1,
@@ -209,6 +235,7 @@ def main() -> None:
                 "clone_sec": round(clone_sec, 4),
                 "clone_rows_per_sec": clone_rps,
                 "n_errors": len(errors),
+                "n_scale_flags": len(scale_flags),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -148,3 +148,69 @@ def test_es_rank_boundary_margin_vs_ulp(spark):
     k = 50
     gap = abs(keys[k - 1] - keys[k])
     assert gap > 1e-12 * abs(keys[k]), f"boundary gap {gap} too close to ulp"
+
+
+# ------------------------------------------------- hypothesis properties
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_H = dict(max_examples=6, deadline=None)
+
+
+@settings(**_H)
+@given(
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=300),
+    st.lists(st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=100),
+)
+def test_bloom_membership_property(spark, members, probes):
+    """For ANY int64 key sets: every member hits (no false negatives),
+    including negative and extreme keys."""
+    bloom = build_bloom(_keyed(spark, members), "k")
+    rows = (
+        _keyed(spark, list(set(members)) + probes)
+        .crossJoin(F.broadcast(bloom))
+        .select("k", bloom_contains(F.col("k"), F.col("bloom")).alias("hit"))
+        .collect()
+    )
+    member_set = set(members)
+    for r in rows:
+        if r.k in member_set:
+            assert r.hit, f"false negative: {r.k}"
+
+
+@settings(**_H)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**31), max_value=2**31), min_size=1, max_size=400
+    )
+)
+def test_cms_one_sided_property(spark, keys):
+    """For ANY int multiset: every key's estimate >= its true count."""
+    from collections import Counter
+
+    truth = Counter(keys)
+    cms = build_cms(_keyed(spark, keys), "k")
+    rows = (
+        _keyed(spark, list(truth))
+        .crossJoin(F.broadcast(cms))
+        .select("k", cms_estimate(F.col("k"), F.col("cms")).alias("est"))
+        .collect()
+    )
+    for r in rows:
+        assert r.est >= truth[r.k], f"undercount {r.k}: {r.est} < {truth[r.k]}"
+
+
+def test_z_value_is_bijective_on_the_8bit_square(spark):
+    """Exhaustive: all 256x256 (a, b) pairs map to 65536 DISTINCT Morton
+    codes covering exactly [0, 65536) — interleaving loses nothing."""
+    from database_cloner_spark.functions.zorder import z_value
+
+    grid = spark.range(256).selectExpr("id AS a").crossJoin(
+        spark.range(256).selectExpr("id AS b")
+    )
+    stats = grid.select(z_value(F.col("a"), F.col("b")).alias("z")).agg(
+        F.countDistinct("z").alias("n"),
+        F.min("z").alias("lo"),
+        F.max("z").alias("hi"),
+    ).first()
+    assert (stats.n, stats.lo, stats.hi) == (65536, 0, 65535)
