@@ -167,3 +167,26 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks within the hour before each purchase); the streaming form is
     exercised with watermarks in tests/test_streaming.py."""
     return ops.purchase_click_interval_join(load(spark, sf_dir, "events"))
+
+
+_ORACLE_HEAVY_HITTERS = """
+SELECT
+  strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+  user_id,
+  COUNT(*) AS n
+FROM events
+WHERE ts IS NOT NULL  -- Spark window() drops NULL event times
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("q_stream_heavy_hitters", oracle=_ORACLE_HEAVY_HITTERS, tier="X")
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window heavy hitters (batch twin of the streaming query in
+    tests/test_streaming.py): users crossing a per-hour event-count
+    threshold — the rate-limit / hot-key alert every ingest pipeline
+    runs. Streaming state is bounded (one counter per live
+    (window, user), windows retire with the watermark); the batch twin
+    is a plain two-phase windowed count + HAVING, fully oracled."""
+    return ops.windowed_heavy_hitters(load(spark, sf_dir, "events"))

@@ -30,6 +30,29 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def windowed_heavy_hitters(
+    events: DataFrame, width: str = "1 hour", min_count: int = 2
+) -> DataFrame:
+    """Per-window heavy hitters: users whose event count inside a
+    tumbling window reaches `min_count` — the streaming form of the
+    frequency question the Count-Min Sketch answers in batch
+    (functions/sketch.py). State is one counter per live (window, user)
+    pair and windows age out with the watermark, so state size is
+    bounded by window width x active users, not stream length; the
+    HAVING filter is applied AFTER aggregation so late increments can
+    still promote a user within the watermark."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.date_format("w.start", TS_FMT).alias("window_start"),
+            "user_id",
+            "n",
+        )
+    )
+
+
 def sliding_counts(events: DataFrame, width: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
     """Sliding-window counts: each event lands in width/slide windows."""
     return (

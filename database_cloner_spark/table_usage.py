@@ -135,6 +135,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_str_strip_prefix": ("customer",),
     "q_str_trim": ("customer",),
     "q_stream_dedup": ("events",),
+    "q_stream_heavy_hitters": ("events",),
     "q_stream_interval_join": ("events",),
     "q_stream_session": ("events",),
     "q_stream_sliding": ("events",),

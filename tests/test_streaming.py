@@ -428,3 +428,19 @@ def test_late_nanos_file_fails_stream_loudly(spark, tmp_path):
         q.awaitTermination(120)
         q.processAllAvailable()
     assert q.exception() is not None
+
+
+def test_streaming_heavy_hitters_matches_batch(spark):
+    stream = events_stream(spark, SF)
+    name = _run_to_memory(
+        ops.windowed_heavy_hitters(stream), f"hh_{uuid.uuid4().hex[:8]}"
+    )
+    got = {
+        (r.window_start, r.user_id): r.n
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    want = {
+        (r.window_start, r.user_id): r.n
+        for r in ops.windowed_heavy_hitters(load(spark, SF, "events")).collect()
+    }
+    assert got == want and want, "heavy-hitter sets must match and be non-empty"
