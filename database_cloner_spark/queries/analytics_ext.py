@@ -372,3 +372,67 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("view_to_purchase"),
         )
     )
+
+
+_ORACLE_TS_GAPFILL = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE ts IS NOT NULL
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+       t.event_type,
+       CAST(COALESCE(a.n, 0) AS BIGINT)   AS n
+FROM grid g
+CROSS JOIN types t
+LEFT JOIN actual a ON a.h = g.h AND a.event_type = t.event_type
+"""
+
+
+@register("q_ts_gapfill", oracle=_ORACLE_TS_GAPFILL, tier="X")
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    type over the FULL observed range, quiet hours emitted as explicit
+    zeros — the dense grid every monitoring rollup and training-curve
+    join needs (a groupBy alone silently drops empty buckets, which
+    reads as missing data downstream). Scale shape: the heavy work is
+    the ordinary two-phase count; the grid is generated from a 1-row
+    min/max aggregate via `sequence()` (span-bounded: hours x types,
+    never data-sized), cross-joined against the tiny type dimension and
+    LEFT-joined to the aggregated counts — AQE broadcasts the grid
+    side. The dimensions are derived, not hardcoded, so the same plan
+    serves any span."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = grid.crossJoin(F.broadcast(types)).join(
+        actual, ["h", "event_type"], "left"
+    )
+    return dense.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n"),
+    )

@@ -168,3 +168,53 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_value(F.col("o_custkey"), day_nr).alias("zval"),
     )
     return with_z.orderBy(F.asc("zval"), F.asc("o_orderkey")).limit(20)
+
+
+_ORACLE_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, ROUND(value, 2) AS value
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+  FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+)
+WHERE l_orderkey < 500
+"""
+
+
+@register("q_unpivot_melt", oracle=_ORACLE_UNPIVOT, tier="X")
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the inverse of q_pivot_events): four metric
+    columns melt to (metric, value) rows via df.unpivot — ONE pass
+    planned as Expand (each input row fans out to 4 in the same task),
+    never the 4-scan UNION ALL the oracle spells out for portability.
+    The melt shape is how per-metric ML feature tables and long-format
+    stats exports are produced from wide fact tables; Expand keeps it
+    map-side at any scale (no shuffle, no re-read)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "metric",
+        "__v",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.round("__v", 2).alias("value"),
+    )

@@ -157,11 +157,13 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_text_tokens_re": ("documents",),
     "q_text_vocab": ("documents",),
     "q_topk": ("orders",),
+    "q_ts_gapfill": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),
     "q_udtf_explode_config": ("region",),
     "q_udtf_python": ("documents",),
     "q_union_append": ("customer", "supplier"),
+    "q_unpivot_melt": ("lineitem",),
     "q_win_dist": ("documents",),
     "q_win_frame_values": ("events",),
     "q_win_lag_gap": ("events",),
