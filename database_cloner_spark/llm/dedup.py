@@ -781,3 +781,72 @@ def benchmark_contamination(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+# --- Edit-distance-1 entity resolution --------------------------------------
+
+
+def edit_distance1_pairs(
+    df: DataFrame, key_col: str, text_col: str, max_df: int | None = 1000
+) -> DataFrame:
+    """All DISTINCT (key, text) row pairs with levenshtein(text_a,
+    text_b) <= 1, via deletion-neighborhood blocking — EXACT for
+    distance 1 (no recall loss): two strings within one edit always
+    share a member of {s} ∪ {s minus one char} (substitution: both
+    delete the differing position; insert/delete: the longer one
+    deletes the extra char). So each row emits length+1 variants, an
+    inverted index groups rows per variant (the minhash/fuzzy posting
+    list shape — join-free), ordered pairs explode in the reducer, and
+    survivors get ONE exact `levenshtein` verify. At 100 TB this is the
+    entity-resolution primitive (near-identical names/titles/URLs):
+    O(n·len) variants instead of the O(n²) all-pairs the oracle brute-
+    forces at toy scale. `max_df` caps a variant's posting list (the
+    boilerplate-bucket guard, same trade as minhash_lsh_pairs).
+
+    Unicode note: Spark's levenshtein counts UTF-16 code units, DuckDB's
+    counts codepoints — identical for BMP text (all fixtures); strings
+    with supplementary-plane chars (emoji) can differ by the surrogate
+    split. Same documented engine limit as full-vs-simple casefold."""
+    base = (
+        df.filter(F.col(key_col).isNotNull() & F.col(text_col).isNotNull())
+        .select(F.col(key_col).alias("k"), F.col(text_col).alias("s"))
+        .distinct()
+    )
+    # sequence(1, 0) is DESCENDING in Spark (adversarial bug class r4):
+    # gate the deletion variants on non-empty strings.
+    variants = F.when(
+        F.length("s") > 0,
+        F.array_union(
+            F.array(F.col("s")),
+            F.expr(
+                "transform(sequence(1, length(s)), i -> "
+                "concat(substring(s, 1, i - 1), substring(s, i + 1, length(s))))"
+            ),
+        ),
+    ).otherwise(F.array(F.col("s")))
+    ex = spread(base).select("k", "s", F.explode(variants).alias("v"))
+    lists = (
+        ex.groupBy("v")
+        .agg(F.sort_array(F.collect_list(F.struct("k", "s"))).alias("ps"))
+        .filter(F.size("ps") >= 2)
+    )
+    if max_df is not None:
+        lists = lists.filter(F.size("ps") <= max_df)
+    pairs = (
+        lists.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> "
+                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                    "y -> struct(x.k AS key_a, x.s AS name_a, "
+                    "y.k AS key_b, y.s AS name_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.key_a", "p.name_a", "p.key_b", "p.name_b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .dropDuplicates(["key_a", "name_a", "key_b", "name_b"])
+    )
+    return pairs.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 1)

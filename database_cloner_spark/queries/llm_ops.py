@@ -898,3 +898,39 @@ def q_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc → overlapping 32-token passages every 16 tokens (the
     retrieval-indexing chunker). Map-side explode, no shuffle."""
     return llmtext.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+# Brute-force oracle: the driver's sf0.01 customer table is 1500 rows, so
+# all-pairs levenshtein is trivial for DuckDB — the REGISTERED plan is the
+# deletion-neighborhood inverted index, exact for distance 1 (no recall
+# loss), which is the only formulation that survives 100 TB.
+_ORACLE_NAMES_ED1 = """
+WITH c AS (
+  SELECT DISTINCT c_custkey, c_name FROM customer
+  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+)
+SELECT a.c_custkey                                 AS key_a,
+       a.c_name                                    AS name_a,
+       b.c_custkey                                 AS key_b,
+       b.c_name                                    AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@register("q_dedup_names_ed1", oracle=_ORACLE_NAMES_ED1, tier="X")
+def q_dedup_names_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 entity resolution (llm/dedup.py
+    edit_distance1_pairs): all customer-name pairs within one
+    levenshtein edit, found via deletion-neighborhood blocking — every
+    row emits len+1 deletion variants, an inverted index groups rows
+    per variant (join-free posting lists, the minhash shape), and
+    survivors get one exact levenshtein verify. EXACT for distance 1,
+    O(n·len) candidate work vs the O(n²) all-pairs the oracle brute-
+    forces at toy scale — the near-identical names/titles/URLs matcher
+    of every entity-resolution pipeline."""
+    from database_cloner_spark.llm.dedup import edit_distance1_pairs
+
+    cust = load(spark, sf_dir, "customer")
+    return edit_distance1_pairs(cust, "c_custkey", "c_name")

@@ -65,6 +65,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_dedup_exact": ("documents",),
     "q_dedup_fuzzy": ("documents",),
     "q_dedup_minhash": ("documents",),
+    "q_dedup_names_ed1": ("customer",),
     "q_dedup_ngram": ("documents",),
     "q_dedup_simhash": ("documents",),
     "q_except_diff": ("lineitem", "orders"),
