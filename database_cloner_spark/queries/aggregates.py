@@ -410,3 +410,60 @@ def q_freq_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within_bound"
         ),
     )
+
+
+# Bin index via plain IEEE arithmetic — subtraction/multiply/divide/floor
+# are bit-identical across engines (unlike ROUND on a double, the
+# documented cross-engine pitfall), so the histogram is fully
+# hash-checkable. The degenerate hi == lo case (single distinct value,
+# the adversarial-twin shape) routes everything to bin 0 BEFORE any
+# division, avoiding the 0/0 NaN that an ANSI int cast would throw on.
+_ORACLE_HISTOGRAM = """
+WITH b AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT
+  CAST(CASE WHEN hi > lo
+            THEN LEAST(7, CAST(FLOOR((l_extendedprice - lo) * 8.0 / (hi - lo)) AS INT))
+            ELSE 0 END AS BIGINT) AS bin,
+  COUNT(*) AS n
+FROM lineitem, b
+WHERE l_extendedprice IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("q_agg_histogram", oracle=_ORACLE_HISTOGRAM, tier="X")
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (8 bins over the observed [min, max]) — the
+    distribution-profiling pass every data-quality audit runs before
+    training. Two-phase shape: a 1-row min/max aggregate broadcast back
+    over the scan (same pattern as the tf-idf corpus count), then the
+    ordinary partial+final count on the computed bin — two scans, both
+    map-combined, no wide shuffle. The top boundary value clamps into
+    the last bin (LEAST), matching the closed upper interval every
+    histogram convention expects."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+    )
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = li.join(F.broadcast(bounds)).select(
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(7),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("lo"))
+                    * F.lit(8.0)
+                    / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin")
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))

@@ -45,6 +45,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_agg_distinct": ("lineitem",),
     "q_agg_exists": ("orders",),
     "q_agg_grouping_sets": ("lineitem",),
+    "q_agg_histogram": ("lineitem",),
     "q_agg_minmax_checksum": ("orders",),
     "q_agg_percentile": ("documents",),
     "q_agg_rollup": ("customer", "nation", "region"),
