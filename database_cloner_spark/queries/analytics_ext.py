@@ -436,3 +436,137 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.coalesce("n", F.lit(0).cast("long")).alias("n"),
     )
+
+
+_ORACLE_TS_INTERPOLATE = """
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
+  FROM events WHERE ts IS NOT NULL
+),
+grid AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM bounds
+),
+types AS (
+  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.h, t.event_type, a.n
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN actual a ON a.h = g.h AND a.event_type = t.event_type
+),
+carried AS (
+  SELECT h, event_type, n,
+    last_value(n IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+    last_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    first_value(n IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n,
+    first_value(CASE WHEN n IS NOT NULL THEN h END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY h
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM dense
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CASE
+         WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+         WHEN prev_n IS NULL OR next_n IS NULL THEN NULL
+         ELSE ((20000 * (prev_n * (date_diff('hour', prev_h, next_h)
+                                   - date_diff('hour', prev_h, h))
+                         + next_n * date_diff('hour', prev_h, h))
+                + date_diff('hour', prev_h, next_h))
+              // (2 * date_diff('hour', prev_h, next_h))) / 10000.0
+       END AS filled,
+       (n IS NULL AND prev_n IS NOT NULL AND next_n IS NOT NULL)
+         AS is_interpolated
+FROM carried
+"""
+
+
+@register("q_ts_interpolate", oracle=_ORACLE_TS_INTERPOLATE, tier="X")
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps — the hypertable
+    companion to q_ts_gapfill: where gap-fill writes explicit zeros,
+    this estimates the missing hourly count from its nearest observed
+    neighbors, weighted by hour distance (series edges with no neighbor
+    on one side stay NULL — extrapolation is a lie). Shape: the dense
+    grid (span-bounded, from a 1-row min/max agg), then per-type carry
+    windows — last/first non-null value AND its hour — which are ONE
+    shuffle on event_type; the interpolated value is integer-exact
+    (counts × hour-weights through roundn_ratio, never a rounded
+    double), so every filled cell hash-matches the DuckDB oracle."""
+    from database_cloner_spark.llm.text import roundn_ratio
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    dense = grid.crossJoin(F.broadcast(types)).join(
+        actual, ["h", "event_type"], "left"
+    )
+    # Both carries are RUNNING frames (unboundedPreceding..currentRow):
+    # "next" uses a DESCENDING running carry instead of the textbook
+    # first_value over (currentRow..unboundedFollowing) — Spark
+    # evaluates an ignorenulls lookup over an unbounded-FOLLOWING frame
+    # by rescanning forward from every row, O(n²) per partition
+    # (measured: a 190k-hour series hung for minutes; the reversed
+    # running form is O(n) and produced the identical result).
+    w_prev = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("event_type")
+        .orderBy(F.desc("h"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    h_if_obs = F.when(F.col("n").isNotNull(), F.col("h"))
+    carried = dense.select(
+        "h",
+        "event_type",
+        "n",
+        F.last("n", ignorenulls=True).over(w_prev).alias("prev_n"),
+        F.last(h_if_obs, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.last("n", ignorenulls=True).over(w_next).alias("next_n"),
+        F.last(h_if_obs, ignorenulls=True).over(w_next).alias("next_h"),
+    )
+    m = F.expr("timestampdiff(HOUR, prev_h, next_h)")
+    k = F.expr("timestampdiff(HOUR, prev_h, h)")
+    interp = roundn_ratio(
+        F.col("prev_n") * (m - k) + F.col("next_n") * k, m, 4
+    )
+    filled = (
+        F.when(F.col("n").isNotNull(), F.col("n").cast("double"))
+        .when(F.col("prev_n").isNull() | F.col("next_n").isNull(), F.lit(None))
+        .otherwise(interp)
+    )
+    return carried.select(
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        filled.alias("filled"),
+        (
+            F.col("n").isNull()
+            & F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+        ).alias("is_interpolated"),
+    )

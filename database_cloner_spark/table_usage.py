@@ -160,6 +160,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_text_vocab": ("documents",),
     "q_topk": ("orders",),
     "q_ts_gapfill": ("events",),
+    "q_ts_interpolate": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),
     "q_udtf_explode_config": ("region",),

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "q_join_bloom_semi",         # 1-row bloom bitmap broadcast pre-filter
     "q_freq_sketch_topk",        # 1-row CMS map + 1-row total-count frame
     "q_ts_gapfill",              # span-bounded hour grid x 5-row type dim
+    "q_ts_interpolate",          # same span-bounded grid x type dim
     "q_agg_histogram",           # 1-row min/max bounds frame
 }
 
