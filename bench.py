@@ -75,7 +75,11 @@ def main() -> None:
             continue
         timings[name] = round(best, 4)
 
-    total = round(sum(timings.values()), 4)
+    # A broken headline key must POISON the gate figure, not shrink its
+    # denominator: summing 17 of 18 keys reads as an improvement against
+    # the 18-key baseline (review r6). null is unambiguous.
+    headline_errs = [n for n in names if n in errors]
+    total = None if headline_errs else round(sum(timings.values()), 4)
 
     # Secondary, NON-GATING figure (VERDICT r3 #8, widened r5): a timed
     # pass over EVERY registered key — oracled AND rows-only — so

@@ -374,28 +374,68 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_TS_GAPFILL = """
-WITH bounds AS (
+# Shared dense-grid CTE prefix for the two time-series keys. Every CTE
+# filters BOTH ts and event_type NULLs, mirroring the builders, which
+# derive bounds/types/counts from ONE both-filtered frame — an
+# asymmetric filter would shift the grid when the global min/max ts sits
+# on a NULL-type row (review r6).
+_TS_DENSE_CTES = """
+WITH ev AS (
+  SELECT ts, event_type FROM events
+  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+),
+bounds AS (
   SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
-  FROM events WHERE ts IS NOT NULL
+  FROM ev
 ),
 grid AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM bounds
 ),
 types AS (
-  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
+  SELECT DISTINCT event_type FROM ev
 ),
 actual AS (
   SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-  GROUP BY 1, 2
+  FROM ev GROUP BY 1, 2
+),
+dense AS (
+  SELECT g.h, t.event_type, a.n
+  FROM grid g CROSS JOIN types t
+  LEFT JOIN actual a ON a.h = g.h AND a.event_type = t.event_type
 )
-SELECT strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
-       t.event_type,
-       CAST(COALESCE(a.n, 0) AS BIGINT)   AS n
-FROM grid g
-CROSS JOIN types t
-LEFT JOIN actual a ON a.h = g.h AND a.event_type = t.event_type
+"""
+
+
+def _events_hourly_dense(spark, sf_dir):
+    """(h, event_type, n) over the dense hourly grid — n NULL where no
+    events landed. The single source of the grid shape both time-series
+    keys share: a 1-row min/max agg -> sequence() grid (span-bounded,
+    never data-sized), broadcast type dim, LEFT join to the two-phase
+    count."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    actual = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return grid.crossJoin(F.broadcast(types)).join(
+        actual, ["h", "event_type"], "left"
+    )
+
+
+_ORACLE_TS_GAPFILL = _TS_DENSE_CTES + """
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       CAST(COALESCE(n, 0) AS BIGINT)   AS n
+FROM dense
 """
 
 
@@ -412,25 +452,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-joined to the aggregated counts — AQE broadcasts the grid
     side. The dimensions are derived, not hardcoded, so the same plan
     serves any span."""
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    actual = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    dense = grid.crossJoin(F.broadcast(types)).join(
-        actual, ["h", "event_type"], "left"
-    )
+    dense = _events_hourly_dense(spark, sf_dir)
     return dense.select(
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
@@ -438,27 +460,7 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_TS_INTERPOLATE = """
-WITH bounds AS (
-  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi
-  FROM events WHERE ts IS NOT NULL
-),
-grid AS (
-  SELECT unnest(generate_series(lo, hi, INTERVAL 1 hour)) AS h FROM bounds
-),
-types AS (
-  SELECT DISTINCT event_type FROM events WHERE event_type IS NOT NULL
-),
-actual AS (
-  SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
-  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
-  GROUP BY 1, 2
-),
-dense AS (
-  SELECT g.h, t.event_type, a.n
-  FROM grid g CROSS JOIN types t
-  LEFT JOIN actual a ON a.h = g.h AND a.event_type = t.event_type
-),
+_ORACLE_TS_INTERPOLATE = _TS_DENSE_CTES.rstrip() + """,
 carried AS (
   SELECT h, event_type, n,
     last_value(n IGNORE NULLS) OVER
@@ -506,23 +508,7 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     double), so every filled cell hash-matches the DuckDB oracle."""
     from database_cloner_spark.llm.text import roundn_ratio
 
-    ev = load(spark, sf_dir, "events").filter(
-        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
-    )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
-    )
-    types = ev.select("event_type").distinct()
-    actual = ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    dense = grid.crossJoin(F.broadcast(types)).join(
-        actual, ["h", "event_type"], "left"
-    )
+    dense = _events_hourly_dense(spark, sf_dir)
     # Both carries are RUNNING frames (unboundedPreceding..currentRow):
     # "next" uses a DESCENDING running carry instead of the textbook
     # first_value over (currentRow..unboundedFollowing) — Spark

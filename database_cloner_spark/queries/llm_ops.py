@@ -933,4 +933,9 @@ def q_dedup_names_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.llm.dedup import edit_distance1_pairs
 
     cust = load(spark, sf_dir, "customer")
-    return edit_distance1_pairs(cust, "c_custkey", "c_name")
+    # max_df=None: the REGISTERED key must equal the uncapped brute-force
+    # oracle exactly — a capped posting list would silently drop real
+    # pairs on a skewed fixture (review r6). The cap stays available on
+    # the helper for the 100 TB path, where the oracle-equality contract
+    # doesn't apply and boilerplate buckets must be bounded.
+    return edit_distance1_pairs(cust, "c_custkey", "c_name", max_df=None)

@@ -171,7 +171,7 @@ def q_sort_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_UNPIVOT = """
-SELECT l_orderkey, l_linenumber, metric, ROUND(value, 2) AS value
+SELECT l_orderkey, l_linenumber, metric, value
 FROM (
   SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
   FROM lineitem
@@ -207,14 +207,13 @@ def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_tax").alias("tax"),
         )
     )
+    # Values pass through UNROUNDED: both engines emit the parquet-stored
+    # double verbatim, which is bit-identical by construction — rounding
+    # a computed double is the documented cross-engine tie pitfall
+    # (SCALE.md pitfall 4) and buys nothing here.
     return li.unpivot(
         ["l_orderkey", "l_linenumber"],
         ["quantity", "extendedprice", "discount", "tax"],
         "metric",
-        "__v",
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        "metric",
-        F.round("__v", 2).alias("value"),
+        "value",
     )

@@ -144,8 +144,9 @@ def test_es_rank_boundary_margin_vs_ulp(spark):
         .select("__es_key")
         .collect()
     )
+    from database_cloner_spark.queries.sampling import _ES_K as k
+
     keys = [r["__es_key"] for r in ranked]
-    k = 50
     gap = abs(keys[k - 1] - keys[k])
     assert gap > 1e-12 * abs(keys[k]), f"boundary gap {gap} too close to ulp"
 
