@@ -473,3 +473,53 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bin")
     )
     return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+# Mode with an EXPLICIT deterministic tie-break (count DESC, value ASC):
+# both engines' native mode()/F.mode leave ties engine-defined, which is
+# a guaranteed cross-engine hash mismatch — the count+row_number
+# formulation pins the winner identically everywhere.
+_ORACLE_MODE = """
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_n
+FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+  FROM orders
+  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+  GROUP BY 1, 2
+)
+WHERE rk = 1
+"""
+
+
+@register("q_agg_mode", oracle=_ORACLE_MODE, tier="X")
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent order priority per status) — the
+    profiling aggregate data-quality audits run on categorical columns.
+    Built as count + row_number over the small (group, value) count
+    table, NOT the native mode(): native ties are engine-defined and
+    split the cross-engine hash; (count DESC, value ASC) pins a
+    deterministic winner. Scale shape: the heavy pass is the ordinary
+    two-phase count; the window runs over |groups|x|values| aggregated
+    rows (tiny), and plans as WindowGroupLimit under the rank filter."""
+    from pyspark.sql import Window as W
+
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isNotNull() & F.col("o_orderpriority").isNotNull()
+    )
+    counts = od.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_n"),
+        )
+    )

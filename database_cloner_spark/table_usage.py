@@ -47,6 +47,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_agg_grouping_sets": ("lineitem",),
     "q_agg_histogram": ("lineitem",),
     "q_agg_minmax_checksum": ("orders",),
+    "q_agg_mode": ("orders",),
     "q_agg_percentile": ("documents",),
     "q_agg_rollup": ("customer", "nation", "region"),
     "q_agg_salted": ("events",),
