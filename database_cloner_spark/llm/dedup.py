@@ -785,6 +785,12 @@ def benchmark_contamination(
 
 # --- Edit-distance-1 entity resolution --------------------------------------
 
+# One posting list of 10k entries means ~50M ordered pairs exploding from a
+# single reducer row — streamed by the generator so not an OOM per se, but
+# hours of one-task time and far past any sane oracle-parity fixture. A
+# skewed fixture should fail loudly here, not hang.
+_UNCAPPED_POSTING_GUARD = 10_000
+
 
 def edit_distance1_pairs(
     df: DataFrame, key_col: str, text_col: str, max_df: int | None = 1000
@@ -832,6 +838,32 @@ def edit_distance1_pairs(
     )
     if max_df is not None:
         lists = lists.filter(F.size("ps") <= max_df)
+    else:
+        # Uncapped mode exists ONLY for oracle parity (the registered key
+        # must equal the brute-force oracle exactly, so no posting list
+        # may be dropped). The price is an unbounded O(b²) fan-out on a
+        # hot variant: fail LOUDLY in-plan if one variant's posting list
+        # blows past any sane parity-fixture size, instead of silently
+        # melting one reducer (ADVICE r6). raise_error rides the same
+        # stage — no extra job, no cost on healthy data.
+        guard = _UNCAPPED_POSTING_GUARD
+        lists = lists.withColumn(
+            "ps",
+            F.when(F.size("ps") <= guard, F.col("ps")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "edit_distance1_pairs: uncapped posting list "
+                            f"exceeds {guard} entries (hot variant "
+                        ),
+                        F.substring(F.col("v"), 1, 40),
+                        F.lit("...), size="),
+                        F.size("ps").cast("string"),
+                        F.lit(" — pass max_df for the capped scale path"),
+                    )
+                )
+            ),
+        )
     pairs = (
         lists.select(
             F.explode(

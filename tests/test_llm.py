@@ -791,3 +791,32 @@ def test_pack_bins_zero_token_doc_never_joins_oversize_bin(spark):
     zero_bins = {r.bin_id for r in out if r.n_tokens == 0}
     oversize_bins = {r.bin_id for r in out if r.oversize}
     assert not (zero_bins & oversize_bins)
+
+
+def test_ed1_uncapped_posting_guard_fires_loudly(spark):
+    """ADVICE r6: the registered q_dedup_names_ed1 runs UNCAPPED
+    (max_df=None) for oracle parity, so a hot variant (many identical
+    names) fans one reducer row into O(b^2) pairs with no bound. The
+    in-plan raise_error guard must fail LOUDLY on such a fixture instead
+    of silently melting one reducer — and stay silent on healthy data."""
+    import pytest
+
+    from database_cloner_spark.llm import dedup
+
+    hot = spark.createDataFrame(
+        [(i, "aaaa") for i in range(12)], "k long, s string"
+    )
+    orig = dedup._UNCAPPED_POSTING_GUARD
+    dedup._UNCAPPED_POSTING_GUARD = 5
+    try:
+        with pytest.raises(Exception, match="uncapped posting list"):
+            dedup.edit_distance1_pairs(hot, "k", "s", max_df=None).count()
+    finally:
+        dedup._UNCAPPED_POSTING_GUARD = orig
+    # healthy data (posting lists under the real guard) is untouched:
+    # 3 identical names -> 3 distinct pairs at distance 0
+    assert dedup.edit_distance1_pairs(
+        hot.limit(3), "k", "s", max_df=None
+    ).count() == 3
+    # capped path never hits the guard branch at all
+    assert dedup.edit_distance1_pairs(hot, "k", "s", max_df=5).count() == 0
