@@ -8,6 +8,8 @@ the whole reason to pay the z-sort at write time.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from database_cloner_spark.functions.zorder import z_value, zorder_layout
@@ -75,3 +77,85 @@ def test_z_value_null_propagates(spark):
         z_value(F.col("a"), F.col("b")).alias("z")
     )
     assert df.first().z is None
+
+
+def _scan_output_rows(df) -> int:
+    """Rows EMITTED by the parquet scan node after parquet-level
+    row-group/page skipping (pushed min/max filters) — the runtime
+    pruning signal. Executes the plan, then reads the scan leaf's
+    numOutputRows SQL metric via the JVM plan (no AQE wrapper: a plain
+    scan+filter has no exchange, so executedPlan is the final plan)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+    leaf = plan.collectLeaves().head()
+    return int(leaf.metrics().apply("numOutputRows").value())
+
+
+def _prunable_files(path: str, col: str, lo: int, hi: int):
+    """(prunable, total) parquet files under `path` whose footer min/max
+    for `col` proves they hold NO row in [lo, hi] — the file-level skip
+    a stats-aware table format (Delta OPTIMIZE ZORDER et al.) performs.
+    Footer stats are read with pyarrow, independent of Spark."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total, prunable = 0, 0
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        cmin = min(
+            md.row_group(g).column(names[col]).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        cmax = max(
+            md.row_group(g).column(names[col]).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        total += 1
+        if cmin > hi or cmax < lo:
+            prunable += 1
+    return prunable, total
+
+
+def test_zorder_files_prune_on_second_dimension(spark, tmp_path):
+    """The 100 TB claim behind zorder_layout (VERDICT r6 #4): not just
+    that per-file spans collapse, but that WRITTEN files actually skip.
+    Write both layouts, filter on the SECOND dimension (b in [0, 15],
+    1/16 of the domain), and assert BOTH pruning signals:
+      - footer min/max proves >= 1/3 of z-files file-level prunable
+        while the a-sorted layout prunes ~none;
+      - Spark's parquet scan emits far fewer rows under the z layout
+        (row-group skipping via the pushed filter) than under a-sort,
+        which must scan everything.
+    Fails if z-ordered files stop being min/max-prunable on either
+    dimension."""
+    q = _quantized(spark)
+    a_dir, z_dir = str(tmp_path / "by_a"), str(tmp_path / "by_z")
+    q.repartitionByRange(N_FILES, "a").sortWithinPartitions("a").write.parquet(
+        a_dir
+    )
+    zorder_layout(q, "a", "b", N_FILES).write.parquet(z_dir)
+
+    lo, hi = 0, 15
+    pz, tz = _prunable_files(z_dir, "b", lo, hi)
+    pa, ta = _prunable_files(a_dir, "b", lo, hi)
+    assert tz == ta == N_FILES
+    assert pa <= 1, f"a-sorted files should span full b: {pa}/{ta} prunable"
+    assert pz >= N_FILES // 3, (
+        f"z-layout lost second-dim file prunability: {pz}/{tz} files "
+        f"prunable for b in [{lo},{hi}]"
+    )
+    # first dimension stays prunable too (the z trade must not give it away)
+    pz_a, _ = _prunable_files(z_dir, "a", lo, hi)
+    assert pz_a >= N_FILES // 3
+
+    # runtime row-group skipping through the actual Spark scan
+    pred = (F.col("b") >= lo) & (F.col("b") <= hi)
+    rows_z = _scan_output_rows(spark.read.parquet(z_dir).filter(pred))
+    rows_a = _scan_output_rows(spark.read.parquet(a_dir).filter(pred))
+    total_rows = spark.read.parquet(a_dir).count()
+    assert rows_a == total_rows, "a-sort layout cannot skip on b"
+    assert rows_z <= 0.7 * rows_a, (
+        f"z scan should skip row groups: scanned {rows_z} vs {rows_a}"
+    )
