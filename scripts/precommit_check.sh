@@ -13,7 +13,20 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# --streaming (first arg): also run the end-to-end streaming CDC check
+# (scripts/streaming_check.py — real readStream micro-batches over the
+# sf0.01 events feed, checksummed against the batch twin, ~40s). Run it
+# for any change under streaming/ or pipeline/incremental.py.
+STREAMING=0
+if [ "${1:-}" = "--streaming" ]; then
+  STREAMING=1
+  shift
+fi
+
 if [ "$#" -gt 0 ]; then
   python scripts/driver_sim.py /root/testdata/sf0.01 "$@"
+fi
+if [ "$STREAMING" = "1" ]; then
+  python scripts/streaming_check.py /root/testdata/sf0.01
 fi
 python -m pytest tests/test_survey_registry.py tests/test_table_usage.py -q
