@@ -1,0 +1,183 @@
+"""Second-seed fixtures for the probabilistic rows-only floors (VERDICT
+r6 #8): the minhash/simhash/IVF/PQ recall and precision floors were
+pinned on ONE fixture distribution (the driver's testdata). A floor
+that only holds on one distribution is overfit, not a property. These
+fixtures are deliberately DIFFERENT in shape, not just in seed:
+
+- documents: a 400-word synthetic vocabulary with exponential (Zipf-ish)
+  token reuse, near-dups planted by 8% token substitution (shingle
+  Jaccard ~0.55-0.75 — mid-band, the LSH banding curve's soft region),
+  plus exact duplicates — vs the driver corpus's uniform word salad.
+- embeddings: 8 Gaussian clusters (intra-cluster cosine ~0.5-0.8, the
+  easy-to-bucket hard-to-shortlist regime) with strong planted
+  near-dups at cosine >= 0.98 — vs the driver fixture's unclustered
+  vectors whose near-dups are all weak (0.35-0.45).
+
+Same floors as tests/test_llm.py, second distribution. Everything is
+generated in-process from fixed seeds — no files, fully deterministic.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_cloner_spark.llm import dedup, similarity
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def _build_docs():
+    rng = random.Random(1337)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def zipf_token():
+        return vocab[min(int(rng.expovariate(1 / 60.0)), 399)]
+
+    texts: list[str] = []
+    bases: list[list[str]] = []
+    for _ in range(60):
+        toks = [zipf_token() for _ in range(rng.randint(40, 120))]
+        bases.append(toks)
+        texts.append(" ".join(toks))
+    # near-dups: substitute ~8% of tokens of the first 25 bases
+    for i in range(25):
+        toks = list(bases[i])
+        for _ in range(max(1, len(toks) * 8 // 100)):
+            toks[rng.randrange(len(toks))] = vocab[rng.randrange(400)]
+        texts.append(" ".join(toks))
+    # exact duplicates of 5 later bases
+    for i in range(30, 35):
+        texts.append(" ".join(bases[i]))
+    # unique filler
+    for _ in range(80):
+        texts.append(
+            " ".join(vocab[rng.randrange(400)] for _ in range(rng.randint(20, 80)))
+        )
+    return [
+        (i, t, "en", "seed2", len(t)) for i, t in enumerate(texts)
+    ]
+
+
+def _build_embs():
+    rng = random.Random(4242)
+    dim, n_clusters, per_cluster = 64, 8, 40
+
+    def gauss_vec(scale, base=None):
+        v = [rng.gauss(0.0, scale) for _ in range(dim)]
+        if base is not None:
+            v = [b + x for b, x in zip(base, v)]
+        return v
+
+    centers = [gauss_vec(1.0) for _ in range(n_clusters)]
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        for _ in range(per_cluster):
+            rows.append((vid, [float(x) for x in gauss_vec(0.55, centers[c])], c))
+            vid += 1
+    # strong planted near-dups (cos >= ~0.98) of 15 existing vectors
+    for i in range(15):
+        base_vid = i * 20
+        base = rows[base_vid][1]
+        rows.append(
+            (vid, [float(x) for x in gauss_vec(0.05, base)], rows[base_vid][2])
+        )
+        vid += 1
+    return rows
+
+
+@pytest.fixture(scope="module")
+def docs2(spark):
+    return spark.createDataFrame(_build_docs(), DOC_SCHEMA).cache()
+
+
+@pytest.fixture(scope="module")
+def embs2(spark):
+    return spark.createDataFrame(_build_embs(), EMB_SCHEMA).cache()
+
+
+def test_minhash_lsh_recall_and_precision_seed2(spark, docs2):
+    exact = {
+        (r.doc_a, r.doc_b) for r in dedup.shingle_jaccard_pairs(docs2).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs2).collect()}
+    assert len(exact) >= 25, "fixture must plant enough near-dups"
+    assert lsh <= exact  # precision exact-by-construction
+    assert len(lsh) / len(exact) >= 0.9
+
+
+def test_simhash_exact_dup_found_seed2(spark, docs2):
+    # doc_ids 85-89 are verbatim copies of bases 30-34 (doc_ids 30-34)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_pairs(docs2, max_hamming=0).collect()
+    }
+    for i in range(5):
+        assert (30 + i, 85 + i) in pairs
+
+
+def test_bucketed_embedding_neardup_recall_seed2(spark, embs2):
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_pairs(embs2, threshold=0.5).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in dedup.embedding_neardup_bucketed(embs2, threshold=0.5).collect()
+    }
+    assert len(exact) >= 15
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert cos == exact[pair]
+    assert len(bucketed) / len(exact) >= 0.7, (
+        f"bucketed recall too low on seed2: {len(bucketed)}/{len(exact)}"
+    )
+    # every planted strong near-dup (cos >= 0.9) must be recovered:
+    # clustered data is the bucketing-friendly regime
+    strong = {p for p, c in exact.items() if c >= 0.9}
+    assert strong and strong <= set(bucketed)
+
+
+def test_ivf_recall_seed2(spark, embs2):
+    probe = similarity.probe_vector(embs2)
+    brute = [
+        r.vec_id for r in similarity.brute_force_topk(embs2, probe, k=10).collect()
+    ]
+    ivf = [r.vec_id for r in similarity.ivf_topk(embs2, probe, k=10).collect()]
+    overlap = len(set(brute) & set(ivf))
+    assert overlap >= 7, f"IVF recall@10 too low on seed2: {overlap}/10"
+    assert brute[0] == 0 and ivf[0] == 0
+
+
+def test_ivf_kmeans_recall_seed2(spark, embs2):
+    probe = similarity.probe_vector(embs2)
+    brute = [
+        r.vec_id for r in similarity.brute_force_topk(embs2, probe, k=10).collect()
+    ]
+    cents = similarity.kmeans_centroids(embs2, n_cells=16, iters=2)
+    refined = [
+        r.vec_id
+        for r in similarity.ivf_topk(embs2, probe, k=10, centroids=cents).collect()
+    ]
+    overlap = len(set(brute) & set(refined))
+    assert overlap >= 7, f"kmeans-IVF recall@10 too low on seed2: {overlap}/10"
+
+
+def test_pq_topk_recall_floor_seed2(spark, embs2):
+    probe = similarity.probe_vector(embs2)
+    got = {r.vec_id for r in similarity.pq_topk(embs2, probe).collect()}
+    exact = {r.vec_id for r in similarity.brute_force_topk(embs2, probe).collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 6
+
+
+def test_ivfpq_recall_floor_seed2(spark, embs2):
+    probe = similarity.probe_vector(embs2)
+    got = {r.vec_id for r in similarity.ivfpq_topk(embs2, probe).collect()}
+    exact = {r.vec_id for r in similarity.brute_force_topk(embs2, probe).collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 4
