@@ -51,3 +51,42 @@ def grid_range_join(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
     )
     return joined.drop(CELL_COL)
+
+
+def grid_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_lo: str,
+    l_hi: str,
+    r_lo: str,
+    r_hi: str,
+    cell_width: float,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join (closed bounds: overlap iff
+    l_lo <= r_hi AND r_lo <= l_hi) when BOTH sides are large interval
+    sets — the generalization of grid_range_join, same grid trick with
+    a different dedup argument. Both sides explode to every cell they
+    touch, cells equi-join, the exact overlap predicate filters within
+    the cell, and each surviving pair is kept ONLY in the cell that
+    contains the overlap's START (max(l_lo, r_lo)) — that cell is
+    touched by both intervals by construction, so every overlapping
+    pair survives exactly once with NO dropDuplicates shuffle (the same
+    emit-at-canonical-cell argument the point form gets for free).
+    Column sets must be disjoint; cost is each side replicated by
+    ~avg_width/w, and the join stays a hash equi-join."""
+
+    def cell_of(c: Column) -> Column:
+        return F.floor(c / F.lit(cell_width)).cast("long")
+
+    lx = left.withColumn(
+        CELL_COL, F.explode(F.sequence(cell_of(F.col(l_lo)), cell_of(F.col(l_hi))))
+    )
+    rx = right.withColumn(
+        CELL_COL, F.explode(F.sequence(cell_of(F.col(r_lo)), cell_of(F.col(r_hi))))
+    )
+    joined = lx.join(rx, CELL_COL).filter(
+        (F.col(l_lo) <= F.col(r_hi))
+        & (F.col(r_lo) <= F.col(l_hi))
+        & (F.col(CELL_COL) == cell_of(F.greatest(F.col(l_lo), F.col(r_lo))))
+    )
+    return joined.drop(CELL_COL)

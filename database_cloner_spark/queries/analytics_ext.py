@@ -556,3 +556,111 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("next_n").isNotNull()
         ).alias("is_interpolated"),
     )
+
+
+_ORACLE_TS_OHLC = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, ts, value
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+ranked AS (
+  SELECT h, value,
+         row_number() OVER (PARTITION BY h ORDER BY ts, value) AS rn_open,
+         row_number() OVER (PARTITION BY h ORDER BY ts DESC, value DESC) AS rn_close
+  FROM ev
+)
+SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+       MAX(CASE WHEN rn_open = 1 THEN value END)  AS open,
+       MAX(value)                                  AS high,
+       MIN(value)                                  AS low,
+       MAX(CASE WHEN rn_close = 1 THEN value END) AS close,
+       COUNT(*)                                    AS n
+FROM ranked
+GROUP BY h
+"""
+
+
+@register("q_ts_downsample_ohlc", oracle=_ORACLE_TS_OHLC, tier="X")
+def q_ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsample to hourly OHLC bars (the hypertable
+    continuous-aggregate shape: open/high/low/close/count per bucket).
+    Spark-first: open and close are `min(struct(ts, value)).value` /
+    `max(struct(ts, value)).value` — ONE two-phase aggregate, no window,
+    no self-join; the struct comparison is lexicographic on (ts, value)
+    so duplicate-timestamp ties break deterministically on BOTH engines
+    (the oracle mirrors it with a (ts, value)-ordered row_number — an
+    arg_min(value, ts) would be tie-nondeterministic). Doubles pass
+    through verbatim (no rounding: raw fixture values are exact on both
+    sides). At 100 TB this is the rollup that turns an events firehose
+    into a queryable bar table: partial states are 5 scalars per
+    bucket, shuffle volume ~ n_buckets, not n_rows."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    pair = F.struct(F.col("ts"), F.col("value"))
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(
+            F.min(pair).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(pair).getField("value").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )
+
+
+_ORACLE_RETENTION = """
+WITH w AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (
+  SELECT user_id, MIN(wk) AS cohort FROM w GROUP BY user_id
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(datediff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+       COUNT(*) AS n_users
+FROM w JOIN c USING (user_id)
+GROUP BY cohort, wk
+"""
+
+
+@register("q_retention_cohort", oracle=_ORACLE_RETENTION, tier="X")
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active week,
+    counted in every later week they return (the growth-analytics
+    staple). Shape: distinct (user, week) -> per-user MIN(week) ->
+    rejoin -> count per (cohort, offset). The first groupBy and the
+    join share the user_id hash partitioning, so Spark plans the join
+    shuffle-free on the agg side; week offsets are exact integers (both
+    engines truncate to Monday, so day deltas are multiples of 7 —
+    `div 7`, never float division). The final count is COUNT(*) over
+    the already-distinct (user, week) pairs, not COUNT(DISTINCT): the
+    expensive dedup happens once, partitioned by user, instead of
+    inside every (cohort, offset) group."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    w = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy("cohort", "wk")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(wk, cohort) div 7").cast("long").alias("week_offset"),
+            "n_users",
+        )
+    )

@@ -381,3 +381,47 @@ def q_join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefiltered.join(
         exact, prefiltered.o_custkey == exact.c_custkey, "left_semi"
     )
+
+
+_ORACLE_INTERVAL_OVERLAP = """
+SELECT s_nationkey,
+       COUNT(*) AS n_overlaps,
+       COUNT(DISTINCT c_custkey) AS n_customers
+FROM customer, supplier
+WHERE c_acctbal <= s_acctbal + 500.0
+  AND s_acctbal <= c_acctbal + 500.0
+GROUP BY s_nationkey
+"""
+
+
+@register("q_join_interval_overlap", oracle=_ORACLE_INTERVAL_OVERLAP, tier="X")
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-INTERVAL overlap join, big-big (the session-vs-session /
+    span-vs-span shape: neither side is a point, neither broadcasts at
+    100 TB). Customer balance bands [c_acctbal, +500] against supplier
+    bands [s_acctbal, +500] — the oracle is the naive |L|x|R| theta
+    join; the engine runs functions/range_join.grid_interval_join: both
+    sides explode to width-500 grid cells, cells hash-equi-join, and
+    each overlapping pair is emitted exactly once in the cell holding
+    max(lo_l, lo_r) — no dropDuplicates shuffle, no BNLJ anywhere in
+    the plan (guarded in tests/test_range_join.py). Replication factor
+    is (width/cell_width)+1 = 2 per side; the theta predicate evaluates
+    only within cells. (Ref analogue: the band-overlap admission probes
+    of clone_databases.sh:632-641, generalized to two interval sets.)"""
+    from database_cloner_spark.functions.range_join import grid_interval_join
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("c_lo"),
+        (F.col("c_acctbal") + 500.0).alias("c_hi"),
+    )
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_nationkey",
+        F.col("s_acctbal").alias("s_lo"),
+        (F.col("s_acctbal") + 500.0).alias("s_hi"),
+    )
+    pairs = grid_interval_join(cust, supp, "c_lo", "c_hi", "s_lo", "s_hi", 500.0)
+    return pairs.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.countDistinct("c_custkey").alias("n_customers"),
+    )

@@ -91,6 +91,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_join_outer_diff": ("lineitem", "orders"),
     "q_join_range": ("orders", "region"),
     "q_join_range_grid": ("nation", "orders"),
+    "q_join_interval_overlap": ("customer", "supplier"),
     "q_join_salted": ("events",),
     "q_join_semi": ("customer", "orders"),
     "q_json_extract": ("events",),
@@ -162,6 +163,8 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_topk": ("orders",),
     "q_ts_gapfill": ("events",),
     "q_ts_interpolate": ("events",),
+    "q_ts_downsample_ohlc": ("events",),
+    "q_retention_cohort": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),
     "q_udtf_explode_config": ("region",),

@@ -51,3 +51,55 @@ def test_grid_range_join_left_keeps_unmatched(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def _interval_sides(spark):
+    cust = load(spark, SF, "customer").select(
+        "c_custkey",
+        F.col("c_acctbal").alias("c_lo"),
+        (F.col("c_acctbal") + 500.0).alias("c_hi"),
+    )
+    supp = load(spark, SF, "supplier").select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("s_lo"),
+        (F.col("s_acctbal") + 500.0).alias("s_hi"),
+    )
+    return cust, supp
+
+
+def test_grid_interval_join_equals_naive(spark):
+    """Interval-interval overlap: grid form must equal the naive theta
+    join EXACTLY (closed bounds), with no duplicate pairs, across cell
+    widths smaller than, equal to, and larger than the interval width —
+    the emit-at-overlap-start-cell dedup must hold at every w."""
+    from database_cloner_spark.functions.range_join import grid_interval_join
+
+    cust, supp = _interval_sides(spark)
+    naive = cust.join(
+        supp,
+        (F.col("c_lo") <= F.col("s_hi")) & (F.col("s_lo") <= F.col("c_hi")),
+    )
+    want = sorted(
+        (r.c_custkey, r.s_suppkey)
+        for r in naive.select("c_custkey", "s_suppkey").collect()
+    )
+    assert want, "fixture should produce overlaps"
+
+    for w in (125.0, 500.0, 4000.0):
+        got = grid_interval_join(cust, supp, "c_lo", "c_hi", "s_lo", "s_hi", w)
+        rows = [
+            (r.c_custkey, r.s_suppkey)
+            for r in got.select("c_custkey", "s_suppkey").collect()
+        ]
+        assert len(rows) == len(set(rows)), f"duplicate pairs at w={w}"
+        assert sorted(rows) == want, f"mismatch at w={w}"
+
+
+def test_grid_interval_join_plans_equi_no_bnlj(spark):
+    from database_cloner_spark.functions.range_join import grid_interval_join
+
+    cust, supp = _interval_sides(spark)
+    got = grid_interval_join(cust, supp, "c_lo", "c_hi", "s_lo", "s_hi", 500.0)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
