@@ -638,24 +638,30 @@ GROUP BY cohort, wk
 def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention triangle: users grouped by first-active week,
     counted in every later week they return (the growth-analytics
-    staple). Shape: distinct (user, week) -> per-user MIN(week) ->
-    rejoin -> count per (cohort, offset). The first groupBy and the
-    join share the user_id hash partitioning, so Spark plans the join
-    shuffle-free on the agg side; week offsets are exact integers (both
-    engines truncate to Monday, so day deltas are multiples of 7 —
-    `div 7`, never float division). The final count is COUNT(*) over
-    the already-distinct (user, week) pairs, not COUNT(DISTINCT): the
-    expensive dedup happens once, partitioned by user, instead of
-    inside every (cohort, offset) group."""
+    staple). Shape: ONE shuffle on user_id — `collect_set(week)` per
+    user (bounded state: weeks-per-user is calendar-bounded, ~520 rows
+    for a decade, regardless of event volume), cohort = array_min
+    map-side, re-explode, count per (cohort, week). The naive
+    formulation (distinct -> per-user MIN -> rejoin) was rejected by
+    plan audit: its distinct partitions on (user, week), which does NOT
+    satisfy the user-only join, so at a scale where the cohort table
+    outgrows broadcast it pays a third exchange — this form never
+    joins at all. Each (user, week) appears once after the explode, so
+    the final COUNT(*) counts users with no COUNT(DISTINCT) expansion;
+    week offsets are exact integers (both engines truncate to Monday,
+    so day deltas are multiples of 7 — `div 7`, never float division)."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
-    w = ev.select(
-        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
-    ).distinct()
-    cohort = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    per_user = (
+        ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+        .groupBy("user_id")
+        .agg(F.collect_set("wk").alias("wks"))
+    )
     return (
-        w.join(cohort, "user_id")
+        per_user.select(
+            F.array_min("wks").alias("cohort"), F.explode("wks").alias("wk")
+        )
         .groupBy("cohort", "wk")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
