@@ -239,3 +239,35 @@ def test_cms_build_combines_map_side(spark):
     plan = _plan(spark, "q_freq_sketch_topk")
     assert "partial_count" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ohlc_partial_aggregates_before_exchange(spark):
+    """q_ts_downsample_ohlc: ONE aggregate pair, no window, no join —
+    the partial (5-scalar state per bucket) must combine map-side so
+    the exchange ships bucket states, not event rows."""
+    plan = _plan(spark, "q_ts_downsample_ohlc")
+    assert "partial_min(struct(ts" in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    # exactly one row-data exchange (the bucket hash partitioning)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_retention_cohort_never_joins(spark):
+    """q_retention_cohort: the collect_set formulation must keep the
+    plan join-free with exactly two exchanges (user_id, then
+    (cohort, week)) and a map-side partial_collect_set — the rejected
+    distinct->min->rejoin form planned a third exchange at scale."""
+    plan = _plan(spark, "q_retention_cohort")
+    assert "Join" not in plan, plan
+    assert "partial_collect_set" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_interval_overlap_key_plans_equi_join(spark):
+    """q_join_interval_overlap: the grid form must plan a hash/SMJ
+    equi-join on the cell id — never a BNLJ/cartesian (the naive theta
+    join is |L|x|R|)."""
+    plan = _plan(spark, "q_join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
