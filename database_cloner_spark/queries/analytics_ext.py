@@ -618,6 +618,106 @@ def q_ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OLS from exact integer sufficient statistics. Doubles summed in
+# engine-dependent order diverge in the last ulp (Spark's partial-agg
+# combine order is nondeterministic; DuckDB's differs again), so the
+# naive regr_slope/corr would hash-mismatch. Instead every input is
+# made integral per row (days since epoch; floor-cents — FLOOR is pure
+# IEEE, unlike ROUND whose half-way rule differs between the engines,
+# see q_merge_upsert), the five sums accumulate exactly (decimal(38,0)
+# on Spark, HUGEINT on DuckDB — integer addition is order-independent),
+# and the slope/intercept/r2 formulas run on the exact sums with an
+# identical expression shape on both sides: equal integers cast to
+# equal doubles, equal doubles divide to equal doubles.
+_ORACLE_REGRESSION = """
+WITH pts AS (
+  SELECT o_orderpriority AS priority,
+         datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
+         CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders
+  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+),
+s AS (
+  SELECT priority, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pts GROUP BY priority
+)
+SELECT priority, n,
+       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+         AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
+       (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+       * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+         AS r2
+FROM s
+WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+"""
+
+_DEC = "decimal(38,0)"
+
+
+@register("q_stats_regression", oracle=_ORACLE_REGRESSION, tier="X")
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price-drift trend per order
+    priority): slope / intercept / r² of order value in floor-cents
+    against order date in days. Spark-first shape: the regression is
+    ONE two-phase hash aggregate over five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) — partial states combine map-side, the
+    exchange ships 6 scalars per group, and the closed-form OLS solve
+    is a per-group scalar expression after the agg. This is the
+    canonical aggregate-of-sufficient-statistics pattern that scales to
+    100 TB where a window/self-join formulation would not; Spark's own
+    regr_slope/regr_r2 build the same partials but accumulate in
+    non-portable double order (see _ORACLE_REGRESSION's note), so the
+    sums here are exact decimal(38,0) integers. The datediff epoch and
+    floor-cents scaling are the public fixed-point trick; at a scale
+    where Σy² threatens 38 digits, shift the epoch per partition or
+    drop to per-group Welford in a pandas agg."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
+    )
+    pts = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        .cast(_DEC)
+        .alias("x"),
+        F.floor(F.col("o_totalprice") * 100).cast(_DEC).alias("y"),
+    )
+    s = pts.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_d = F.col("n").cast(_DEC)
+    num_i = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x_i = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y_i = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    # zero-variance groups (n=1, or a constant x / constant y) have no
+    # defined trend — exclude them on the exact integer denominators
+    # (ANSI Spark raises on /0 where DuckDB would NULL: same filter
+    # both sides keeps the outputs identical AND meaningful)
+    s = s.filter((den_x_i != 0) & (den_y_i != 0))
+    num = num_i.cast("double")
+    den_x = den_x_i.cast("double")
+    den_y = den_y_i.cast("double")
+    slope = num / den_x
+    return s.select(
+        "priority",
+        "n",
+        slope.alias("slope_cents_per_day"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")).alias(
+            "intercept_cents"
+        ),
+        ((num / den_x) * (num / den_y)).alias("r2"),
+    )
+
+
 _ORACLE_RETENTION = """
 WITH w AS (
   SELECT DISTINCT user_id, date_trunc('week', ts) AS wk

@@ -131,6 +131,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sort": ("orders",),
     "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
+    "q_stats_regression": ("orders",),
     "q_str_concat": ("nation",),
     "q_str_mask": ("supplier",),
     "q_str_quote_ident": ("part",),

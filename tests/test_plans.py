@@ -264,6 +264,17 @@ def test_retention_cohort_never_joins(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_regression_is_one_two_phase_agg(spark):
+    """q_stats_regression: the OLS must be a single two-phase hash agg
+    over sufficient statistics — partial sums combine map-side, one
+    exchange ships 6 scalars per group, and the closed-form solve is a
+    post-agg projection (no window, no join, no second exchange)."""
+    plan = _plan(spark, "q_stats_regression")
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_interval_overlap_key_plans_equi_join(spark):
     """q_join_interval_overlap: the grid form must plan a hash/SMJ
     equi-join on the cell id — never a BNLJ/cartesian (the naive theta
