@@ -618,6 +618,108 @@ def q_ts_downsample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact LOWER median by rank, not quantile_cont/percentile: linear
+# interpolation is (lo + (hi-lo)*f) on one engine and potentially
+# (lo+hi)/2-shaped on another — a last-ulp divergence that a downstream
+# threshold comparison can amplify into a flipped outlier count. The
+# rank-at-(n+1)//2 median IS a data value, bit-identical everywhere.
+_ORACLE_ANOMALY_MAD = """
+WITH ev AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*)     OVER (PARTITION BY event_type) AS cnt
+  FROM ev
+),
+m AS (
+  SELECT event_type, value,
+         MAX(CASE WHEN rn = (cnt + 1) // 2 THEN value END)
+           OVER (PARTITION BY event_type) AS med
+  FROM r
+),
+d AS (
+  SELECT event_type, value, med, ABS(value - med) AS dev FROM m
+),
+dr AS (
+  SELECT event_type, value, med, dev,
+         row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn2,
+         COUNT(*)     OVER (PARTITION BY event_type) AS cnt2
+  FROM d
+),
+dm AS (
+  SELECT event_type, med, dev,
+         MAX(CASE WHEN rn2 = (cnt2 + 1) // 2 THEN dev END)
+           OVER (PARTITION BY event_type) AS mad
+  FROM dr
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN dev > 3.0 * 1.4826 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       MAX(med) AS median_value,
+       MAX(mad) AS mad
+FROM dm GROUP BY event_type
+"""
+
+
+@register("q_anomaly_mad", oracle=_ORACLE_ANOMALY_MAD, tier="X")
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group anomaly detection: flag values whose absolute
+    deviation from the group median exceeds 3 sigma-equivalents of the
+    MAD (median absolute deviation x 1.4826, the normal-consistency
+    constant) — the outlier detector that, unlike mean/stddev z-scores,
+    a few extreme points cannot drag. Join-free Spark shape: ONE
+    exchange on event_type, then everything is in-partition — a sort
+    for the value rank, an unbounded-frame MAX to splat the rank-picked
+    median, a second in-partition sort for the deviation rank, and a
+    final reuse-partitioned groupBy. Exact lower-median by rank keeps
+    both engines bit-identical (see _ORACLE_ANOMALY_MAD's note). At
+    100 TB the per-group total-order sort is the cost driver — swap the
+    rank median for approx_percentile (t-digest, mergeable) and keep
+    the same threshold pass when groups stop fitting a partition."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    by_type = W.partitionBy("event_type")
+    r = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(by_type.orderBy("value")).alias("rn"),
+        F.count(F.lit(1)).over(by_type).alias("cnt"),
+    )
+    med = F.max(
+        F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("value"))
+    ).over(by_type)
+    d = r.select("event_type", "value", med.alias("med")).select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+    )
+    dr = d.select(
+        "event_type",
+        "med",
+        "dev",
+        F.row_number().over(by_type.orderBy("dev")).alias("rn2"),
+        F.count(F.lit(1)).over(by_type).alias("cnt2"),
+    )
+    mad = F.max(
+        F.when(F.col("rn2") == F.expr("(cnt2 + 1) div 2"), F.col("dev"))
+    ).over(by_type)
+    dm = dr.select("event_type", "med", "dev", mad.alias("mad"))
+    return dm.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+        F.max("med").alias("median_value"),
+        F.max("mad").alias("mad"),
+    )
+
+
 # OLS from exact integer sufficient statistics. Doubles summed in
 # engine-dependent order diverge in the last ulp (Spark's partial-agg
 # combine order is nondeterministic; DuckDB's differs again), so the

@@ -35,6 +35,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q18_large_orders": ("customer", "lineitem", "orders"),
     "q1_pricing_summary": ("lineitem",),
     "q3_shipping_priority": ("customer", "lineitem", "orders"),
+    "q_anomaly_mad": ("events",),
     "q_agg_approx_distinct": ("lineitem",),
     "q_agg_approx_percentile": ("lineitem",),
     "q_agg_collect": ("customer", "nation"),

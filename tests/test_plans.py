@@ -275,6 +275,17 @@ def test_regression_is_one_two_phase_agg(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_anomaly_mad_single_exchange_no_join(spark):
+    """q_anomaly_mad: median/MAD/threshold/count must all ride ONE
+    event_type exchange — in-partition sorts and unbounded-frame
+    windows, the final groupBy reusing the window partitioning; the
+    join-back formulation would pay a second shuffle."""
+    plan = _plan(spark, "q_anomaly_mad")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+
+
 def test_interval_overlap_key_plans_equi_join(spark):
     """q_join_interval_overlap: the grid form must plan a hash/SMJ
     equi-join on the cell id — never a BNLJ/cartesian (the naive theta
