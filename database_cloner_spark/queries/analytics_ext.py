@@ -178,6 +178,128 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed query-term set for the BM25 key (mid-frequency corpus terms).
+_BM25_TERMS = ("hash", "merge", "vector")
+
+# Rational BM25 idf (N - df + 0.5)/(df + 0.5) — the classic Robertson
+# idf minus the log: no libm call, so both engines compute identical
+# doubles (same trade as q_text_tfidf; swap log() in at production,
+# ranking is unchanged per-term). The three per-term scores sum in a
+# FIXED written order (hash + merge + vector): float addition is not
+# associative, so a SUM() over an engine-ordered group would drift.
+_ORACLE_BM25 = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS dl,
+         CAST(SUM(CASE WHEN term = 'hash'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
+         CAST(SUM(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
+         CAST(SUM(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector
+  FROM tok WHERE term <> '' GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
+         CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
+         CAST(SUM(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
+         CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+  FROM per_doc
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id,
+    (CASE WHEN tf_hash > 0 THEN
+       ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
+       * (CAST(tf_hash AS DOUBLE) * 2.2)
+       / (CAST(tf_hash AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+     ELSE 0.0 END)
+    + (CASE WHEN tf_merge > 0 THEN
+       ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
+       * (CAST(tf_merge AS DOUBLE) * 2.2)
+       / (CAST(tf_merge AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+     ELSE 0.0 END)
+    + (CASE WHEN tf_vector > 0 THEN
+       ((CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
+       * (CAST(tf_vector AS DOUBLE) * 2.2)
+       / (CAST(tf_vector AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+     ELSE 0.0 END) AS bm25
+  FROM per_doc, stats, n
+  WHERE tf_hash > 0 OR tf_merge > 0 OR tf_vector > 0
+),
+ranked AS (
+  SELECT doc_id, bm25,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT doc_id, bm25 FROM ranked WHERE rn <= 10
+"""
+
+
+def _bm25_term_score(term: str):
+    tf = F.col(f"tf_{term}").cast("double")
+    df_ = F.col(f"df_{term}").cast("double")
+    n_docs = F.col("n_docs").cast("double")
+    avgdl = F.col("total_tokens").cast("double") / n_docs
+    idf = (n_docs - df_ + F.lit(0.5)) / (df_ + F.lit(0.5))
+    norm = F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * (F.col("dl").cast("double") / avgdl)
+    score = idf * (tf * F.lit(2.2)) / (tf + F.lit(1.2) * norm)
+    return F.when(F.col(f"tf_{term}") > 0, score).otherwise(F.lit(0.0))
+
+
+@register("q_text_bm25", oracle=_ORACLE_BM25, tier="X")
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75): top-10 documents for a
+    fixed 3-term query — the ranked-search primitive a corpus pipeline
+    uses for targeted curation (tfidf's length-normalized, saturating
+    successor). Spark-first shape: doc length AND all per-term
+    frequencies come out of ONE doc_id aggregation (conditional sums —
+    no per-term join, no exploded (doc,term) shuffle survives); the
+    corpus stats (total tokens, per-term df, N) collapse to two 1-row
+    broadcasts; scoring is a map-side expression over only the docs
+    that contain a query term; the final top-10 is
+    TakeOrderedAndProject. At 100 TB: one shuffle of token counts per
+    doc, everything after is broadcast — the inverted-index build is
+    q_text_tfidf's job, this is the query-time path. Rational idf and
+    fixed-order score summation keep the doubles engine-identical (see
+    _ORACLE_BM25's note)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    aggs = [F.count(F.lit(1)).alias("dl")] + [
+        F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("long").alias(f"tf_{t}")
+        for t in _BM25_TERMS
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs)
+    stats = per_doc.agg(
+        F.sum("dl").cast("long").alias("total_tokens"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    cand = per_doc.filter(
+        (F.col("tf_hash") > 0) | (F.col("tf_merge") > 0) | (F.col("tf_vector") > 0)
+    )
+    scored = (
+        cand.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            (
+                _bm25_term_score("hash")
+                + _bm25_term_score("merge")
+                + _bm25_term_score("vector")
+            ).alias("bm25"),
+        )
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
+
+
 # Patterns restricted to syntax with identical semantics in Java regex
 # (Spark, executor-side) and RE2 (DuckDB oracle): character classes,
 # bounded repetition, \d, \b. No lookarounds/backrefs (RE2 lacks them).

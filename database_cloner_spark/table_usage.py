@@ -140,6 +140,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_str_split_explode": ("documents",),
     "q_str_strip_prefix": ("customer",),
     "q_str_trim": ("customer",),
+    "q_text_bm25": ("documents",),
     "q_stream_dedup": ("events",),
     "q_stream_heavy_hitters": ("events",),
     "q_stream_interval_join": ("events",),
