@@ -849,10 +849,26 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # made integral per row (days since epoch; floor-cents — FLOOR is pure
 # IEEE, unlike ROUND whose half-way rule differs between the engines,
 # see q_merge_upsert), the five sums accumulate exactly (decimal(38,0)
-# on Spark, HUGEINT on DuckDB — integer addition is order-independent),
-# and the slope/intercept/r2 formulas run on the exact sums with an
-# identical expression shape on both sides: equal integers cast to
-# equal doubles, equal doubles divide to equal doubles.
+# on Spark, HUGEINT on DuckDB — integer addition is order-independent).
+#
+# The outputs then go through RATIONAL ROUNDING, never a raw int->double
+# cast: the r7 premise "equal integers cast to equal doubles" is FALSE
+# above 2^53 — DuckDB's CAST(HUGEINT AS DOUBLE) rounds the hi/lo 64-bit
+# words separately (two roundings), so e.g. deny=21154864837852735588
+# casts to ...733e19 in DuckDB where the correctly-rounded double
+# (Python / Java BigDecimal / Spark decimal->double) is ...738e19 — a
+# 1-ulp r2 divergence that broke parity at sf0.001 (r7 judge repro).
+# Each ratio is instead rounded half-away-from-zero at d digits in
+# exact integer arithmetic — sign(N) * ((2*10^d*|N| + D) // (2*D)) —
+# where // is truncating integral division (Spark `div` and DuckDB `//`
+# both truncate toward zero, verified identical for signed operands);
+# the small quotient (<< 2^53) then casts exactly on both engines.
+# intercept uses the exact rational identity
+# (sy - slope*sx)/n == (sy*sxx - sx*sxy) / (n*sxx - sx^2), and r2 is
+# the product of two independently-rounded factors (num/denx at 8
+# digits, num/deny at 12) because 10^d * num^2 would overflow both
+# decimal(38,0) and HUGEINT; one IEEE multiply of two exact k/10^d
+# doubles is correctly rounded and identical on both engines.
 _ORACLE_REGRESSION = """
 WITH pts AS (
   SELECT o_orderpriority AS priority,
@@ -866,21 +882,55 @@ s AS (
          SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
   FROM pts GROUP BY priority
+),
+d AS (
+  SELECT priority, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny,
+         sy * sxx - sx * sxy AS inum
+  FROM s
+  WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
 )
 SELECT priority, n,
-       CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       (CASE WHEN num < 0 THEN -1 ELSE 1 END
+        * ((2000000 * ABS(num) + denx) // (2 * denx))) / 1000000.0
          AS slope_cents_per_day,
-       (CAST(sy AS DOUBLE)
-        - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-          * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
-       (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
-       * (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * syy - sy * sy AS DOUBLE))
+       (CASE WHEN inum < 0 THEN -1 ELSE 1 END
+        * ((20000 * ABS(inum) + denx) // (2 * denx))) / 10000.0
+         AS intercept_cents,
+       (((200000000 * ABS(num) + denx) // (2 * denx)) / 100000000.0)
+       * (((2000000000000 * ABS(num) + deny) // (2 * deny)) / 1000000000000.0)
          AS r2
-FROM s
-WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+FROM d
 """
 
 _DEC = "decimal(38,0)"
+
+
+def _rr_dec(num, den, digits: int, signed: bool = True):
+    """round-half-away-from-zero(num/den) at `digits` decimals, computed
+    entirely in exact decimal(38,0) integer arithmetic:
+    sign(num) * ((2*10^d*|num| + den) div (2*den)) / 10^d, den > 0.
+
+    The decimal(38,0) sibling of llm.text.roundn_ratio (long-domain) for
+    sufficient-statistic ratios whose operands exceed 2^53 — where a raw
+    int->double cast is engine-dependent (DuckDB's HUGEINT->DOUBLE
+    double-rounds, see _ORACLE_REGRESSION). `div` on decimals yields a
+    LongType quotient and ANSI raises loudly if it overflows int64; the
+    sign is applied to the integer quotient (not the double) so a
+    negative numerator that rounds to 0 yields 0.0, never -0.0.
+    Domain: |2*10^d*num + den| < 10^38 (ANSI decimal overflow raises)."""
+    scale = 10 ** digits
+    mag = F.abs(num)
+    q = F.call_function(
+        "div",
+        F.lit(2 * scale).cast(_DEC) * mag + den,
+        F.lit(2).cast(_DEC) * den,
+    )
+    if signed:
+        q = F.when(num < 0, -q).otherwise(q)
+    return q / F.lit(float(scale))
 
 
 @register("q_stats_regression", oracle=_ORACLE_REGRESSION, tier="X")
@@ -896,10 +946,15 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB where a window/self-join formulation would not; Spark's own
     regr_slope/regr_r2 build the same partials but accumulate in
     non-portable double order (see _ORACLE_REGRESSION's note), so the
-    sums here are exact decimal(38,0) integers. The datediff epoch and
+    sums here are exact decimal(38,0) integers and the three outputs
+    are RATIONALLY ROUNDED via _rr_dec (slope@6, intercept@4, r2 =
+    product of 8- and 12-digit factors) — no >2^53 integer is ever
+    cast to double raw, which is what broke r7's parity (DuckDB's
+    HUGEINT->DOUBLE double-rounds above 2^53). The datediff epoch and
     floor-cents scaling are the public fixed-point trick; at a scale
-    where Σy² threatens 38 digits, shift the epoch per partition or
-    drop to per-group Welford in a pandas agg."""
+    where 10^12*|num| threatens 38 digits (~sf100 for this fixture
+    shape, ANSI raises loudly), shift the epoch per partition or drop
+    the r2 factor digits."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
     )
@@ -919,26 +974,29 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
     n_d = F.col("n").cast(_DEC)
-    num_i = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
-    den_x_i = n_d * F.col("sxx") - F.col("sx") * F.col("sx")
-    den_y_i = n_d * F.col("syy") - F.col("sy") * F.col("sy")
+    d = s.select(
+        "priority",
+        "n",
+        (n_d * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (n_d * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (n_d * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("inum"),
+    )
     # zero-variance groups (n=1, or a constant x / constant y) have no
     # defined trend — exclude them on the exact integer denominators
     # (ANSI Spark raises on /0 where DuckDB would NULL: same filter
-    # both sides keeps the outputs identical AND meaningful)
-    s = s.filter((den_x_i != 0) & (den_y_i != 0))
-    num = num_i.cast("double")
-    den_x = den_x_i.cast("double")
-    den_y = den_y_i.cast("double")
-    slope = num / den_x
-    return s.select(
+    # both sides keeps the outputs identical AND meaningful); the
+    # surviving denominators are > 0 by Cauchy-Schwarz, as _rr_dec needs
+    d = d.filter((F.col("denx") != 0) & (F.col("deny") != 0))
+    return d.select(
         "priority",
         "n",
-        slope.alias("slope_cents_per_day"),
-        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n").cast("double")).alias(
-            "intercept_cents"
-        ),
-        ((num / den_x) * (num / den_y)).alias("r2"),
+        _rr_dec(F.col("num"), F.col("denx"), 6).alias("slope_cents_per_day"),
+        _rr_dec(F.col("inum"), F.col("denx"), 4).alias("intercept_cents"),
+        (
+            _rr_dec(F.col("num"), F.col("denx"), 8, signed=False)
+            * _rr_dec(F.col("num"), F.col("deny"), 12, signed=False)
+        ).alias("r2"),
     )
 
 

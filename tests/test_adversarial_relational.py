@@ -255,3 +255,67 @@ def test_adversarial_parity(spark, nasty_dir, name):
         pytest.skip(_EXEMPT[name])
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
+
+
+def test_regression_parity_above_2p53(spark, tmp_path):
+    """Boundary-fixture guard for the r7 q_stats_regression parity break.
+
+    DuckDB's CAST(HUGEINT AS DOUBLE) converts the hi/lo 64-bit words
+    separately and re-rounds on the combine, so integers above 2^64 can
+    land 1 ulp off the correctly-rounded double that Python / Java
+    BigDecimal / Spark's decimal->double all produce (r7 judge repro:
+    21154864837852735588 -> ...733e19 in DuckDB, correct ...738e19).
+    This fixture is ENGINEERED so deny = n*syy - sy^2 is exactly such a
+    value: the r7 raw-cast formulation diverges on it by construction;
+    the rational-rounding form (_rr_dec) must stay bit-identical.
+    Prices are quarter-dollar dyadics so FLOOR(price*100) reconstructs
+    the engineered integer cents exactly on both engines."""
+    import duckdb
+    from datetime import date, datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # One priority group, 300 points, deterministic quadratic 'noise'
+    # snapped to multiples of 25 cents (seed 13 found by offline search).
+    ys = [
+        1000000 + i * 190000
+        + 25 * (((i * i * 2654435761 + 13 * i) % 999983) // 25)
+        for i in range(300)
+    ]
+    xs = [(i * 37) % 2500 for i in range(300)]
+    n, sy, syy = len(ys), sum(ys), sum(y * y for y in ys)
+    deny = n * syy - sy * sy
+    assert deny == 24416857545013081875 and deny > 2**64
+    # The fixture only bites while DuckDB's wide cast actually double-
+    # rounds this value; if a DuckDB upgrade fixes the cast, this assert
+    # fires so the fixture (and the _rr_dec rationale) get re-evaluated.
+    con = duckdb.connect()
+    duck_cast = con.execute(
+        f"SELECT CAST(CAST({deny} AS HUGEINT) AS DOUBLE)"
+    ).fetchone()[0]
+    con.close()
+    assert duck_cast != float(deny), (
+        "DuckDB now casts this HUGEINT correctly; boundary fixture stale"
+    )
+    # Quarter-dollar prices: y/100 is k/4, exact in binary, so the
+    # query's floor(o_totalprice*100) round-trips the engineered cents.
+    assert all(float(y) / 100 * 100 == float(y) for y in ys)
+
+    epoch = datetime(1992, 1, 1)
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array(range(300), pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT"] * 300, pa.string()),
+            "o_totalprice": pa.array([y / 100 for y in ys], pa.float64()),
+            "o_orderdate": pa.array(
+                [epoch + timedelta(days=x) for x in xs], pa.timestamp("us")
+            ),
+        }
+    )
+    d = str(tmp_path / "boundary")
+    os.makedirs(d)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+
+    spec = specs()["q_stats_regression"]
+    compare_query(spark, "q_stats_regression", spec.builder, spec.oracle, d)

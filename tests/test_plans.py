@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "q_ts_gapfill",              # span-bounded hour grid x 5-row type dim
     "q_ts_interpolate",          # same span-bounded grid x type dim
     "q_agg_histogram",           # 1-row min/max bounds frame
+    "q_text_bm25",               # two 1-row corpus stats frames (N docs, avg dl)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
