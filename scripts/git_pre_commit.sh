@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# Versioned git pre-commit hook (installed to .git/hooks/pre-commit by
+# scripts/install_hooks.sh; re-run that after a fresh clone).
+#
+# Rule adopted after round 7, where q_text_bm25 landed ONLY in the
+# end-of-round snapshot commit without the (deterministic, ~50s) plan
+# suite ever running, shipping a red test_no_cartesian_products_anywhere
+# into the round: A REGISTRY-TOUCHING COMMIT CANNOT LAND WITH
+# test_plans.py OR test_oracle_parity.py RED.
+#
+# Scope: fires only when the STAGED diff touches query/operator code —
+# database_cloner_spark/{queries,functions,llm,streaming}/, registry.py,
+# table_usage.py, or __spark_entry__.py. Cost: ~3.5 min at sf0.001
+# (plans ~50s + 144-key parity ~160s). Plain doc/test/bench commits pay
+# nothing. `git commit --no-verify` bypasses for WIP snapshots ONLY —
+# never for a commit that adds or edits a registered key.
+set -euo pipefail
+cd "$(git rev-parse --show-toplevel)"
+
+if git diff --cached --name-only | grep -qE \
+  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)'; then
+  echo "[pre-commit] staged diff touches query/operator code -> running plan + parity gates (sf0.001, ~3.5 min)"
+  python -m pytest tests/test_plans.py tests/test_oracle_parity.py -q
+fi
