@@ -792,48 +792,82 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation from the group median exceeds 3 sigma-equivalents of the
     MAD (median absolute deviation x 1.4826, the normal-consistency
     constant) — the outlier detector that, unlike mean/stddev z-scores,
-    a few extreme points cannot drag. Join-free Spark shape: ONE
-    exchange on event_type, then everything is in-partition — a sort
-    for the value rank, an unbounded-frame MAX to splat the rank-picked
-    median, a second in-partition sort for the deviation rank, and a
-    final reuse-partitioned groupBy. Exact lower-median by rank keeps
-    both engines bit-identical (see _ORACLE_ANOMALY_MAD's note). At
-    100 TB the per-group total-order sort is the cost driver — swap the
-    rank median for approx_percentile (t-digest, mergeable) and keep
-    the same threshold pass when groups stop fitting a partition."""
+    a few extreme points cannot drag.
+
+    Scale shape (r8 rebuild, closing the r7 scale-killer): event_type
+    has a HANDFUL of distinct values, so any total-order sort
+    partitioned by it puts multi-TB groups on single tasks at 100 TB.
+    Instead the heavy pass is `groupBy(event_type, value).count()` —
+    an ordinary TWO-PHASE hash aggregate (map-side partials, the
+    exchange ships (group, value, count) triples bounded by VALUE
+    CARDINALITY, not row count — the q_agg_mode trick). Both medians
+    are then rank-picks from cumulative counts over that tiny count
+    table: one event_type exchange for the windows, with the dev
+    re-aggregation and the final groupBy riding the same partitioning
+    (their keys contain event_type, so no further exchange). Exact
+    lower-median by rank (first value whose cumulative count reaches
+    (n+1) div 2) keeps both engines bit-identical — same convention as
+    _ORACLE_ANOMALY_MAD's row_number formulation; dev = |value - med|
+    is computed once per DISTINCT value (weighted by its count), the
+    identical IEEE subtraction the per-row form did."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
     )
+    counts = ev.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     by_type = W.partitionBy("event_type")
-    r = ev.select(
+    w_cum = by_type.orderBy("value").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = counts.select(
         "event_type",
         "value",
-        F.row_number().over(by_type.orderBy("value")).alias("rn"),
-        F.count(F.lit(1)).over(by_type).alias("cnt"),
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(by_type).alias("total"),
     )
-    med = F.max(
-        F.when(F.col("rn") == F.expr("(cnt + 1) div 2"), F.col("value"))
+    # lower median = first value whose cumulative count reaches rank
+    # (total+1) div 2 (== the value at row_number (n+1) div 2)
+    med = F.min(
+        F.when(F.col("cum") >= F.expr("(total + 1) div 2"), F.col("value"))
     ).over(by_type)
-    d = r.select("event_type", "value", med.alias("med")).select(
+    d = c.select(
         "event_type",
-        "med",
-        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "cnt",
+        "total",
+        med.alias("med"),
+        F.abs(F.col("value") - med).alias("dev"),
     )
-    dr = d.select(
+    # several values can share one deviation magnitude: re-aggregate the
+    # weights per (event_type, dev) — already co-located, no exchange
+    dd = d.groupBy("event_type", "dev").agg(
+        F.sum("cnt").alias("wcnt"),
+        F.max("total").alias("total"),
+        F.max("med").alias("med"),
+    )
+    w_dcum = by_type.orderBy("dev").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    dc = dd.select(
         "event_type",
-        "med",
         "dev",
-        F.row_number().over(by_type.orderBy("dev")).alias("rn2"),
-        F.count(F.lit(1)).over(by_type).alias("cnt2"),
+        "wcnt",
+        "total",
+        "med",
+        F.sum("wcnt").over(w_dcum).alias("cumd"),
     )
-    mad = F.max(
-        F.when(F.col("rn2") == F.expr("(cnt2 + 1) div 2"), F.col("dev"))
+    mad = F.min(
+        F.when(F.col("cumd") >= F.expr("(total + 1) div 2"), F.col("dev"))
     ).over(by_type)
-    dm = dr.select("event_type", "med", "dev", mad.alias("mad"))
+    dm = dc.select("event_type", "wcnt", "total", "med", "dev", mad.alias("mad"))
     return dm.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
+        F.max("total").alias("n"),
         F.sum(
-            F.when(F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"), 1).otherwise(0)
+            F.when(
+                F.col("dev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+                F.col("wcnt"),
+            ).otherwise(F.lit(0))
         )
         .cast("long")
         .alias("n_outliers"),

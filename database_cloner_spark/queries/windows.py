@@ -249,15 +249,52 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-position windows: percent_rank and cume_dist of doc
     length within each language (the percentile-position primitives the
     quality tier's cutoffs come from). Total order via (n_chars,
-    doc_id) tie-break so ranks are engine-identical; one shuffle on
-    lang, rational rank arithmetic rounded at the edge."""
+    doc_id) tie-break so ranks are engine-identical.
+
+    Scale shape (r8 rebuild): lang is a LOW-CARDINALITY domain, so the
+    native `percent_rank().over(partitionBy(lang))` total-order sorts
+    multi-TB language groups on single tasks at 100 TB (the same
+    pathology as q_anomaly_mad's r7 form; the low-card window guard in
+    test_plans.py now forbids it). Instead the global position is
+    decomposed: rank = base + rn, where `base` (# docs in the language
+    with a strictly smaller length) and the group total n come from
+    cumulative counts over a tiny groupBy(lang, n_chars) COUNT TABLE
+    (two-phase, value-cardinality-bounded), and `rn` is a row_number
+    tie-break within (lang, n_chars) — a HIGH-cardinality partition
+    whose groups stay task-sized. The count table joins back broadcast
+    (distinct lengths x langs; if the length domain ever explodes, drop
+    the hint and the join reuses the tie window's (lang, n_chars)
+    partitioning). (rank-1)/(n-1) and rank/n are the exact IEEE
+    divisions the native functions compute — equal integer operands,
+    identical doubles, same ROUND both engines."""
     docs = load(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return docs.select(
+    counts = docs.groupBy("lang", "n_chars").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_lang = W.partitionBy("lang")
+    w_cum = w_lang.orderBy("n_chars").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    base = counts.select(
+        "lang",
+        "n_chars",
+        (F.sum("cnt").over(w_cum) - F.col("cnt")).alias("base"),
+        F.sum("cnt").over(w_lang).alias("n"),
+    )
+    w_tie = W.partitionBy("lang", "n_chars").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", "n_chars", F.row_number().over(w_tie).alias("rn")
+    )
+    rank = F.col("base") + F.col("rn")
+    pct = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (rank - 1).cast("double") / (F.col("n") - 1).cast("double")
+    )
+    cume = rank.cast("double") / F.col("n").cast("double")
+    return ranked.join(F.broadcast(base), ["lang", "n_chars"]).select(
         "doc_id",
         "lang",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(pct, 4).alias("pct_rank"),
+        F.round(cume, 4).alias("cume"),
     )
 
 
