@@ -179,53 +179,60 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixed query-term set for the BM25 key (mid-frequency corpus terms).
+# Both the builder and the oracle are GENERATED from the term tuple
+# (tests sweep a second term set so term-selection luck can't mask a
+# break — r7 verdict #8); terms must be identifier-safe (they name the
+# tf_/df_ columns) and are embedded as SQL literals.
 _BM25_TERMS = ("hash", "merge", "vector")
 
-# Rational BM25 idf (N - df + 0.5)/(df + 0.5) — the classic Robertson
-# idf minus the log: no libm call, so both engines compute identical
-# doubles (same trade as q_text_tfidf; swap log() in at production,
-# ranking is unchanged per-term). The three per-term scores sum in a
-# FIXED written order (hash + merge + vector): float addition is not
-# associative, so a SUM() over an engine-ordered group would drift.
-_ORACLE_BM25 = f"""
+
+def _bm25_oracle(terms: tuple) -> str:
+    """DuckDB oracle for the BM25 query over `terms`. Rational BM25 idf
+    (N - df + 0.5)/(df + 0.5) — the classic Robertson idf minus the
+    log: no libm call, so both engines compute identical doubles (same
+    trade as q_text_tfidf; swap log() in at production, ranking is
+    unchanged per-term). The per-term scores sum in a FIXED written
+    order (the tuple order): float addition is not associative, so a
+    SUM() over an engine-ordered group would drift."""
+    assert all(t.isidentifier() for t in terms), terms
+    tfs = ",\n".join(
+        f"         CAST(SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS tf_{t}"
+        for t in terms
+    )
+    dfs = ",\n".join(
+        f"         CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    scores = "\n    + ".join(
+        f"""(CASE WHEN tf_{t} > 0 THEN
+       ((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))
+       * (CAST(tf_{t} AS DOUBLE) * 2.2)
+       / (CAST(tf_{t} AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
+     ELSE 0.0 END)"""
+        for t in terms
+    )
+    anyterm = " OR ".join(f"tf_{t} > 0" for t in terms)
+    return f"""
 WITH tok AS (
   SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS term
   FROM documents
 ),
 per_doc AS (
   SELECT doc_id, COUNT(*) AS dl,
-         CAST(SUM(CASE WHEN term = 'hash'   THEN 1 ELSE 0 END) AS BIGINT) AS tf_hash,
-         CAST(SUM(CASE WHEN term = 'merge'  THEN 1 ELSE 0 END) AS BIGINT) AS tf_merge,
-         CAST(SUM(CASE WHEN term = 'vector' THEN 1 ELSE 0 END) AS BIGINT) AS tf_vector
+{tfs}
   FROM tok WHERE term <> '' GROUP BY doc_id
 ),
 stats AS (
   SELECT CAST(SUM(dl) AS BIGINT) AS total_tokens,
-         CAST(SUM(CASE WHEN tf_hash   > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_hash,
-         CAST(SUM(CASE WHEN tf_merge  > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_merge,
-         CAST(SUM(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector
+{dfs}
   FROM per_doc
 ),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id,
-    (CASE WHEN tf_hash > 0 THEN
-       ((CAST(n_docs AS DOUBLE) - CAST(df_hash AS DOUBLE) + 0.5) / (CAST(df_hash AS DOUBLE) + 0.5))
-       * (CAST(tf_hash AS DOUBLE) * 2.2)
-       / (CAST(tf_hash AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-     ELSE 0.0 END)
-    + (CASE WHEN tf_merge > 0 THEN
-       ((CAST(n_docs AS DOUBLE) - CAST(df_merge AS DOUBLE) + 0.5) / (CAST(df_merge AS DOUBLE) + 0.5))
-       * (CAST(tf_merge AS DOUBLE) * 2.2)
-       / (CAST(tf_merge AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-     ELSE 0.0 END)
-    + (CASE WHEN tf_vector > 0 THEN
-       ((CAST(n_docs AS DOUBLE) - CAST(df_vector AS DOUBLE) + 0.5) / (CAST(df_vector AS DOUBLE) + 0.5))
-       * (CAST(tf_vector AS DOUBLE) * 2.2)
-       / (CAST(tf_vector AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)))))
-     ELSE 0.0 END) AS bm25
+    {scores} AS bm25
   FROM per_doc, stats, n
-  WHERE tf_hash > 0 OR tf_merge > 0 OR tf_vector > 0
+  WHERE {anyterm}
 ),
 ranked AS (
   SELECT doc_id, bm25,
@@ -234,6 +241,9 @@ ranked AS (
 )
 SELECT doc_id, bm25 FROM ranked WHERE rn <= 10
 """
+
+
+_ORACLE_BM25 = _bm25_oracle(_BM25_TERMS)
 
 
 def _bm25_term_score(term: str):
@@ -262,14 +272,20 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc, everything after is broadcast — the inverted-index build is
     q_text_tfidf's job, this is the query-time path. Rational idf and
     fixed-order score summation keep the doubles engine-identical (see
-    _ORACLE_BM25's note)."""
+    _bm25_oracle's note)."""
+    return _bm25_build(spark, sf_dir, _BM25_TERMS)
+
+
+def _bm25_build(spark: SparkSession, sf_dir: str, terms: tuple) -> DataFrame:
+    """Parameterized BM25 builder (tests sweep a second term set against
+    _bm25_oracle(terms) — r7 verdict #8's term-selection-luck probe)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.col("term") != "")
     aggs = [F.count(F.lit(1)).alias("dl")] + [
         F.sum(F.when(F.col("term") == t, 1).otherwise(0)).cast("long").alias(f"tf_{t}")
-        for t in _BM25_TERMS
+        for t in terms
     ]
     per_doc = tok.groupBy("doc_id").agg(*aggs)
     stats = per_doc.agg(
@@ -278,24 +294,21 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
             .cast("long")
             .alias(f"df_{t}")
-            for t in _BM25_TERMS
+            for t in terms
         ],
     )
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
-    cand = per_doc.filter(
-        (F.col("tf_hash") > 0) | (F.col("tf_merge") > 0) | (F.col("tf_vector") > 0)
-    )
+    anyterm = F.lit(False)
+    for t in terms:
+        anyterm = anyterm | (F.col(f"tf_{t}") > 0)
+    cand = per_doc.filter(anyterm)
+    score = F.lit(0.0)
+    for t in terms:  # fixed written order == the oracle's literal order
+        score = score + _bm25_term_score(t)
     scored = (
         cand.crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            (
-                _bm25_term_score("hash")
-                + _bm25_term_score("merge")
-                + _bm25_term_score("vector")
-            ).alias("bm25"),
-        )
+        .select("doc_id", score.alias("bm25"))
     )
     return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(10)
 
@@ -903,9 +916,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # digits, num/deny at 12) because 10^d * num^2 would overflow both
 # decimal(38,0) and HUGEINT; one IEEE multiply of two exact k/10^d
 # doubles is correctly rounded and identical on both engines.
-_ORACLE_REGRESSION = """
+def _regression_oracle(group_col: str) -> str:
+    """DuckDB oracle for the per-group OLS, parameterized on the group
+    column (tests sweep a second key — o_orderstatus — so grouping luck
+    can't mask a break; r7 verdict #8)."""
+    assert group_col.isidentifier(), group_col
+    return f"""
 WITH pts AS (
-  SELECT o_orderpriority AS priority,
+  SELECT {group_col} AS priority,
          datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x,
          CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS y
   FROM orders
@@ -938,6 +956,9 @@ SELECT priority, n,
          AS r2
 FROM d
 """
+
+
+_ORACLE_REGRESSION = _regression_oracle("o_orderpriority")
 
 _DEC = "decimal(38,0)"
 
@@ -989,11 +1010,19 @@ def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     where 10^12*|num| threatens 38 digits (~sf100 for this fixture
     shape, ANSI raises loudly), shift the epoch per partition or drop
     the r2 factor digits."""
+    return _regression_build(spark, sf_dir, "o_orderpriority")
+
+
+def _regression_build(
+    spark: SparkSession, sf_dir: str, group_col: str
+) -> DataFrame:
+    """Parameterized OLS builder (tests sweep a second group key against
+    _regression_oracle(group_col) — r7 verdict #8's grouping-luck probe)."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate").isNotNull() & F.col("o_totalprice").isNotNull()
     )
     pts = o.select(
-        F.col("o_orderpriority").alias("priority"),
+        F.col(group_col).alias("priority"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
         .cast(_DEC)
         .alias("x"),

@@ -103,3 +103,48 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [("scan", "window", "batch"), ("join", "filter", "stream", "sort")],
+)
+def test_bm25_second_term_sets(spark, sf_dir, terms):
+    """r7 verdict #8: the registered BM25 key fixes one 3-term query, so
+    term-selection luck could mask a scoring/tie-break break. Both the
+    builder and the oracle are generated from the term tuple — sweep two
+    other term sets (including a 4-term one) through the same parity
+    gate."""
+    from database_cloner_spark.queries.analytics_ext import (
+        _bm25_build,
+        _bm25_oracle,
+    )
+
+    compare_query(
+        spark,
+        f"q_text_bm25[{','.join(terms)}]",
+        lambda s, d: _bm25_build(s, d, terms),
+        _bm25_oracle(terms),
+        sf_dir,
+    )
+
+
+@pytest.mark.parametrize("group_col", ["o_orderstatus", "o_orderkey"])
+def test_regression_second_group_keys(spark, sf_dir, group_col):
+    """r7 verdict #8: sweep the per-group OLS over a second grouping —
+    o_orderstatus (different cardinality/skew than the registered
+    o_orderpriority) and o_orderkey (every group hits the n=1 /
+    zero-variance filter: the output must be EMPTY identically on both
+    engines, exercising the denominator guard)."""
+    from database_cloner_spark.queries.analytics_ext import (
+        _regression_build,
+        _regression_oracle,
+    )
+
+    compare_query(
+        spark,
+        f"q_stats_regression[{group_col}]",
+        lambda s, d: _regression_build(s, d, group_col),
+        _regression_oracle(group_col),
+        sf_dir,
+    )
