@@ -186,7 +186,10 @@ def main() -> None:
                 f"skipped: dirs within 2x on disk ({primary_bytes} vs "
                 f"{second_bytes} bytes) — no scale signal"
             )
-            big_sweep = {}
+            # all four bound so no later edit outside the (empty) flag
+            # loop can hit a NameError (ADVICE r7)
+            big_sweep, small_sweep = {}, {}
+            big_lbl, small_lbl = sf, sf_label(second_sf_dir)
         elif primary_bytes >= second_bytes:
             big_sweep, small_sweep = primary, second_sweep
             big_lbl, small_lbl = sf, sf_label(second_sf_dir)

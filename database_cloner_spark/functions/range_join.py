@@ -26,6 +26,35 @@ from pyspark.sql import functions as F
 
 CELL_COL = "__cell"
 
+# One interval 10^5 cells wide (relative to the chosen cell_width) means
+# a 10^5-row explode fan-out from a single input row — the same hot-row
+# pathology as a 10k-entry dedup posting list (llm/dedup.py's
+# _UNCAPPED_POSTING_GUARD): not an OOM (explode streams), but one
+# straggler task and, past 2^31 elements, Spark's sequence length cap.
+# A caller whose intervals are this wide picked the wrong cell_width —
+# fail loudly in-plan instead of melting a task. raise_error rides the
+# same stage: no extra job, no cost on healthy data.
+_MAX_CELLS_PER_ROW = 100_000
+
+
+def _capped_cells(lo_cell: Column, hi_cell: Column, where: str) -> Column:
+    """sequence(lo_cell, hi_cell), guarded against hot-interval fan-out."""
+    n = hi_cell - lo_cell + 1
+    return F.when(
+        n <= _MAX_CELLS_PER_ROW, F.sequence(lo_cell, hi_cell)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"{where}: interval spans more than "
+                    f"{_MAX_CELLS_PER_ROW} grid cells ("
+                ),
+                n.cast("string"),
+                F.lit(") — raise cell_width toward the median interval width"),
+            )
+        )
+    )
+
 
 def grid_range_join(
     points: DataFrame,
@@ -45,7 +74,9 @@ def grid_range_join(
         return F.floor(c / F.lit(cell_width)).cast("long")
 
     p = points.withColumn(CELL_COL, cell_of(F.col(value_col)))
-    cells = F.sequence(cell_of(F.col(lo_col)), cell_of(F.col(hi_col)))
+    cells = _capped_cells(
+        cell_of(F.col(lo_col)), cell_of(F.col(hi_col)), "grid_range_join"
+    )
     iv = intervals.withColumn(CELL_COL, F.explode(cells))
     joined = p.join(iv, CELL_COL, how).filter(
         (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
@@ -79,10 +110,20 @@ def grid_interval_join(
         return F.floor(c / F.lit(cell_width)).cast("long")
 
     lx = left.withColumn(
-        CELL_COL, F.explode(F.sequence(cell_of(F.col(l_lo)), cell_of(F.col(l_hi))))
+        CELL_COL,
+        F.explode(
+            _capped_cells(
+                cell_of(F.col(l_lo)), cell_of(F.col(l_hi)), "grid_interval_join"
+            )
+        ),
     )
     rx = right.withColumn(
-        CELL_COL, F.explode(F.sequence(cell_of(F.col(r_lo)), cell_of(F.col(r_hi))))
+        CELL_COL,
+        F.explode(
+            _capped_cells(
+                cell_of(F.col(r_lo)), cell_of(F.col(r_hi)), "grid_interval_join"
+            )
+        ),
     )
     joined = lx.join(rx, CELL_COL).filter(
         (F.col(l_lo) <= F.col(r_hi))

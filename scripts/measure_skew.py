@@ -3,16 +3,20 @@ r6 #5): on a deliberately skewed fixture (one key owns ~50% of rows),
 compare STRAGGLER TASK TIME — max executorRunTime over the run's
 stages, from the Spark REST API — salted vs unsalted, best-of-5.
 
-Three join variants separate what salting buys from what AQE already
-gives:
-  join_unsalted_noaqe  — plain shuffle join, AQE skew split OFF: the
-                         one-reducer pathology salting exists for;
-  join_salted_noaqe    — salted_join(16), same confs: the claim under
-                         test (straggler bounded to ~1/16);
-  join_unsalted_aqe    — AQE skew split ON: the runtime alternative,
-                         for honest context (when AQE applies, prefer
-                         it; salted_join is for when it doesn't — e.g.
-                         the join feeds an agg needing the key whole).
+Three join variants separate what salting buys from what AQE's skew
+split already gives. Only spark.sql.adaptive.skewJoin.enabled is
+toggled — AQE itself (partition coalescing, runtime re-planning) stays
+ON in every variant, so the names say "skew split", not "AQE"
+(ADVICE r7: the old *_noaqe labels overstated the isolation):
+  join_unsalted_noskewsplit — plain shuffle join, skew split OFF: the
+                              one-reducer pathology salting exists for;
+  join_salted_noskewsplit   — salted_join(16), same confs: the claim
+                              under test (straggler bounded to ~1/16);
+  join_unsalted_skewsplit   — skew split ON: the runtime alternative,
+                              for honest context (when it applies,
+                              prefer it; salted_join is for when it
+                              doesn't — e.g. the join feeds an agg
+                              needing the key whole).
 Plus both agg variants (sum/count groupBy), where Spark's map-side
 partial aggregation is EXPECTED to flatten the skew already — the
 honest negative result goes in SCALE.md either way.
@@ -140,20 +144,20 @@ def main() -> int:
     results: dict[str, dict] = {}
 
     set_skew_aqe(False)
-    results["join_unsalted_noaqe"] = best_of(
+    results["join_unsalted_noskewsplit"] = best_of(
         spark,
         lambda: fact.join(dim, "k").groupBy("k").agg(
             F.count("*").alias("n"), F.max("d").alias("d")
         ),
     )
-    results["join_salted_noaqe"] = best_of(
+    results["join_salted_noskewsplit"] = best_of(
         spark,
         lambda: salted_join(fact, dim, "k", n_salts=N_SALTS)
         .groupBy("k")
         .agg(F.count("*").alias("n"), F.max("d").alias("d")),
     )
     set_skew_aqe(True)
-    results["join_unsalted_aqe"] = best_of(
+    results["join_unsalted_skewsplit"] = best_of(
         spark,
         lambda: fact.join(dim, "k").groupBy("k").agg(
             F.count("*").alias("n"), F.max("d").alias("d")
@@ -176,8 +180,8 @@ def main() -> int:
         ),
     )
 
-    un = results["join_unsalted_noaqe"]["straggler_ms_best"]
-    sa = results["join_salted_noaqe"]["straggler_ms_best"]
+    un = results["join_unsalted_noskewsplit"]["straggler_ms_best"]
+    sa = results["join_salted_noskewsplit"]["straggler_ms_best"]
     ratio = un / max(sa, 1.0)
     ok = ratio >= 2.0
     print(

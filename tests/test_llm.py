@@ -793,7 +793,7 @@ def test_pack_bins_zero_token_doc_never_joins_oversize_bin(spark):
     assert not (zero_bins & oversize_bins)
 
 
-def test_ed1_uncapped_posting_guard_fires_loudly(spark):
+def test_ed1_uncapped_posting_guard_fires_loudly(spark, monkeypatch):
     """ADVICE r6: the registered q_dedup_names_ed1 runs UNCAPPED
     (max_df=None) for oracle parity, so a hot variant (many identical
     names) fans one reducer row into O(b^2) pairs with no bound. The
@@ -806,13 +806,10 @@ def test_ed1_uncapped_posting_guard_fires_loudly(spark):
     hot = spark.createDataFrame(
         [(i, "aaaa") for i in range(12)], "k long, s string"
     )
-    orig = dedup._UNCAPPED_POSTING_GUARD
-    dedup._UNCAPPED_POSTING_GUARD = 5
-    try:
-        with pytest.raises(Exception, match="uncapped posting list"):
-            dedup.edit_distance1_pairs(hot, "k", "s", max_df=None).count()
-    finally:
-        dedup._UNCAPPED_POSTING_GUARD = orig
+    monkeypatch.setattr(dedup, "_UNCAPPED_POSTING_GUARD", 5)
+    with pytest.raises(Exception, match="uncapped posting list"):
+        dedup.edit_distance1_pairs(hot, "k", "s", max_df=None).count()
+    monkeypatch.undo()
     # healthy data (posting lists under the real guard) is untouched:
     # 3 identical names -> 3 distinct pairs at distance 0
     assert dedup.edit_distance1_pairs(

@@ -103,3 +103,26 @@ def test_grid_interval_join_plans_equi_no_bnlj(spark):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_grid_cell_fanout_guard_fires_loudly(spark, monkeypatch):
+    """An interval wider than _MAX_CELLS_PER_ROW grid cells must raise
+    in-plan (the hot-row fan-out guard, same class as the dedup posting
+    cap — ADVICE r7) instead of exploding 10^5+ rows from one input row;
+    healthy intervals are untouched."""
+    import pytest as _pytest
+
+    from database_cloner_spark.functions import range_join as rj
+    from database_cloner_spark.functions.range_join import grid_interval_join
+
+    left = spark.createDataFrame([(0.0, 500.0)], "l_lo double, l_hi double")
+    right = spark.createDataFrame([(1.0, 2.0)], "r_lo double, r_hi double")
+    monkeypatch.setattr(rj, "_MAX_CELLS_PER_ROW", 100)
+    with _pytest.raises(Exception, match="grid cells"):
+        grid_interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 1.0).count()
+    monkeypatch.undo()
+    # under the real cap the same call is healthy and matches the naive pair
+    assert (
+        grid_interval_join(left, right, "l_lo", "l_hi", "r_lo", "r_hi", 1.0).count()
+        == 1
+    )
