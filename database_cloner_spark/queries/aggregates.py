@@ -523,3 +523,4 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("mode_n"),
         )
     )
+

@@ -945,47 +945,85 @@ d AS (
   WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
 )
 SELECT priority, n,
-       (CASE WHEN num < 0 THEN -1 ELSE 1 END
-        * ((2000000 * ABS(num) + denx) // (2 * denx))) / 1000000.0
-         AS slope_cents_per_day,
-       (CASE WHEN inum < 0 THEN -1 ELSE 1 END
-        * ((20000 * ABS(inum) + denx) // (2 * denx))) / 10000.0
-         AS intercept_cents,
-       (((200000000 * ABS(num) + denx) // (2 * denx)) / 100000000.0)
-       * (((2000000000000 * ABS(num) + deny) // (2 * deny)) / 1000000000000.0)
-         AS r2
+       {_rr_sql("num", "denx", 6)} AS slope_cents_per_day,
+       {_rr_sql("inum", "denx", 4)} AS intercept_cents,
+       ({_rr_sql("num", "denx", 8, signed=False)}
+        * {_rr_sql("num", "deny", 12, signed=False)}) AS r2
 FROM d
 """
 
-
-_ORACLE_REGRESSION = _regression_oracle("o_orderpriority")
 
 _DEC = "decimal(38,0)"
 
 
 def _rr_dec(num, den, digits: int, signed: bool = True):
     """round-half-away-from-zero(num/den) at `digits` decimals, computed
-    entirely in exact decimal(38,0) integer arithmetic:
-    sign(num) * ((2*10^d*|num| + den) div (2*den)) / 10^d, den > 0.
+    entirely in exact decimal(38,0) integer arithmetic; den must be > 0.
 
     The decimal(38,0) sibling of llm.text.roundn_ratio (long-domain) for
     sufficient-statistic ratios whose operands exceed 2^53 — where a raw
     int->double cast is engine-dependent (DuckDB's HUGEINT->DOUBLE
-    double-rounds, see _ORACLE_REGRESSION). `div` on decimals yields a
-    LongType quotient and ANSI raises loudly if it overflows int64; the
-    sign is applied to the integer quotient (not the double) so a
-    negative numerator that rounds to 0 yields 0.0, never -0.0.
-    Domain: |2*10^d*num + den| < 10^38 (ANSI decimal overflow raises)."""
+    double-rounds, see _ORACLE_REGRESSION). SPLIT FORM: the ratio's
+    integer part ip = |num| div den and its fraction fq =
+    round-half-up(rem/den * 10^d) are computed as two separate int64
+    quotients — the r8 nasty-twin sweep proved the one-shot
+    (2*10^d*|num| + den) div (2*den) quotient can exceed int64 on
+    high-variance fixtures, and Spark's decimal `div` WRAPS SILENTLY
+    there (no ANSI error; verified: 3.3e26 div 3 returned a negative
+    long). ip is therefore re-verified exactly (ip*den == |num| - rem,
+    all decimal — a wrapped quotient cannot pass) with an in-plan
+    raise_error; fq <= 10^d always fits. The result double
+    ip + fq/10^d is built from a correctly-rounded int64 cast (single
+    64-bit conversion — exact below 2^53 and correctly rounded above,
+    on BOTH engines, unlike the 128-bit cast) plus one IEEE add: bit-
+    identical cross-engine. The SQL mirror is _rr_sql. The sign gate
+    returns +0.0 (never -0.0) when the magnitude rounds to zero."""
     scale = 10 ** digits
     mag = F.abs(num)
-    q = F.call_function(
+    ip = F.call_function("div", mag, den)
+    rem = mag % den
+    ip = F.when(ip.cast(_DEC) * den == mag - rem, ip).otherwise(
+        F.raise_error(
+            F.lit(
+                "_rr_dec: ratio integer part overflows int64 "
+                "(decimal div wraps silently) — rescale the inputs"
+            )
+        )
+    )
+    fq = F.call_function(
         "div",
-        F.lit(2 * scale).cast(_DEC) * mag + den,
+        F.lit(2 * scale).cast(_DEC) * rem + den,
         F.lit(2).cast(_DEC) * den,
     )
-    if signed:
-        q = F.when(num < 0, -q).otherwise(q)
-    return q / F.lit(float(scale))
+    comp = ip.cast("double") + fq / F.lit(float(scale))
+    if not signed:
+        return comp
+    return F.when(
+        num < 0, F.when(comp == 0, F.lit(0.0)).otherwise(-comp)
+    ).otherwise(comp)
+
+
+def _rr_sql(num: str, den: str, digits: int, signed: bool = True) -> str:
+    """DuckDB mirror of _rr_dec over HUGEINT expressions: same split
+    form — BIGINT-cast integer part (raises loudly past int64, exactly
+    where the Spark side raise_errors) + <=10^d fractional quotient —
+    so every int->double conversion is a correctly-rounded 64-bit one."""
+    s = 10 ** digits
+    comp = (
+        f"(CAST(CAST(ABS({num}) // ({den}) AS BIGINT) AS DOUBLE)"
+        f" + ((2 * {s} * (ABS({num}) % ({den})) + ({den}))"
+        f" // (2 * ({den}))) / {s}.0)"
+    )
+    if not signed:
+        return comp
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN"
+        f" (CASE WHEN {comp} = 0 THEN 0.0 ELSE -{comp} END)"
+        f" ELSE {comp} END)"
+    )
+
+
+_ORACLE_REGRESSION = _regression_oracle("o_orderpriority")
 
 
 @register("q_stats_regression", oracle=_ORACLE_REGRESSION, tier="X")
@@ -1114,4 +1152,360 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("datediff(wk, cohort) div 7").cast("long").alias("week_offset"),
             "n_users",
         )
+    )
+
+
+# Welch one-vs-rest t-test per event type. Everything up to the final
+# divide/sqrt is exact integer arithmetic (fixed-point 1e-4 values,
+# decimal(38,0) <-> HUGEINT sums); the mean difference and the two
+# variance-over-n terms are rationally rounded at 1e-8 (_rr_dec — no
+# >2^53 raw casts, see _ORACLE_REGRESSION), and the final
+# t = dmean / sqrt(va + vb) is a fixed shape of correctly-rounded IEEE
+# ops (+, /, sqrt) over identical doubles — bit-identical cross-engine
+# with NO output rounding needed.
+_ORACLE_TTEST = f"""
+WITH pts AS (
+  SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS y
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS q
+  FROM pts GROUP BY event_type
+),
+tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts, SUM(q) AS tq FROM g),
+d AS (
+  SELECT event_type, n, s, q,
+         tn - n AS n2, ts - s AS s2, tq - q AS q2
+  FROM g, tot
+),
+r AS (
+  SELECT event_type, n, n2,
+         {_rr_sql("s * n2 - s2 * n", "n * n2", 8)} AS dmean,
+         {_rr_sql("q * n - s * s", "n * n * (n - 1)", 8, signed=False)} AS va,
+         {_rr_sql("q2 * n2 - s2 * s2", "n2 * n2 * (n2 - 1)", 8, signed=False)}
+           AS vb
+  FROM d WHERE n >= 2 AND n2 >= 2
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       dmean / 10000.0 AS mean_diff,
+       dmean / sqrt(va + vb) AS t_stat
+FROM r WHERE va + vb > 0
+"""
+
+
+@register("q_stats_ttest", oracle=_ORACLE_TTEST, tier="X")
+def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-statistic, one event type vs the rest
+    of the stream — the A/B-shaped drift detector (does this segment's
+    metric differ from everything else?) run for every segment at once.
+    Spark-first shape: ONE two-phase hash aggregate builds per-group
+    exact sufficient statistics (n, Σy, Σy² in decimal(38,0) over
+    1e-4-fixed-point values); the complement ("rest") statistics are
+    TOTAL minus GROUP, where the total comes from a global window over
+    the 5-row group table (aggregated input — no second scan, no join,
+    no crossJoin/BNLJ). The t pieces are rationally rounded at 1e-8
+    (_rr_dec: dmean = (s·n2 - s2·n)/(n·n2), va = (q·n - s²)/(n²(n-1)),
+    same for the rest) and t = dmean/sqrt(va+vb) is correctly-rounded
+    IEEE ops on identical doubles — cross-engine bit-identical without
+    any output rounding. Degenerate groups (n < 2 on either side, zero
+    pooled variance) are filtered on EXACT/rounded values identically
+    both sides. Domain: |2·10^8·(q·n - s²)| < 10^38 holds to ~sf100 for
+    this value scale (ANSI raises loudly beyond)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    y = F.floor(F.col("value") * 10000).cast(_DEC)
+    g = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q"),
+    )
+    w_all = W.partitionBy(F.lit(0))
+    d = g.select(
+        "event_type",
+        "n",
+        "s",
+        "q",
+        (F.sum("n").over(w_all) - F.col("n")).alias("n2"),
+        (F.sum("s").over(w_all) - F.col("s")).alias("s2"),
+        (F.sum("q").over(w_all) - F.col("q")).alias("q2"),
+    ).filter((F.col("n") >= 2) & (F.col("n2") >= 2))
+    dmean = _rr_dec(
+        F.col("s") * F.col("n2") - F.col("s2") * F.col("n"),
+        F.col("n") * F.col("n2"),
+        8,
+    )
+    va = _rr_dec(
+        F.col("q") * F.col("n") - F.col("s") * F.col("s"),
+        F.col("n") * F.col("n") * (F.col("n") - 1),
+        8,
+        signed=False,
+    )
+    vb = _rr_dec(
+        F.col("q2") * F.col("n2") - F.col("s2") * F.col("s2"),
+        F.col("n2") * F.col("n2") * (F.col("n2") - 1),
+        8,
+        signed=False,
+    )
+    r = d.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        dmean.alias("dmean"),
+        va.alias("va"),
+        vb.alias("vb"),
+    ).filter(F.col("va") + F.col("vb") > 0)
+    return r.select(
+        "event_type",
+        "n",
+        (F.col("dmean") / F.lit(10000.0)).alias("mean_diff"),
+        (F.col("dmean") / F.sqrt(F.col("va") + F.col("vb"))).alias("t_stat"),
+    )
+
+
+# Lag-1 autocorrelation of metric values per user: Pearson r between
+# consecutive (by ts, event_id) values of one user's stream — the
+# session-dynamics profiler (is this user's metric trending or i.i.d.?).
+_ORACLE_AUTOCORR = f"""
+WITH pts AS (
+  SELECT user_id, CAST(FLOOR(value * 10000) AS BIGINT) AS y, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+pairs AS (
+  SELECT user_id,
+         lag(y) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS x,
+         y
+  FROM pts
+),
+s AS (
+  SELECT user_id, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM pairs WHERE x IS NOT NULL GROUP BY user_id
+),
+d AS (
+  SELECT user_id, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM s WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+       (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       * sqrt({_rr_sql("num", "denx", 8, signed=False)}
+              * {_rr_sql("num", "deny", 12, signed=False)})
+         AS r_lag1
+FROM d
+"""
+
+
+@register("q_ts_autocorr", oracle=_ORACLE_AUTOCORR, tier="X")
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation: Pearson r between consecutive
+    metric values in each user's (ts, event_id)-ordered stream. Shape:
+    ONE user_id shuffle serves both the lag window (user_id is a HIGH-
+    cardinality key — groups stay task-sized, unlike the event_type
+    windows the low-card guard forbids) and the following two-phase
+    sufficient-statistics aggregate (n, Σx, Σy, Σxy, Σx², Σy² as exact
+    decimal(38,0) over 1e-4 fixed-point values — the q_stats_regression
+    machinery pointed at a self-lagged series). r = sign(num) ·
+    sqrt(rr(num/denx, 8) · rr(num/deny, 12)): rationally rounded
+    factors, then one correctly-rounded IEEE multiply+sqrt — bit-
+    identical cross-engine, no output rounding. Degenerate series
+    (n < 2 pairs, constant x or y) are excluded on the exact integer
+    denominators identically both sides."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    y = F.floor(F.col("value") * 10000).cast(_DEC)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id", y.alias("y"), F.lag(y).over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "user_id",
+        F.col("n").cast("long").alias("n_pairs"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
+    mag = F.sqrt(
+        _rr_dec(F.col("num"), F.col("denx"), 8, signed=False)
+        * _rr_dec(F.col("num"), F.col("deny"), 12, signed=False)
+    )
+    return d.select(
+        "user_id",
+        "n_pairs",
+        F.when(F.col("num") < 0, -mag).otherwise(mag).alias("r_lag1"),
+    )
+
+
+# Chi-squared independence of (lang, source) — corpus-drift detection:
+# does document language depend on crawl source? chi2 = sum over the
+# FULL lang x source grid (observed AND structurally-zero cells) of
+# (O*N - r*c)^2 / (N*r*c) — exact integers throughout; each cell's
+# contribution is rationally rounded to an INTEGER multiple of 1e-8 and
+# the integers are summed (order-independent, unlike summing the
+# rounded doubles, whose last-ulp total would depend on engine
+# reduction order); one division by 1e8 at the end.
+_ORACLE_CHI2 = """
+WITH c AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY lang, source
+),
+r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM c GROUP BY lang),
+s AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM c GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM c),
+grid AS (
+  SELECT r.lang, s.source, r.rt, s.ct, t.n,
+         COALESCE(c.o, 0) AS o
+  FROM r CROSS JOIN s CROSS JOIN tot t
+  LEFT JOIN c ON c.lang = r.lang AND c.source = s.source
+),
+cell AS (
+  SELECT ((200000000 * ((CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct)
+                        * (CAST(o AS HUGEINT) * n - CAST(rt AS HUGEINT) * ct))
+           + CAST(n AS HUGEINT) * rt * ct)
+          // (2 * CAST(n AS HUGEINT) * rt * ct)) AS q
+  FROM grid
+)
+SELECT (SELECT CAST(SUM(q) AS BIGINT) FROM cell) / 100000000.0 AS chi2,
+       CAST(((SELECT COUNT(*) FROM r) - 1)
+            * ((SELECT COUNT(*) FROM s) - 1) AS BIGINT) AS dof,
+       (SELECT n FROM tot) AS n
+"""
+
+
+@register("q_stats_chi2", oracle=_ORACLE_CHI2, tier="X")
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between two categorical columns
+    (document language x crawl source) — the corpus-drift check a
+    training pipeline runs to catch a source whose language mix shifted.
+    Shape: the ONLY data-sized pass is the two-phase groupBy(lang,
+    source) count; margins, the grand total, and the full contingency
+    grid (including structurally-zero cells, which classic chi2
+    requires) derive from that tiny count table — the grid is a
+    bounded-domain dim x dim crossJoin (audited BNLJ) plus a broadcast
+    left join back to the counts. Each cell's (O*N - r*c)^2/(N*r*c) is
+    exact decimal(38,0) arithmetic rationally rounded to an integer
+    multiple of 1e-8; the INTEGERS are summed (order-free) and divided
+    once, so the statistic is bit-identical cross-engine with no float
+    reduction anywhere (see _ORACLE_CHI2's note)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
+    )
+    c = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("o")
+    )
+    r = c.groupBy("lang").agg(F.sum("o").cast(_DEC).alias("rt"))
+    s = c.groupBy("source").agg(F.sum("o").cast(_DEC).alias("ct"))
+    tot = c.agg(F.sum("o").cast(_DEC).alias("n"))
+    grid = (
+        r.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(c), ["lang", "source"], "left")
+        .select(
+            "rt", "ct", "n", F.coalesce(F.col("o"), F.lit(0).cast(_DEC)).alias("o")
+        )
+    )
+    dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
+    den = F.col("n") * F.col("rt") * F.col("ct")
+    q = F.call_function(
+        "div",
+        F.lit(200000000).cast(_DEC) * (dev * dev) + den,
+        F.lit(2).cast(_DEC) * den,
+    )
+    cells = grid.select(q.alias("q"))
+    nr = r.agg(F.count(F.lit(1)).alias("nr"))
+    ns = s.agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        cells.agg(F.sum("q").alias("sq"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("sq") / F.lit(100000000.0)).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("ns") - 1)).cast("long").alias("dof"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
+
+# EWMA with alpha = 1/2: acc = (acc + x)/2 folded over the user's
+# (ts, event_id)-ordered value stream. The recurrence is evaluated in
+# the SAME sequential order by both engines (Spark `aggregate` HOF over
+# a sort_array'd list; DuckDB list_reduce over list(... ORDER BY)), and
+# +,/2 are correctly-rounded IEEE ops — so the resulting double is
+# bit-identical cross-engine even where the running sum rounds (term
+# spread past 53 bits), with no libm anywhere. alpha=1/2 is the dyadic
+# smoothing choice: halving is exact scaling, so early terms decay
+# without introducing representation error of their own.
+_ORACLE_EWMA = """
+WITH pts AS (
+  SELECT user_id, value, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+l AS (
+  SELECT user_id,
+         COUNT(*)::BIGINT AS n_events,
+         list(value ORDER BY ts, event_id) AS vs
+  FROM pts GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(CAST(vs AS DOUBLE[]), (acc, x) -> (acc + x) / 2.0)
+         AS ewma
+FROM l
+"""
+
+
+@register("q_ts_ewma", oracle=_ORACLE_EWMA, tier="X")
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (alpha = 1/2) of
+    the metric stream's final state — the smoothed "where is this
+    user's metric now" profile. A recurrence (y_t depends on y_{t-1})
+    is the one shape windows cannot express without O(n^2) frames;
+    Spark-first answer: ONE user_id shuffle collects each user's
+    (ts, event_id, value) structs, sort_array orders them in-partition
+    (lexicographic struct compare — deterministic event_id tie-break),
+    and a JVM-side `aggregate` HOF folds (acc + x)/2 sequentially —
+    per-user state is that user's events (the same calendar/user-bounded
+    state argument as q_retention_cohort), no Python, no UDF. The fold
+    order is pinned identically in both engines, so the result double
+    is bit-exact with zero output rounding (see _ORACLE_EWMA). At
+    100 TB swap sort_array+fold for applyInPandasWithState only if a
+    single user's history outgrows a task — nothing else changes."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs"),
+    )
+    vs = F.expr("transform(evs, e -> e.value)")
+    ewma = F.expr(
+        "aggregate(slice(__vs, 2, size(__vs) - 1), __vs[0], "
+        "(acc, x) -> (acc + x) / 2.0D)"
+    )
+    return (
+        per_user.select("user_id", "n_events", vs.alias("__vs"))
+        .select("user_id", "n_events", ewma.alias("ewma"))
     )

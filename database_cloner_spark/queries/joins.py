@@ -425,3 +425,205 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_overlaps"),
         F.countDistinct("c_custkey").alias("n_customers"),
     )
+
+
+_ORACLE_ASOF_NEAREST = """
+WITH t AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS flag
+  FROM events
+  WHERE event_type IN ('purchase', 'click')
+    AND ts IS NOT NULL AND user_id IS NOT NULL
+),
+c AS (
+  SELECT *,
+    last_value(click_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, flag
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back_ts,
+    last_value(click_ts IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts DESC, flag
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd_ts
+  FROM t
+),
+p AS (
+  SELECT event_id, user_id, ts,
+         CASE
+           WHEN back_ts IS NULL THEN fwd_ts
+           WHEN fwd_ts IS NULL THEN back_ts
+           WHEN epoch_us(ts) - epoch_us(back_ts)
+                <= epoch_us(fwd_ts) - epoch_us(ts) THEN back_ts
+           ELSE fwd_ts
+         END AS near_ts
+  FROM c WHERE event_type = 'purchase'
+)
+SELECT event_id AS purchase_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(near_ts, '%Y-%m-%d %H:%M:%S') AS nearest_click_ts,
+       epoch_us(near_ts) - epoch_us(ts) AS delta_us
+FROM p
+"""
+
+
+@register("q_join_asof_nearest", oracle=_ORACLE_ASOF_NEAREST, tier="X")
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join: for each purchase, the click of the
+    same user CLOSEST in time — before or after (attribution windows
+    look both ways; plain as-of only looks back). Same scalable
+    union-and-carry shape as q_join_asof — ONE user_id shuffle, never a
+    |purchases| x |clicks| non-equi join — but with TWO running carries
+    over the same partitioning: ascending for the latest click <= ts,
+    and a DESCENDING running carry for the earliest click >= ts (the
+    reversed-running form; a first_value over an unbounded-FOLLOWING
+    frame rescans forward from every row, O(n^2) per partition —
+    SCALE.md pitfall 6). The same click-sorts-before-purchase tie flag
+    gives <= / >= semantics in both directions, and ties in distance
+    break toward the EARLIER click (<=) so the winner is deterministic.
+    Distances compare as exact epoch-microsecond longs; delta_us < 0
+    means the nearest click preceded the purchase."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("flag"),
+    )
+    w_back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "flag")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("flag"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last("click_ts", ignorenulls=True).over(w_back).alias("back_ts"),
+        F.last("click_ts", ignorenulls=True).over(w_fwd).alias("fwd_ts"),
+    ).filter(F.col("event_type") == "purchase")
+    us = F.unix_micros
+    near = (
+        F.when(F.col("back_ts").isNull(), F.col("fwd_ts"))
+        .when(F.col("fwd_ts").isNull(), F.col("back_ts"))
+        .when(
+            us(F.col("ts")) - us(F.col("back_ts"))
+            <= us(F.col("fwd_ts")) - us(F.col("ts")),
+            F.col("back_ts"),
+        )
+        .otherwise(F.col("fwd_ts"))
+    )
+    return carried.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format(near, "yyyy-MM-dd HH:mm:ss").alias("nearest_click_ts"),
+        (us(near) - us(F.col("ts"))).alias("delta_us"),
+    )
+
+
+_ORACLE_TRIANGLES = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
+),
+e AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+tri AS (
+  SELECT COUNT(*)::BIGINT AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT (SELECT COUNT(*)::BIGINT FROM verts) AS n_vertices,
+       (SELECT COUNT(*)::BIGINT FROM e) AS n_edges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@register("q_graph_triangles", oracle=_ORACLE_TRIANGLES, tier="X")
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the supplier co-supply graph (edge = two
+    suppliers filling the same order) — the graph-analytics clustering
+    primitive (triangles/clustering coefficient flag collusive or
+    templated structure the way near-dup detection flags copied text).
+    Scale shape, two public ideas composed:
+    (1) edges come from POSTING LISTS per order (sort_array(collect_set)
+    + in-row pair explode — join-free, the dedup inverted-index shape;
+    per-order supplier lists are bounded by order size, never a
+    lineitem x lineitem self-join, which the oracle brute-forces only
+    at toy scale);
+    (2) counting orients each edge from its (degree, id)-SMALLER toward
+    its larger endpoint (Schank/Suri-Vassilvitskii): every wedge is
+    enumerated at its lowest-degree vertex, so a degree-d hub generates
+    O(d_out^2) wedges with d_out bounded by sqrt(|E|)-ish instead of
+    O(d^2) — THE classic fix for the hot-vertex straggler — and each
+    triangle closes exactly once (its minimum-order vertex is the
+    center). The directed edge set is lazily localCheckpointed: it
+    feeds three join sides, and AQE's runtime re-planning otherwise
+    defeats ReuseExchange and recomputes the build (SCALE.md pitfall)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ps")
+    )
+    pairs = ps.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    )
+    edges = pairs.select(F.col("p.u").alias("u"), F.col("p.v").alias("v")).distinct()
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient u->v toward the (deg, id)-larger endpoint; carry the
+    # destination's orient key for the wedge ordering
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))
+    ed = edges.join(du, "u").join(dv, "v")
+    fwd = F.struct("deg_u", "u") < F.struct("deg_v", "v")
+    d = ed.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.when(fwd, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_t"),
+    ).localCheckpoint(eager=False)
+    d1 = d.select(F.col("s"), F.col("t").alias("t1"), F.col("deg_t").alias("dt1"))
+    d2 = d.select(F.col("s"), F.col("t").alias("t2"), F.col("deg_t").alias("dt2"))
+    wedges = d1.join(d2, "s").filter(
+        F.struct(F.col("dt1"), F.col("t1")) < F.struct(F.col("dt2"), F.col("t2"))
+    )
+    closing = d.select(F.col("s").alias("t1"), F.col("t").alias("t2"))
+    tri = wedges.join(closing, ["t1", "t2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    nv = deg.agg(F.count(F.lit(1)).alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tri))
+        .select("n_vertices", "n_edges", "n_triangles")
+    )

@@ -939,3 +939,70 @@ def q_dedup_names_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the helper for the 100 TB path, where the oracle-equality contract
     # doesn't apply and boilerplate buckets must be bounded.
     return edit_distance1_pairs(cust, "c_custkey", "c_name", max_df=None)
+
+
+_ORACLE_DIVERSITY = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+),
+t AS (SELECT doc_id, UNNEST(toks) AS tok FROM base),
+c AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS c FROM t GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS ssq,
+         COUNT(*)::BIGINT AS u
+  FROM c GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(s.n, 0) AS n_tokens,
+       COALESCE(s.u, 0) AS n_unique,
+       CASE WHEN s.n IS NOT NULL
+            THEN ((20000 * (s.n * s.n - s.ssq) + s.n * s.n)
+                  // (2 * s.n * s.n)) / 10000.0
+       END AS gini
+FROM base b LEFT JOIN s USING (doc_id)
+"""
+
+
+@register("q_text_diversity", oracle=_ORACLE_DIVERSITY, tier="X")
+def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical diversity: Gini-Simpson index of the token
+    distribution, 1 - sum((c_i/n)^2) — the repetitiveness score that
+    flags boilerplate/template docs (low diversity) without the libm
+    entropy log whose cross-engine rounding is not reproducible. Shape:
+    ENTIRELY map-side — tokens/array_distinct/filter-count HOFs are
+    JVM-side expressions per row, so the operator is a pure projection
+    over the scan: ZERO shuffles at any corpus size (the oracle's
+    unnest+groupBy is the toy-scale mirror, not the plan). The index is
+    exact integer arithmetic per doc — gini = (n^2 - sum(c^2))/n^2
+    through roundn_ratio (round-half-up at 1e-4, no float ratio) — and
+    the tokenizer is the shared textprep/tokens_sql contract, so counts
+    cannot drift from the rest of the text tier. NULL text degrades to
+    (0, 0, NULL) identically on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    from database_cloner_spark.llm.textprep import tokens
+
+    toks = tokens(F.col("text"))
+    ssq = F.expr(
+        "aggregate(array_distinct(__toks), 0L, (acc, t) -> "
+        "acc + cast(size(filter(__toks, x -> x = t)) as bigint)"
+        "      * cast(size(filter(__toks, x -> x = t)) as bigint))"
+    )
+    n = F.size(F.col("__toks")).cast("long")
+    gini = llmtext.roundn_ratio(n * n - F.col("__ssq"), n * n, 4)
+    return (
+        docs.select("doc_id", "text", toks.alias("__toks"))
+        .select(
+            "doc_id",
+            "text",
+            "__toks",
+            ssq.alias("__ssq"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.size("__toks").cast("long"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(
+                F.size(F.array_distinct("__toks")).cast("long"), F.lit(0)
+            ).alias("n_unique"),
+            F.when(F.col("text").isNotNull(), gini).alias("gini"),
+        )
+    )

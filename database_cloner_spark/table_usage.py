@@ -132,7 +132,9 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sort": ("orders",),
     "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
+    "q_stats_chi2": ("documents",),
     "q_stats_regression": ("orders",),
+    "q_stats_ttest": ("events",),
     "q_str_concat": ("nation",),
     "q_str_mask": ("supplier",),
     "q_str_quote_ident": ("part",),
@@ -167,6 +169,11 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_ts_gapfill": ("events",),
     "q_ts_interpolate": ("events",),
     "q_ts_downsample_ohlc": ("events",),
+    "q_ts_autocorr": ("events",),
+    "q_ts_ewma": ("events",),
+    "q_text_diversity": ("documents",),
+    "q_join_asof_nearest": ("events",),
+    "q_graph_triangles": ("lineitem",),
     "q_retention_cohort": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),

@@ -42,6 +42,8 @@ BNLJ_ALLOWED = {
     "q_ts_interpolate",          # same span-bounded grid x type dim
     "q_agg_histogram",           # 1-row min/max bounds frame
     "q_text_bm25",               # two 1-row corpus stats frames (N docs, avg dl)
+    "q_stats_chi2",              # lang-dim x source-dim grid (bounded domains) + 1-row totals
+    "q_graph_triangles",         # three 1-row scalar frames (|V|, |E|, triangle count)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -379,3 +381,74 @@ def test_low_cardinality_window_partitions_ride_bounded_inputs(spark):
         f"windows over low-cardinality partitions with un-aggregated "
         f"inputs (single-task whole-domain sorts at scale): {offenders}"
     )
+
+
+def test_ttest_rides_one_data_exchange(spark):
+    """q_stats_ttest: the only row-data shuffle is the two-phase
+    sufficient-statistics aggregate on event_type; the complement stats
+    come from a global window over the 5-row group table (aggregate
+    below the window), never a second scan or a join of the raw data."""
+    plan = _plan(spark, "q_stats_ttest")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan and "partial_sum" in plan, plan
+    # one exchange for the group agg + one single-partition exchange for
+    # the 5-row global window — nothing else
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_autocorr_single_user_shuffle(spark):
+    """q_ts_autocorr: lag window and sufficient-stats agg must share ONE
+    user_id exchange — the agg's required distribution is satisfied by
+    the window's partitioning."""
+    plan = _plan(spark, "q_ts_autocorr")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_sum" in plan, plan
+
+
+def test_diversity_is_shuffle_free(spark):
+    """q_text_diversity: the Gini-Simpson index is pure map-side HOF
+    arithmetic — the plan must contain NO Exchange at all (the strongest
+    scale claim in the registry: a projection over the scan)."""
+    plan = _plan(spark, "q_text_diversity")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_chi2_heavy_pass_is_two_phase_count(spark):
+    """q_stats_chi2: the only data-sized pass is the (lang, source)
+    count — partial_count before its exchange; everything downstream is
+    dim-sized (broadcast joins / audited tiny BNLJs)."""
+    plan = _plan(spark, "q_stats_chi2")
+    assert "partial_count" in plan, plan
+    import re
+
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, source#\d+", plan), plan
+
+
+def test_ewma_single_user_shuffle_no_python(spark):
+    """q_ts_ewma: one user_id exchange (collect + fold are in-partition
+    JVM expressions); no Python runner in the plan."""
+    plan = _plan(spark, "q_ts_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_asof_nearest_one_shuffle_no_join(spark):
+    """q_join_asof_nearest: both directional carries ride ONE user_id
+    exchange (the descending carry re-sorts in-partition); the
+    formulation never plans a join."""
+    plan = _plan(spark, "q_join_asof_nearest")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_triangles_pair_generation_is_join_free_until_edges(spark):
+    """q_graph_triangles: no CartesianProduct anywhere, and the wedge/
+    closure joins are hash-partitioned equi-joins (SMJ/SHJ/BHJ), with
+    the directed edge set checkpoint-reused across its three join
+    sides rather than recomputed."""
+    plan = _plan(spark, "q_graph_triangles")
+    assert "CartesianProduct" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Checkpoint" in plan or plan.count("FileScan parquet") <= 2, plan
