@@ -532,15 +532,14 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_TRIANGLES = """
-WITH li AS (
-  SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL
-),
-e AS (
-  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-  FROM li a JOIN li b
-    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+# The edge set is the near-dup pair graph — q_dedup_fuzzy's whole
+# oracle nested as a subquery, so the two keys cannot drift.
+def _oracle_triangles() -> str:
+    from database_cloner_spark.queries.llm_ops import _ORACLE_DEDUP_FUZZY
+
+    return f"""
+WITH e AS (
+  SELECT doc_a AS u, doc_b AS v FROM ({_ORACLE_DEDUP_FUZZY}) f
 ),
 verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
 tri AS (
@@ -555,50 +554,53 @@ SELECT (SELECT COUNT(*)::BIGINT FROM verts) AS n_vertices,
 """
 
 
+_ORACLE_TRIANGLES = _oracle_triangles()
+
+
 @register("q_graph_triangles", oracle=_ORACLE_TRIANGLES, tier="X")
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle count over the supplier co-supply graph (edge = two
-    suppliers filling the same order) — the graph-analytics clustering
-    primitive (triangles/clustering coefficient flag collusive or
-    templated structure the way near-dup detection flags copied text).
-    Scale shape, two public ideas composed:
-    (1) edges come from POSTING LISTS per order (sort_array(collect_set)
-    + in-row pair explode — join-free, the dedup inverted-index shape;
-    per-order supplier lists are bounded by order size, never a
-    lineitem x lineitem self-join, which the oracle brute-forces only
-    at toy scale);
-    (2) counting orients each edge from its (degree, id)-SMALLER toward
-    its larger endpoint (Schank/Suri-Vassilvitskii): every wedge is
-    enumerated at its lowest-degree vertex, so a degree-d hub generates
-    O(d_out^2) wedges with d_out bounded by sqrt(|E|)-ish instead of
-    O(d^2) — THE classic fix for the hot-vertex straggler — and each
-    triangle closes exactly once (its minimum-order vertex is the
-    center). The directed edge set is lazily localCheckpointed: it
-    feeds three join sides, and AQE's runtime re-planning otherwise
-    defeats ReuseExchange and recomputes the build (SCALE.md pitfall)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    """Triangle count over the NEAR-DUP pair graph (edge = document
+    pair with 3-shingle Jaccard >= 0.4, q_dedup_fuzzy's exact output) —
+    the cluster-cliquishness check a dedup pipeline runs before
+    collapsing clusters: a triangle-dense component is one true
+    duplicate family; a triangle-free chain (A~B~C but A!~C) warns that
+    single-link clustering is about to over-merge (the drift A->B->C
+    that q_dedup_cluster's lineage cuts guard against). The r8 first
+    cut used the supplier co-supply graph and the bench's scale-flag
+    machinery caught it as SUPERLINEAR (0.93s@sf0.01 -> 41s@sf0.1):
+    co-supply over TPC-H is ~90% complete (453k edges on 1000
+    vertices), and NO algorithm makes a near-clique's m^1.5 cheap —
+    graph choice, not join strategy, is the scale decision. The
+    near-dup graph is sparse BY CONSTRUCTION (near-dup families are
+    small) at every scale. Counting orients each edge from its
+    (degree, id)-SMALLER toward its larger endpoint
+    (Schank/Suri-Vassilvitskii): every wedge is enumerated at its
+    lowest-degree vertex (O(d_out^2), d_out ~ sqrt(|E|) — the
+    hot-vertex straggler fix) and each triangle closes exactly once.
+    The directed edge set is lazily localCheckpointed: it feeds three
+    join sides, and AQE's runtime re-planning otherwise defeats
+    ReuseExchange and recomputes the (shuffle-heavy) pair generation
+    per side (SCALE.md pitfall). Oracle nests q_dedup_fuzzy's oracle
+    verbatim, so edge semantics cannot drift between the two keys."""
+    from database_cloner_spark.llm import dedup as _dedup
+
+    pairs = _dedup.shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
     )
-    ps = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_suppkey")).alias("ps")
-    )
-    pairs = ps.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("p")
-    )
-    edges = pairs.select(F.col("p.u").alias("u"), F.col("p.v").alias("v")).distinct()
+    # edges feeds deg, the orient joins, and the |E| count; deg feeds
+    # both orient sides and |V| — without the checkpoints each consumer
+    # re-executes the whole shingle pair generation (measured 24s vs 2s
+    # at sf0.1: ReuseExchange does not cover these shared subtrees
+    # under AQE)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
         .groupBy("x")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
     )
     # orient u->v toward the (deg, id)-larger endpoint; carry the
     # destination's orient key for the wedge ordering

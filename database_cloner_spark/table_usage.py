@@ -173,7 +173,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_ts_ewma": ("events",),
     "q_text_diversity": ("documents",),
     "q_join_asof_nearest": ("events",),
-    "q_graph_triangles": ("lineitem",),
+    "q_graph_triangles": ("documents",),
     "q_retention_cohort": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),

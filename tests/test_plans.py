@@ -444,11 +444,14 @@ def test_asof_nearest_one_shuffle_no_join(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_triangles_pair_generation_is_join_free_until_edges(spark):
-    """q_graph_triangles: no CartesianProduct anywhere, and the wedge/
-    closure joins are hash-partitioned equi-joins (SMJ/SHJ/BHJ), with
-    the directed edge set checkpoint-reused across its three join
-    sides rather than recomputed."""
+def test_triangles_checkpoints_shared_subtrees(spark):
+    """q_graph_triangles: no CartesianProduct; the shared subtrees
+    (edges / degrees / directed edges) must enter the plan as
+    checkpointed RDD scans, not as repeated re-executions of the
+    shingle pair generation — at most ONE parquet scan of documents
+    may remain in the whole plan (measured: without the checkpoints
+    every join side re-ran the pair gen, 24s vs 2.8s at sf0.1)."""
     plan = _plan(spark, "q_graph_triangles")
     assert "CartesianProduct" not in plan, plan
-    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan or "Checkpoint" in plan or plan.count("FileScan parquet") <= 2, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") <= 1, plan
