@@ -524,3 +524,75 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+# Exact lower median via cumulative counts over the per-group VALUE
+# COUNT TABLE (the q_anomaly_mad/q_agg_mode shape as a standalone
+# aggregate): the heavy pass is an ordinary two-phase count keyed
+# (group, value), so the exchange ships value-cardinality-bounded
+# triples and the only sort runs over the tiny count table — never a
+# per-group total-order sort of raw rows (the low-card window guard
+# forbids that shape). The median is a rank PICK of an existing value
+# (no interpolation arithmetic), so the double passes through verbatim
+# and both engines hash-agree with zero rounding.
+_ORACLE_MEDIAN_EXACT = """
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT flag, price,
+         row_number() OVER (PARTITION BY flag ORDER BY price) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM v
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN price END) AS median_price
+FROM r GROUP BY flag, n
+"""
+
+
+@register("q_agg_median_exact", oracle=_ORACLE_MEDIAN_EXACT, tier="X")
+def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT lower median per group (returnflag x extendedprice) — the
+    exact companion of q_agg_approx_percentile for when an SLA needs
+    the true quantile, not a t-digest estimate. Shape: two-phase
+    `groupBy(flag, price).count()` (map-side partials; exchange volume
+    bounded by DISTINCT price cardinality, not row count), then the
+    median is the first value whose cumulative count reaches rank
+    (n+1) div 2 over the count table — same rank convention as the
+    oracle's row_number form, in-partition after one tiny flag
+    exchange. The oracle total-order sorts raw rows because at toy
+    scale that is the clearest spec; the ENGINE plan never does (plan
+    guard: count agg below every window)."""
+    v = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull() & F.col("l_extendedprice").isNotNull()
+    )
+    counts = v.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    by_flag = W.partitionBy("flag")
+    w_cum = by_flag.orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = counts.select(
+        "flag",
+        "price",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(by_flag).alias("n"),
+    )
+    med = F.min(
+        F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("price"))
+    ).over(by_flag)
+    return (
+        c.select("flag", "n", med.alias("median_price"))
+        .groupBy("flag")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("median_price").alias("median_price"),
+        )
+    )

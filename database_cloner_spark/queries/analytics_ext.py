@@ -1509,3 +1509,106 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select("user_id", "n_events", vs.alias("__vs"))
         .select("user_id", "n_events", ewma.alias("ewma"))
     )
+
+
+# Pairwise Pearson correlation of the event types' hourly activity
+# series — the metric-covariation profile (which segments move
+# together?). Counts are exact integers, so the sufficient statistics
+# are exact; r = sign(num) * sqrt(rr(num/denx) * rr(num/deny)) exactly
+# as q_ts_autocorr.
+_ORACLE_CORR_MATRIX = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, hr
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.c AS x, b.c AS y
+  FROM h a JOIN h b ON a.hr = b.hr AND a.event_type < b.event_type
+),
+s AS (
+  SELECT type_a, type_b, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM p GROUP BY type_a, type_b
+),
+d AS (
+  SELECT type_a, type_b, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM s WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_hours,
+       (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       * sqrt({_rr_sql("num", "denx", 8, signed=False)}
+              * {_rr_sql("num", "deny", 12, signed=False)})
+         AS pearson_r
+FROM d
+"""
+
+
+@register("q_stats_corr_matrix", oracle=_ORACLE_CORR_MATRIX, tier="X")
+def q_stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of the event types' hourly
+    activity series (co-present hours) — do clicks move with views?
+    does the error rate track purchases? The heavy pass is ONE
+    two-phase `groupBy(type, hour)` count; the pair join, sufficient-
+    statistics aggregate, and the closed-form r all operate on that
+    hours x types count table (tiny at any event volume — time is
+    calendar-bounded), so the operator's cost is the count shuffle and
+    nothing else grows with data size. Counts are exact integers →
+    exact decimal sufficient statistics → r through the same
+    rationally-rounded-factors + IEEE sqrt pipeline as q_ts_autocorr:
+    bit-identical cross-engine, no output rounding."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    # checkpoint the (tiny, calendar-bounded) count table: both pair-
+    # join sides read it, and without the barrier each side re-scans
+    # and re-counts the full events table
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hr"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    a = h.select(
+        F.col("event_type").alias("type_a"),
+        F.col("hr"),
+        F.col("c").cast(_DEC).alias("x"),
+    )
+    b = h.select(
+        F.col("event_type").alias("type_b"),
+        F.col("hr"),
+        F.col("c").cast(_DEC).alias("y"),
+    )
+    p = a.join(b, "hr").filter(F.col("type_a") < F.col("type_b"))
+    s = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_hours"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
+    mag = F.sqrt(
+        _rr_dec(F.col("num"), F.col("denx"), 8, signed=False)
+        * _rr_dec(F.col("num"), F.col("deny"), 12, signed=False)
+    )
+    return d.select(
+        "type_a",
+        "type_b",
+        "n_hours",
+        F.when(F.col("num") < 0, -mag).otherwise(mag).alias("pearson_r"),
+    )

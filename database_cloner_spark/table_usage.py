@@ -132,7 +132,9 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sort": ("orders",),
     "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
+    "q_agg_median_exact": ("lineitem",),
     "q_stats_chi2": ("documents",),
+    "q_stats_corr_matrix": ("events",),
     "q_stats_regression": ("orders",),
     "q_stats_ttest": ("events",),
     "q_str_concat": ("nation",),

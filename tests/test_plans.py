@@ -455,3 +455,33 @@ def test_triangles_checkpoints_shared_subtrees(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_median_exact_windows_ride_count_table(spark):
+    """q_agg_median_exact: the heavy pass must be the two-phase
+    (flag, price) count — partial_count below every window — and the
+    wide exchange keyed on the count pair, never a raw-row sort per
+    flag (the q_anomaly_mad guard class)."""
+    import re
+
+    plan = _plan(spark, "q_agg_median_exact")
+    assert "Join" not in plan, plan
+    assert re.search(
+        r"Exchange hashpartitioning\((flag|l_returnflag)#\d+,"
+        r" (price|l_extendedprice)#\d+",
+        plan,
+    ), plan
+    assert plan.rindex("partial_count") > plan.rindex("Window ["), plan
+
+
+def test_corr_matrix_heavy_pass_is_hourly_count(spark):
+    """q_stats_corr_matrix: one two-phase (type, hour) count feeds
+    everything; the pair join and stats agg run over the count table."""
+    import re
+
+    plan = _plan(spark, "q_stats_corr_matrix")
+    assert "partial_count" in plan, plan
+    # the hourly count table is checkpointed once and reused for both
+    # pair-join sides: at most one events scan in the whole plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert plan.count("FileScan parquet") <= 1, plan
