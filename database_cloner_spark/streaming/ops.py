@@ -289,3 +289,51 @@ def user_profiles(events: DataFrame) -> DataFrame:
             .alias("segment"),
         )
     )
+
+
+EWMA_SCHEMA = "user_id long, n_events long, ewma double"
+_EWMA_STATE_SCHEMA = "n long, acc double"
+
+
+def user_ewma_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user EWMA (alpha = 1/2) across micro-batches — the
+    streaming twin of the batch `q_ts_ewma` operator: keyed state holds
+    (n, accumulator); each batch's rows fold in (ts, event_id) order
+    with acc = (acc + x)/2, the exact recurrence the batch key builds
+    with a JVM `aggregate` HOF. Python's float arithmetic is the same
+    IEEE-754 double as the JVM's, and the fold order is pinned
+    identically, so a drained stream's final state is BIT-EQUAL to the
+    batch answer (asserted in tests/test_streaming.py) provided batches
+    arrive in event-time order per user — the test feeds time-split
+    batches; production fronting needs the watermark/reorder stage,
+    same caveat as every sequence-sensitive stateful op. State is two
+    scalars per user: bounded by key cardinality, not stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, acc = state.get if state.exists else (0, 0.0)
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else pd.DataFrame(
+            {"ts": [], "event_id": [], "value": []}
+        )
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"]:
+            if n == 0:
+                acc = float(x)
+            else:
+                acc = (acc + float(x)) / 2.0
+            n += 1
+        state.update((n, acc))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "ewma": [acc]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

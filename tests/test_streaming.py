@@ -444,3 +444,69 @@ def test_streaming_heavy_hitters_matches_batch(spark):
         for r in ops.windowed_heavy_hitters(load(spark, SF, "events")).collect()
     }
     assert got == want and want, "heavy-hitter sets must match and be non-empty"
+
+
+def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
+    """user_ewma_stream drained over two TIME-SPLIT micro-batches must
+    be BIT-EQUAL (==, not isclose) to q_ts_ewma's batch answer: the
+    recurrence folds in the same (ts, event_id) order and Python floats
+    are the same IEEE doubles the JVM aggregate HOF produces."""
+    src_dir = str(tmp_path / "ewma_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    cutoff = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("c")
+    ).collect()[0]["c"]
+    half1 = ev.filter(F.col("ts") <= F.lit(cutoff))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = stream.filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    out = ops.user_ewma_stream(stream)
+    name = f"ewma_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows = spark.sql(f"SELECT user_id, n_events, ewma FROM {name}").collect()
+    q.stop()
+    final = {}
+    for r in rows:  # update mode: last emission per user wins
+        final[r.user_id] = (r.n_events, r.ewma)
+    from database_cloner_spark.registry import specs
+
+    want = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in specs()["q_ts_ewma"].builder(spark, SF).collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, e) in want.items():
+        gn, ge = final[uid]
+        assert gn == n, (uid, gn, n)
+        assert ge == e, (uid, ge, e)  # bit-equality, by construction
