@@ -980,22 +980,51 @@ def _rr_dec(num, den, digits: int, signed: bool = True):
     returns +0.0 (never -0.0) when the magnitude rounds to zero."""
     scale = 10 ** digits
     mag = F.abs(num)
-    ip = F.call_function("div", mag, den)
-    rem = mag % den
-    ip = F.when(ip.cast(_DEC) * den == mag - rem, ip).otherwise(
+
+    def _fq(rem):
+        return F.call_function(
+            "div",
+            F.lit(2 * scale).cast(_DEC) * rem + den,
+            F.lit(2).cast(_DEC) * den,
+        )
+
+    # Two domains, branched on den so every intermediate provably fits
+    # (CASE branches evaluate lazily on both engines):
+    # - den >= 2e19: the ratio is at most ~1e38/2e19 < 5e18 — the
+    #   single-word quotient cannot wrap int64, and den*1e18 (which the
+    #   other branch needs) might not fit decimal(38,0).
+    # - den < 2e19: ip can exceed int64 (the r8 moments key's 4th
+    #   powers did, on the high-magnitude nasty fixture), so split
+    #   ip = hi*10^18 + lo; den*1e18 < 2e37 fits, every word quotient
+    #   fits int64, and hi is exact-verified (a wrapped quotient cannot
+    #   pass ip*den == mag - rem) with an in-plan raise_error — the
+    #   residual loud-failure domain is ratio > ~9.2e36.
+    # hi == 0 reproduces the single-word double BIT-EXACTLY
+    # (0.0*1e18 + lo adds exactly), so previously-green oracles are
+    # unchanged in either branch.
+    # string literal: 2e19 exceeds int64, py4j cannot ship it as a long
+    big_den = den >= F.lit(str(2 * 10 ** 19)).cast(_DEC)
+    ip_a = F.call_function("div", mag, den)
+    comp_a = ip_a.cast("double") + _fq(mag % den) / F.lit(float(scale))
+
+    den18 = F.lit(10 ** 18).cast(_DEC) * den
+    hi = F.call_function("div", mag, den18)
+    rem_hi = mag % den18
+    hi = F.when(hi.cast(_DEC) * den18 == mag - rem_hi, hi).otherwise(
         F.raise_error(
             F.lit(
-                "_rr_dec: ratio integer part overflows int64 "
-                "(decimal div wraps silently) — rescale the inputs"
+                "_rr_dec: ratio exceeds ~9.2e36 "
+                "(decimal div wraps silently past int64) — rescale"
             )
         )
     )
-    fq = F.call_function(
-        "div",
-        F.lit(2 * scale).cast(_DEC) * rem + den,
-        F.lit(2).cast(_DEC) * den,
+    lo = F.call_function("div", rem_hi, den)  # < 10^18, always fits
+    comp_b = (
+        hi.cast("double") * F.lit(1.0e18)
+        + lo.cast("double")
+        + _fq(rem_hi % den) / F.lit(float(scale))
     )
-    comp = ip.cast("double") + fq / F.lit(float(scale))
+    comp = F.when(big_den, comp_a).otherwise(comp_b)
     if not signed:
         return comp
     return F.when(
@@ -1004,15 +1033,27 @@ def _rr_dec(num, den, digits: int, signed: bool = True):
 
 
 def _rr_sql(num: str, den: str, digits: int, signed: bool = True) -> str:
-    """DuckDB mirror of _rr_dec over HUGEINT expressions: same split
-    form — BIGINT-cast integer part (raises loudly past int64, exactly
-    where the Spark side raise_errors) + <=10^d fractional quotient —
-    so every int->double conversion is a correctly-rounded 64-bit one."""
+    """DuckDB mirror of _rr_dec over HUGEINT expressions: same two-word
+    split form — hi/lo BIGINT-cast integer words (the hi cast raises
+    loudly past int64, exactly where the Spark side raise_errors) +
+    <=10^d fractional quotient — so every int->double conversion is a
+    correctly-rounded 64-bit one and the add order matches _rr_dec."""
     s = 10 ** digits
-    comp = (
+    d18 = f"(CAST(({den}) AS HUGEINT) * 1000000000000000000)"
+    comp_a = (
         f"(CAST(CAST(ABS({num}) // ({den}) AS BIGINT) AS DOUBLE)"
         f" + ((2 * {s} * (ABS({num}) % ({den})) + ({den}))"
         f" // (2 * ({den}))) / {s}.0)"
+    )
+    comp_b = (
+        f"(CAST(CAST(ABS({num}) // {d18} AS BIGINT) AS DOUBLE) * 1.0e18"
+        f" + CAST(CAST((ABS({num}) % {d18}) // ({den}) AS BIGINT) AS DOUBLE)"
+        f" + ((2 * {s} * ((ABS({num}) % {d18}) % ({den})) + ({den}))"
+        f" // (2 * ({den}))) / {s}.0)"
+    )
+    comp = (
+        f"(CASE WHEN ({den}) >= 20000000000000000000 THEN {comp_a}"
+        f" ELSE {comp_b} END)"
     )
     if not signed:
         return comp
@@ -1611,4 +1652,201 @@ def q_stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b",
         "n_hours",
         F.when(F.col("num") < 0, -mag).otherwise(mag).alias("pearson_r"),
+    )
+
+
+# Rolling OLS slope over each user's trailing 8 events: windowed exact
+# integer sufficient sums -> the same closed form / rational rounding as
+# q_stats_regression, per row. x is epoch seconds rebased by a FIXED
+# literal offset (1.7e9) purely to shrink magnitudes — exactness does
+# not depend on it, the cancellation n*Sxy - Sx*Sy is exact either way.
+_ORACLE_ROLLING_SLOPE = f"""
+WITH pts AS (
+  SELECT event_id, user_id, ts,
+         epoch_us(ts) // 1000000 - 1700000000 AS x,
+         CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+w AS (
+  SELECT event_id, user_id,
+         COUNT(*) OVER win AS k,
+         SUM(x) OVER win AS sx, SUM(y) OVER win AS sy,
+         SUM(CAST(x AS HUGEINT) * y) OVER win AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) OVER win AS sxx
+  FROM pts
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT event_id, user_id, CAST(k AS BIGINT) AS n_window,
+         k * sxy - sx * sy AS num,
+         k * sxx - sx * sx AS denx
+  FROM w
+)
+SELECT event_id, user_id, n_window,
+       CASE WHEN denx <> 0 THEN {_rr_sql("num", "denx", 6)} END
+         AS slope_cents_per_sec
+FROM d
+"""
+
+
+@register("q_win_rolling_slope", oracle=_ORACLE_ROLLING_SLOPE, tier="X")
+def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-entity trend: the OLS slope of metric value over the
+    user's trailing 8 events, emitted PER EVENT — the continuous
+    "is this entity drifting right now" signal (q_stats_regression's
+    closed form composed with window frames instead of a groupBy).
+    Shape: ONE user_id shuffle (high-cardinality key); the five
+    sufficient sums are bounded-frame window aggregates — O(1) state
+    per row, each sum exact decimal(38,0) over integer fixed-point
+    inputs — and the slope is the usual _rr_dec rational rounding,
+    NULL where the frame has no x-variance (single event or identical
+    timestamps: the CASE guards the zero denominator identically on
+    both engines, and CASE short-circuits so the division never
+    evaluates). At 100 TB this is the per-row scoring pass a feature
+    pipeline materializes: no join, no second shuffle, state bounded by
+    the frame, never by history."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    x = (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long") - F.lit(
+        1700000000
+    )
+    pts = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        x.cast(_DEC).alias("x"),
+        F.floor(F.col("value") * 100).cast(_DEC).alias("y"),
+    )
+    win = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, W.currentRow)
+    )
+    w = pts.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(win).cast(_DEC).alias("k"),
+        F.sum("x").over(win).alias("sx"),
+        F.sum("y").over(win).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).alias("sxx"),
+    )
+    d = w.select(
+        "event_id",
+        "user_id",
+        F.col("k").cast("long").alias("n_window"),
+        (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        "n_window",
+        F.when(
+            F.col("denx") != 0, _rr_dec(F.col("num"), F.col("denx"), 6)
+        ).alias("slope_cents_per_sec"),
+    )
+
+
+# Higher central moments from exact integer power sums (floor-cents —
+# the coarser 1e2 fixed point keeps n^3 * sum(y^4) inside decimal(38,0)
+# to ~sf1, where ANSI raises loudly):
+#   m2 = (n*Q2 - S^2)/n^2
+#   m3 = (n^2*Q3 - 3n*S*Q2 + 2*S^3)/n^3
+#   m4 = (n^3*Q4 - 4n^2*S*Q3 + 6n*S^2*Q2 - 3*S^4)/n^4
+# each rationally rounded; skew = m3/(m2*sqrt(m2)) and excess kurtosis
+# m4/m2^2 - 3 are then correctly-rounded IEEE chains on identical
+# doubles. Groups whose rounded m2 is 0 (constant-to-the-cent values)
+# are filtered on the ROUNDED value identically on both engines.
+_ORACLE_MOMENTS = f"""
+WITH pts AS (
+  SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS y
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+g AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(y) AS s,
+         SUM(CAST(y AS HUGEINT) * y) AS q2,
+         SUM(CAST(y AS HUGEINT) * y * y) AS q3,
+         SUM(CAST(y AS HUGEINT) * y * y * y) AS q4
+  FROM pts GROUP BY event_type
+),
+m AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n,
+         {_rr_sql("n * q2 - s * s", "n * n", 6)} AS m2,
+         {_rr_sql("n * n * q3 - 3 * n * s * q2 + 2 * s * s * s",
+                  "n * n * n", 2)} AS m3,
+         {_rr_sql("n * n * n * q4 - 4 * n * n * s * q3"
+                  " + 6 * n * s * s * q2 - 3 * s * s * s * s",
+                  "n * n * n * n", 0)} AS m4
+  FROM g WHERE n >= 2
+)
+SELECT event_type, n,
+       m3 / (m2 * sqrt(m2)) AS skewness,
+       m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+FROM m WHERE m2 > 0
+"""
+
+
+@register("q_stats_moments", oracle=_ORACLE_MOMENTS, tier="X")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group skewness and excess kurtosis — the distribution-shape
+    profile (is the metric heavy-tailed? lopsided?) that decides
+    between mean/stddev and median/MAD monitoring. Spark's native
+    skewness()/kurtosis() accumulate doubles in partial-agg order
+    (non-portable, like regr_*); here the ONE two-phase aggregate ships
+    five exact decimal(38,0) power sums (n, Σy..Σy⁴ over floor-cents),
+    the central moments come out of the standard raw-to-central
+    expansion as rationally-rounded doubles (_rr_dec; see
+    _ORACLE_MOMENTS for the digit choices and the ~sf1 ANSI-loud
+    domain), and skew/kurtosis are correctly-rounded IEEE chains —
+    bit-identical cross-engine, no output rounding. Zero-variance-to-
+    the-cent groups are excluded on the rounded m2 identically both
+    sides."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    y = F.floor(F.col("value") * 100).cast(_DEC)
+    g = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("y").alias("s"),
+        F.sum(F.col("y") * F.col("y")).alias("q2"),
+        F.sum(F.col("y") * F.col("y") * F.col("y")).alias("q3"),
+        F.sum(F.col("y") * F.col("y") * F.col("y") * F.col("y")).alias("q4"),
+    ).filter(F.col("n") >= 2)
+    n, s = F.col("n"), F.col("s")
+    m2 = _rr_dec(n * F.col("q2") - s * s, n * n, 6)
+    m3 = _rr_dec(
+        n * n * F.col("q3") - F.lit(3).cast(_DEC) * n * s * F.col("q2")
+        + F.lit(2).cast(_DEC) * s * s * s,
+        n * n * n,
+        2,
+    )
+    m4 = _rr_dec(
+        n * n * n * F.col("q4")
+        - F.lit(4).cast(_DEC) * n * n * s * F.col("q3")
+        + F.lit(6).cast(_DEC) * n * s * s * F.col("q2")
+        - F.lit(3).cast(_DEC) * s * s * s * s,
+        n * n * n * n,
+        0,
+    )
+    m = g.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        m2.alias("m2"),
+        m3.alias("m3"),
+        m4.alias("m4"),
+    ).filter(F.col("m2") > 0)
+    return m.select(
+        "event_type",
+        "n",
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2")))).alias("skewness"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - F.lit(3.0)).alias(
+            "kurtosis_excess"
+        ),
     )

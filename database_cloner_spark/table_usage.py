@@ -135,6 +135,8 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_agg_median_exact": ("lineitem",),
     "q_stats_chi2": ("documents",),
     "q_stats_corr_matrix": ("events",),
+    "q_stats_moments": ("events",),
+    "q_win_rolling_slope": ("events",),
     "q_stats_regression": ("orders",),
     "q_stats_ttest": ("events",),
     "q_str_concat": ("nation",),

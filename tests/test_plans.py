@@ -485,3 +485,22 @@ def test_corr_matrix_heavy_pass_is_hourly_count(spark):
     # pair-join sides: at most one events scan in the whole plan
     assert "Scan ExistingRDD" in plan, plan
     assert plan.count("FileScan parquet") <= 1, plan
+
+
+def test_rolling_slope_single_shuffle_bounded_frames(spark):
+    """q_win_rolling_slope: one user_id exchange, no join; the
+    sufficient sums are bounded-frame window aggregates (the frame spec
+    appears in the plan), never unbounded state."""
+    plan = _plan(spark, "q_win_rolling_slope")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "RowFrame, -7, currentrow" in plan, plan  # bounded frame spec
+
+
+def test_moments_is_one_two_phase_agg(spark):
+    """q_stats_moments: one two-phase hash agg over the five power
+    sums — partial sums map-side, no window, no join."""
+    plan = _plan(spark, "q_stats_moments")
+    assert "partial_sum" in plan, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan

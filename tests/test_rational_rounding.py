@@ -27,14 +27,26 @@ from hypothesis import given, settings, strategies as st
 
 
 def _ref(num: int, den: int, digits: int) -> float:
-    """Fraction-exact reference for the split-form rational rounding."""
+    """Exact-integer reference for the branched split rational rounding
+    (mirrors _rr_dec/_rr_sql: big dens take the single-word path whose
+    quotient provably fits int64; small dens take the two-word
+    ip = hi*10^18 + lo path, added in the engines' fixed order —
+    Python floats are the same IEEE doubles)."""
     scale = 10 ** digits
     mag = abs(num)
-    ip = mag // den
-    rem = mag - ip * den
-    # round-half-up of rem/den at `digits`: floor((2*s*rem + den)/(2*den))
-    fq = (2 * scale * rem + den) // (2 * den)
-    comp = float(ip) + float(fq) / float(scale)
+    if den >= 2 * 10 ** 19:
+        ip = mag // den
+        rem = mag % den
+        fq = (2 * scale * rem + den) // (2 * den)
+        comp = float(ip) + float(fq) / float(scale)
+    else:
+        den18 = den * 10 ** 18
+        hi = mag // den18
+        rem_hi = mag % den18
+        lo = rem_hi // den
+        rem = rem_hi % den
+        fq = (2 * scale * rem + den) // (2 * den)
+        comp = float(hi) * 1.0e18 + float(lo) + float(fq) / float(scale)
     if num < 0 and comp != 0:
         return -comp
     return comp
@@ -42,7 +54,7 @@ def _ref(num: int, den: int, digits: int) -> float:
 
 # numerators spanning the hazard regions; denominators positive
 _NUMS = st.integers(min_value=-(10**25), max_value=10**25)
-_DENS = st.integers(min_value=1, max_value=10**12)
+_DENS = st.integers(min_value=1, max_value=10**22)
 _DIGITS = st.sampled_from([4, 6, 8, 12])
 
 
@@ -55,7 +67,7 @@ def test_rr_sql_matches_fraction_reference(num, den, digits):
     part exceeds int64 (both engines fail loudly there by design)."""
     from database_cloner_spark.queries.analytics_ext import _rr_sql
 
-    if abs(num) // den > 2**63 - 1:
+    if den < 2 * 10**19 and abs(num) // (den * 10**18) > 2**63 - 1:
         return  # loud-failure domain, covered by the wrap-guard tests
     con = duckdb.connect()
     got = con.execute(
@@ -82,9 +94,10 @@ def test_rr_dec_matches_fraction_reference_on_hazard_grid(spark):
         24416857545013081875, 10**24 + 7, -(10**24 + 7),
         5, -5, 15, -15,  # half-way ties at den=10, d=0-ish
     ):
-        for den in (1, 2, 3, 7, 10, 997, 10**6 + 3, 10**12):
+        for den in (1, 2, 3, 7, 10, 997, 10**6 + 3, 10**12,
+                    2 * 10**19 - 1, 2 * 10**19, 10**21 + 7):
             for digits in (4, 8, 12):
-                if abs(num) // den > 2**63 - 1:
+                if den < 2 * 10**19 and abs(num) // (den * 10**18) > 2**63 - 1:
                     continue
                 cases.append((str(num), str(den), digits))
     rows = [(n, d, g) for (n, d, g) in cases]
@@ -110,24 +123,26 @@ def test_rr_dec_matches_fraction_reference_on_hazard_grid(spark):
 
 
 def test_rr_dec_wrap_guard_raises_loudly(spark):
-    """An integer part past int64 must raise the _rr_dec guard error —
-    never return a silently-wrapped value (SCALE.md pitfall 9)."""
+    """A ratio past the two-word domain (~9.2e36) must raise the
+    _rr_dec guard error — never return a silently-wrapped value
+    (SCALE.md pitfall 9). Ratios up to ~9.2e36 are handled by the
+    hi/lo split (test grids above cover >int64 integer parts)."""
     from pyspark.sql import functions as F
 
     from database_cloner_spark.queries.analytics_ext import _DEC, _rr_dec
 
     df = spark.createDataFrame(
-        [("330000000000000000000000000", "3")], "num string, den string"
+        [("1" + "0" * 37, "1")], "num string, den string"
     )
-    with pytest.raises(Exception, match="overflows int64"):
+    with pytest.raises(Exception, match="wraps silently|overflow|Overflow|exceeds"):
         df.select(
             _rr_dec(F.col("num").cast(_DEC), F.col("den").cast(_DEC), 8)
         ).collect()
 
 
 def test_rr_sql_bigint_cast_raises_loudly_past_int64():
-    """DuckDB mirror of the wrap guard: the BIGINT cast of the integer
-    part errors loudly instead of wrapping."""
+    """DuckDB mirror of the wrap guard: the BIGINT cast of the hi word
+    errors loudly instead of wrapping."""
     from database_cloner_spark.queries.analytics_ext import _rr_sql
 
     con = duckdb.connect()
@@ -135,8 +150,8 @@ def test_rr_sql_bigint_cast_raises_loudly_past_int64():
         con.execute(
             "SELECT "
             + _rr_sql(
-                "CAST(330000000000000000000000000 AS HUGEINT)",
-                "CAST(3 AS HUGEINT)",
+                "CAST(" + "1" + "0" * 37 + " AS HUGEINT)",
+                "CAST(1 AS HUGEINT)",
                 8,
             )
         ).fetchone()
