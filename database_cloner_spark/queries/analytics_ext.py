@@ -1064,6 +1064,20 @@ def _rr_sql(num: str, den: str, digits: int, signed: bool = True) -> str:
     )
 
 
+def _pearson_r(num, denx, deny):
+    """sign(num) * sqrt(rr(num/denx, 8) * rr(num/deny, 12)) — the
+    Pearson-r closed form over exact integer sufficient statistics,
+    shared by q_ts_autocorr and q_stats_corr_matrix so the rounding
+    digits cannot drift between them (their oracles mirror it inline
+    via _rr_sql). mag == 0 only when num == 0, so the sign gate never
+    produces -0.0."""
+    mag = F.sqrt(
+        _rr_dec(num, denx, 8, signed=False)
+        * _rr_dec(num, deny, 12, signed=False)
+    )
+    return F.when(num < 0, -mag).otherwise(mag)
+
+
 _ORACLE_REGRESSION = _regression_oracle("o_orderpriority")
 
 
@@ -1383,14 +1397,10 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
     ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
-    mag = F.sqrt(
-        _rr_dec(F.col("num"), F.col("denx"), 8, signed=False)
-        * _rr_dec(F.col("num"), F.col("deny"), 12, signed=False)
-    )
     return d.select(
         "user_id",
         "n_pairs",
-        F.when(F.col("num") < 0, -mag).otherwise(mag).alias("r_lag1"),
+        _pearson_r(F.col("num"), F.col("denx"), F.col("deny")).alias("r_lag1"),
     )
 
 
@@ -1465,10 +1475,20 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.col("o") * F.col("n") - F.col("rt") * F.col("ct")
     den = F.col("n") * F.col("rt") * F.col("ct")
-    q = F.call_function(
-        "div",
-        F.lit(200000000).cast(_DEC) * (dev * dev) + den,
-        F.lit(2).cast(_DEC) * den,
+    a = F.lit(200000000).cast(_DEC) * (dev * dev) + den
+    b = F.lit(2).cast(_DEC) * den
+    q = F.call_function("div", a, b)
+    # same silent-wrap guard as _rr_dec: a cell contribution is bounded
+    # by N, so q <= 1e8*N wraps int64 around N ~ 9.2e10 rows — verify
+    # the quotient exactly and fail loudly there instead of corrupting
+    # the statistic (the long SUM over cells already raises under ANSI)
+    q = F.when(q.cast(_DEC) * b == a - (a % b), q).otherwise(
+        F.raise_error(
+            F.lit(
+                "q_stats_chi2: cell quotient overflows int64 "
+                "(decimal div wraps silently) — reduce the 1e-8 scale"
+            )
+        )
     )
     cells = grid.select(q.alias("q"))
     nr = r.agg(F.count(F.lit(1)).alias("nr"))
@@ -1643,15 +1663,13 @@ def q_stats_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
         (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
     ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
-    mag = F.sqrt(
-        _rr_dec(F.col("num"), F.col("denx"), 8, signed=False)
-        * _rr_dec(F.col("num"), F.col("deny"), 12, signed=False)
-    )
     return d.select(
         "type_a",
         "type_b",
         "n_hours",
-        F.when(F.col("num") < 0, -mag).otherwise(mag).alias("pearson_r"),
+        _pearson_r(F.col("num"), F.col("denx"), F.col("deny")).alias(
+            "pearson_r"
+        ),
     )
 
 

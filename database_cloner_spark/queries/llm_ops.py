@@ -982,10 +982,21 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.llm.textprep import tokens
 
     toks = tokens(F.col("text"))
+    # sum(c_i^2) as a SORTED RUN-LENGTH fold: one array_sort + one
+    # aggregate pass, O(n log n) per doc. The first cut folded over
+    # array_distinct and re-filtered the full array per distinct token
+    # — O(u*n), quadratic on mostly-unique documents (r8 self-review).
+    # prev starts NULL; tokens are never NULL (split yields strings),
+    # so the null-safe <=> starts the first run correctly, and the
+    # finisher flushes the last run.
     ssq = F.expr(
-        "aggregate(array_distinct(__toks), 0L, (acc, t) -> "
-        "acc + cast(size(filter(__toks, x -> x = t)) as bigint)"
-        "      * cast(size(filter(__toks, x -> x = t)) as bigint))"
+        "aggregate(array_sort(__toks), "
+        "named_struct('prev', cast(null as string), 'run', 0L, 'acc', 0L), "
+        "(s, t) -> if(s.prev <=> t, "
+        "named_struct('prev', s.prev, 'run', s.run + 1L, 'acc', s.acc), "
+        "named_struct('prev', t, 'run', 1L, "
+        "'acc', s.acc + s.run * s.run)), "
+        "s -> s.acc + s.run * s.run)"
     )
     n = F.size(F.col("__toks")).cast("long")
     gini = llmtext.roundn_ratio(n * n - F.col("__ssq"), n * n, 4)

@@ -290,7 +290,19 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rank - 1).cast("double") / (F.col("n") - 1).cast("double")
     )
     cume = rank.cast("double") / F.col("n").cast("double")
-    return ranked.join(F.broadcast(base), ["lang", "n_chars"]).select(
+    # NULL-SAFE equality: the oracle's PARTITION BY keeps NULL lang /
+    # NULL n_chars rows as their own groups, and groupBy/window above do
+    # too — a plain equi-join would silently drop them (r8 self-review
+    # finding; no current fixture has NULL keys, which is exactly why
+    # the join form must not encode that assumption)
+    b = (
+        base.withColumnRenamed("lang", "b_lang")
+        .withColumnRenamed("n_chars", "b_n_chars")
+    )
+    cond = F.col("lang").eqNullSafe(F.col("b_lang")) & F.col(
+        "n_chars"
+    ).eqNullSafe(F.col("b_n_chars"))
+    return ranked.join(F.broadcast(b), cond).select(
         "doc_id",
         "lang",
         F.round(pct, 4).alias("pct_rank"),

@@ -307,8 +307,17 @@ def user_ewma_stream(events: DataFrame) -> DataFrame:
     arrive in event-time order per user — the test feeds time-split
     batches; production fronting needs the watermark/reorder stage,
     same caveat as every sequence-sensitive stateful op. State is two
-    scalars per user: bounded by key cardinality, not stream length."""
+    scalars per user: bounded by key cardinality, not stream length.
+    NULL user_id/value/ts rows are dropped HERE, matching the batch
+    twin's filter — a NULL value reaching pandas becomes NaN and
+    (acc + NaN)/2 poisons the keyed state forever (r8 self-review)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
 
     def update(key, pdfs, state):
         import pandas as pd

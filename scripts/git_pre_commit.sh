@@ -17,8 +17,13 @@
 set -euo pipefail
 cd "$(git rev-parse --show-toplevel)"
 
-if git diff --cached --name-only | grep -qE \
-  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)'; then
+# capture first, then grep: `git diff | grep -q` under pipefail can
+# report 141 (SIGPIPE) when grep exits at the first match, silently
+# skipping the gate this hook exists to enforce
+CHANGED="$(git diff --cached --name-only)"
+if grep -qE \
+  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)' \
+  <<<"$CHANGED"; then
   echo "[pre-commit] staged diff touches query/operator code -> running plan + parity gates (sf0.001, ~3.5 min)"
   python -m pytest tests/test_plans.py tests/test_oracle_parity.py -q
 fi

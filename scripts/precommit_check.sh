@@ -40,8 +40,12 @@ python -m pytest tests/test_survey_registry.py tests/test_table_usage.py -q
 # working tree touches query/operator code, run both gates here too
 # (the installed git pre-commit hook enforces the same bar at commit
 # time — scripts/install_hooks.sh).
-if git diff HEAD --name-only | grep -qE \
-  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)'; then
+# capture-then-grep: a `git | grep -q` pipeline under pipefail can
+# exit 141 on SIGPIPE and silently skip the gate
+CHANGED="$(git diff HEAD --name-only)"
+if grep -qE \
+  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)' \
+  <<<"$CHANGED"; then
   echo "[precommit_check] query/operator diff detected -> plan + parity gates (sf0.001)"
   python -m pytest tests/test_plans.py tests/test_oracle_parity.py -q
 fi

@@ -327,26 +327,65 @@ LOW_CARD_COLS = {
 LOWCARD_WINDOW_ALLOWED: dict[str, str] = {}
 
 
-def _window_partition_sets(plan: str) -> list[set]:
+def _window_partition_sets(plan: str) -> list[tuple]:
     """Partition-column name sets for every windowspecdefinition in an
-    executed-plan string, paired with the text offset where it appears."""
+    executed-plan string, paired with the text offset where it appears.
+
+    Paren-aware scan (r8 self-review): a partition/order EXPRESSION
+    (date_trunc(...), casts) prints nested parens, which a flat regex
+    silently failed to match — skipping exactly the computed-expression
+    windows. Top-level commas split the args; partition entries are
+    everything before the first ASC/DESC-marked order entry or the
+    specifiedwindowframe; every base attribute inside a partition
+    expression contributes its name (conservative: date_trunc(month,
+    ts) reports {ts})."""
     import re
 
     out = []
-    for m in re.finditer(r"windowspecdefinition\(([^()]*?)specifiedwindowframe", plan):
-        args = m.group(1)
-        # partition cols = leading attrs with no ASC/DESC sort marker
-        part = set()
-        for tok in args.split(","):
+    needle = "windowspecdefinition("
+    i = 0
+    while True:
+        j = plan.find(needle, i)
+        if j < 0:
+            break
+        depth, k = 1, j + len(needle)
+        start = k
+        while k < len(plan) and depth > 0:
+            c = plan[k]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        args = plan[start : k - 1]
+        parts, d, cur = [], 0, []
+        for c in args:
+            if c == "(":
+                d += 1
+            elif c == ")":
+                d -= 1
+            if c == "," and d == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(c)
+        if cur:
+            parts.append("".join(cur))
+        part_cols = set()
+        for tok in parts:
             tok = tok.strip()
             if not tok:
                 continue
-            if " ASC" in tok or " DESC" in tok:
-                break  # ordering spec begins — partition cols exhausted
-            am = re.match(r"(\w+)#\d+", tok)
-            if am:
-                part.add(am.group(1))
-        out.append((m.start(), part))
+            if (
+                " ASC" in tok
+                or " DESC" in tok
+                or tok.startswith("specifiedwindowframe")
+            ):
+                break
+            for am in re.finditer(r"(\w+)#\d+", tok):
+                part_cols.add(am.group(1))
+        out.append((j, part_cols))
+        i = k
     return out
 
 

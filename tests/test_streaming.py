@@ -453,15 +453,13 @@ def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
     are the same IEEE doubles the JVM aggregate HOF produces."""
     src_dir = str(tmp_path / "ewma_src")
     os.makedirs(src_dir)
-    ev = load(spark, SF, "events").filter(
-        F.col("user_id").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("ts").isNotNull()
-    )
+    # UNFILTERED events: NULL user_id/value/ts rows ride the stream and
+    # the op itself must drop them (batch-twin contract)
+    ev = load(spark, SF, "events")
     cutoff = ev.agg(
         F.percentile_approx("ts", 0.5).alias("c")
     ).collect()[0]["c"]
-    half1 = ev.filter(F.col("ts") <= F.lit(cutoff))
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
     half2 = ev.filter(F.col("ts") > F.lit(cutoff))
 
     def as_raw(df):
@@ -475,11 +473,8 @@ def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
     ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    stream = stream.filter(
-        F.col("user_id").isNotNull()
-        & F.col("value").isNotNull()
-        & F.col("ts").isNotNull()
-    )
+    # no pre-filter: the op itself must drop NULL rows (a NULL value
+    # reaching pandas is NaN and would poison the state forever)
     out = ops.user_ewma_stream(stream)
     name = f"ewma_{uuid.uuid4().hex[:8]}"
     q = (
@@ -497,8 +492,11 @@ def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
     rows = spark.sql(f"SELECT user_id, n_events, ewma FROM {name}").collect()
     q.stop()
     final = {}
-    for r in rows:  # update mode: last emission per user wins
-        final[r.user_id] = (r.n_events, r.ewma)
+    for r in rows:  # update mode: the emission with the largest n wins
+        # (order-independent: memory-sink scans carry no cross-batch
+        # ordering guarantee, and n_events grows monotonically)
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
     from database_cloner_spark.registry import specs
 
     want = {
