@@ -16,4 +16,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     sampling,
     analytics_ext,
     corpus_stats,
+    dataquality,
 )

@@ -1868,3 +1868,359 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kurtosis_excess"
         ),
     )
+
+
+# Lead/lag structure between the click and purchase hourly series: same
+# hourly-count machinery as q_stats_corr_matrix, but series B is shifted
+# by 0-3 hours before the Pearson solve — "do purchases follow clicks,
+# and at what delay?". Both series are densified onto the full hour
+# spine (missing hour = 0 events, a real observation for correlation
+# purposes) so the lag pairing is positional in calendar time, not in
+# observed-row order.
+_ORACLE_CROSSCORR = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+  GROUP BY event_type, hr
+),
+bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM h),
+spine AS (
+  SELECT UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr FROM bounds
+),
+a AS (
+  SELECT epoch_us(s.hr) AS us, COALESCE(h.c, 0) AS c FROM spine s
+  LEFT JOIN (SELECT hr, c FROM h WHERE event_type = 'click') h
+    ON h.hr = s.hr
+),
+b AS (
+  SELECT epoch_us(s.hr) AS us, COALESCE(h.c, 0) AS c FROM spine s
+  LEFT JOIN (SELECT hr, c FROM h WHERE event_type = 'purchase') h
+    ON h.hr = s.hr
+),
+al AS (
+  -- materialize the shifted key BEFORE the join: DuckDB will not derive
+  -- a hash key from `b.us = a.us + l.lag * k` (mixed-relation LHS) and
+  -- nested-loops 4x|spine| x |spine| instead -- a 130-year adversarial
+  -- span turns that into ~1.8e12 comparisons and an 80 GB temp spill.
+  -- As a plain column = column equality it hash-joins in O(n).
+  SELECT l.lag, a.us + l.lag * 3600000000 AS us_shift, a.c AS x
+  FROM (VALUES (0), (1), (2), (3)) AS l(lag)
+  CROSS JOIN a
+),
+p AS (
+  SELECT al.lag, al.x, b.c AS y
+  FROM al JOIN b ON b.us = al.us_shift
+),
+s AS (
+  SELECT lag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM p GROUP BY lag
+),
+d AS (
+  SELECT lag, n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM s WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+)
+SELECT CAST(lag AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+       (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       * sqrt({_rr_sql("num", "denx", 8, signed=False)}
+              * {_rr_sql("num", "deny", 12, signed=False)})
+         AS pearson_r
+FROM d
+"""
+
+
+@register("q_ts_crosscorr", oracle=_ORACLE_CROSSCORR, tier="X")
+def q_ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lagged cross-correlation of the click and purchase hourly series
+    (lags 0-3h): does purchase volume track click volume, and at what
+    delay? The funnel-latency diagnostic next to q_funnel's per-user
+    view. Shape: the ONLY data-sized pass is the two-phase
+    groupBy(type, hour) count (same as q_stats_corr_matrix — the count
+    table is calendar-bounded and tiny at any event volume). Both
+    series densify onto the full hour spine (missing hour = count 0 —
+    a real zero observation, so lag pairing is positional in calendar
+    time) built by exploding ONE sequence() from the 1-row min/max
+    bounds frame; the 4-row lag dim crossJoins the spine (audited
+    BNLJ) and series B joins on the exact epoch-microsecond shifted
+    key — an equi-join, never a non-equi time comparison. Counts are
+    exact integers -> exact decimal sufficient statistics -> the shared
+    _pearson_r rational-rounding pipeline: bit-identical cross-engine."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+    )
+    # both spine bounds and the two series read this tiny count table;
+    # checkpoint so AQE re-planning cannot re-count events per consumer
+    h = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = h.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+
+    def dense(etype: str, val: str) -> DataFrame:
+        side = h.filter(F.col("event_type") == etype).select("hr", "c")
+        return spine.join(side, "hr", "left").select(
+            F.unix_micros(F.col("hr")).alias(f"us_{val}"),
+            F.coalesce(F.col("c"), F.lit(0)).cast(_DEC).alias(val),
+        )
+
+    a = dense("click", "x")
+    b = dense("purchase", "y")
+    lags = spark.range(1).select(
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("lag")
+    )
+    p = lags.crossJoin(a).join(
+        b,
+        F.col("us_y")
+        == F.col("us_x") + F.col("lag").cast("long") * F.lit(3600000000),
+    )
+    s = p.groupBy("lag").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d = s.select(
+        F.col("lag").cast("long").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_hours"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("denx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("deny"),
+    ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
+    return d.select(
+        "lag_hours",
+        "n_hours",
+        _pearson_r(F.col("num"), F.col("denx"), F.col("deny")).alias(
+            "pearson_r"
+        ),
+    )
+
+
+# CUSUM changepoint: the k maximizing |n*P_k - k*T| is the hour where
+# the cumulative count deviates most from the constant-rate line — the
+# classic single-changepoint estimate. n*P_k - k*T = n^2 * (P_k/k·... )
+# stays an exact integer (counts), so the argmax is an exact integer
+# comparison on both engines; only the reported magnitude |T_k|/n is
+# (rationally) rounded.
+_ORACLE_CHANGEPOINT = f"""
+WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*)::BIGINT AS c
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, hr
+),
+t AS (
+  SELECT event_type, hr,
+         SUM(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hr)
+              AS HUGEINT) AS k,
+         SUM(CAST(c AS HUGEINT)) OVER (PARTITION BY event_type) AS tot,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM h
+),
+d AS (
+  SELECT event_type, hr, n, (n * pk - k * tot) AS tk
+  FROM t
+),
+r AS (
+  SELECT event_type, hr, n, tk, ABS(tk) AS a,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ABS(tk) DESC, hr) AS rn
+  FROM d
+)
+SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS cp_hr,
+       CAST(n AS BIGINT) AS n_hours,
+       {_rr_sql("a", "n", 6, signed=False)} AS cusum_max,
+       CASE WHEN tk < 0 THEN -1 WHEN tk > 0 THEN 1 ELSE 0 END AS cusum_sign
+FROM r WHERE rn = 1
+"""
+
+
+@register("q_ts_changepoint", oracle=_ORACLE_CHANGEPOINT, tier="X")
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection per event type (CUSUM argmax): the
+    hour where the cumulative event count deviates most from the
+    constant-rate line — "when did the error rate shift?". For hourly
+    count c_k (k = 1..n ordered hours), the statistic is
+    T_k = n*P_k - k*T (P_k prefix sum, T total): an EXACT integer, so
+    the argmax is an exact comparison on both engines with an
+    earliest-hour tie-break; only the reported magnitude |T_k|/n is
+    rationally rounded (6 digits), and cusum_sign tells a rate DROP
+    (-1, cumulative running below the line) from a rate RISE (+1).
+    Shape: the only data-sized pass is the two-phase groupBy(type,
+    hour) count; the cumulative/argmax windows partition by event_type
+    — a LOW-cardinality key, admissible ONLY because their input is
+    the aggregated count table (calendar-bounded rows per type), the
+    exact shape the low-card window guard requires (the same
+    aggregate-first trick as q_anomaly_mad's count-table medians).
+    sign convention: T_k < 0 means the prefix mean runs below the
+    overall mean up to k."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w_ord = (
+        W.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("event_type")
+    c = F.col("c").cast(_DEC)
+    t = h.select(
+        "event_type",
+        "hr",
+        F.sum(c).over(w_ord).alias("pk"),
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy("hr")
+        ).cast(_DEC).alias("k"),
+        F.sum(c).over(w_all).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    d = t.select(
+        "event_type",
+        "hr",
+        "n",
+        (
+            F.col("n").cast(_DEC) * F.col("pk") - F.col("k") * F.col("tot")
+        ).alias("tk"),
+    )
+    r = d.select(
+        "event_type",
+        "hr",
+        "n",
+        "tk",
+        F.abs(F.col("tk")).alias("a"),
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                F.desc(F.abs(F.col("tk"))), F.asc("hr")
+            )
+        )
+        .alias("rn"),
+    ).filter(F.col("rn") == 1)
+    return r.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("cp_hr"),
+        F.col("n").cast("long").alias("n_hours"),
+        _rr_dec(F.col("a"), F.col("n").cast(_DEC), 6, signed=False).alias(
+            "cusum_max"
+        ),
+        F.when(F.col("tk") < 0, -1)
+        .when(F.col("tk") > 0, 1)
+        .otherwise(0)
+        .alias("cusum_sign"),
+    )
+
+
+# Bigram PMI collocations. PMI = log p(xy)/(p(x)p(y)); ranking by the
+# RATIO c_xy*N/(c_x*c_y) is order-equivalent (log is monotone), so —
+# the q_text_tfidf/q_text_bm25 trade — the log stays out and every
+# output is a rationally-rounded exact-integer ratio: bit-identical
+# cross-engine, no libm call whose last ulp differs by platform.
+_ORACLE_TEXT_PMI = f"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split(lower(text), ' ')) AS w,
+         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+  FROM documents WHERE text IS NOT NULL
+),
+ft AS (SELECT doc_id, w, pos FROM toks WHERE w <> ''),
+big AS (
+  SELECT LAG(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+  FROM ft
+),
+bc AS (
+  SELECT w1, w2, COUNT(*)::HUGEINT AS cxy
+  FROM big WHERE w1 IS NOT NULL
+  GROUP BY w1, w2 HAVING COUNT(*) >= 5
+),
+uni AS (SELECT w, COUNT(*)::HUGEINT AS cw FROM ft GROUP BY w),
+tot AS (SELECT SUM(cw)::HUGEINT AS nt FROM uni),
+j AS (
+  SELECT b.w1, b.w2, b.cxy, u1.cw AS cx, u2.cw AS cy, t.nt
+  FROM bc b
+  JOIN uni u1 ON u1.w = b.w1
+  JOIN uni u2 ON u2.w = b.w2
+  CROSS JOIN tot t
+)
+SELECT w1, w2, CAST(cxy AS BIGINT) AS n_pairs,
+       {_rr_sql("cxy * nt", "cx * cy", 9, signed=False)} AS pmi_ratio
+FROM j
+ORDER BY pmi_ratio DESC, w1, w2
+LIMIT 20
+"""
+
+
+@register("q_text_pmi", oracle=_ORACLE_TEXT_PMI, tier="X")
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 bigram collocations by pointwise mutual information —
+    the phrase-mining pass a tokenizer-training pipeline runs to decide
+    which adjacent-word pairs deserve a merged vocabulary entry
+    (min support 5 pairs). Ranks by the exact-integer PMI ratio
+    c_xy*N/(c_x*c_y) (log-free — order-equivalent to PMI, see
+    _ORACLE_TEXT_PMI). Shape: ONE data-sized token explode feeds (a)
+    the bigram pairing — a lag window partitioned by doc_id, a
+    HIGH-cardinality key, adjacency never leaves the doc's partition —
+    and (b) the unigram two-phase count; bigram counts (support-
+    filtered, so the table shrinks before any join) then equi-join the
+    unigram counts on w1 and w2 — at this SF AQE broadcasts the vocab
+    side, at 100 TB they become plain shuffle joins on high-cardinality
+    word keys; the 1-row corpus total crossJoins broadcast (audited
+    BNLJ); the final cut is TakeOrderedAndProject on the deterministic
+    (rounded ratio DESC, w1, w2) key — identical doubles both engines,
+    so the top-20 cut cannot straddle differently."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), " ")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
+    wlag = W.partitionBy("doc_id").orderBy("pos")
+    big = toks.select(
+        F.lag("w").over(wlag).alias("w1"), F.col("w").alias("w2")
+    ).filter(F.col("w1").isNotNull())
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast(_DEC).alias("cxy"))
+        .filter(F.col("cxy") >= 5)
+    )
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast(_DEC).alias("cw"))
+    tot = uni.agg(F.sum("cw").cast(_DEC).alias("nt"))
+    j = (
+        bc.join(
+            uni.select(F.col("w").alias("w1"), F.col("cw").alias("cx")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("cw").alias("cy")), "w2"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    out = j.select(
+        "w1",
+        "w2",
+        F.col("cxy").cast("long").alias("n_pairs"),
+        _rr_dec(
+            F.col("cxy") * F.col("nt"),
+            F.col("cx") * F.col("cy"),
+            9,
+            signed=False,
+        ).alias("pmi_ratio"),
+    )
+    return out.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(20)

@@ -1,0 +1,198 @@
+"""§2.13 Data-quality operators (SURVEY.md).
+
+The reference's clone contract is "the copy equals the source", and it
+verifies that contract with row counts and success tallies
+(clone_databases.sh:643, :1025-1030). These operators are the
+first-class version of that verification: a one-pass column profile
+(what a DBA runs on source AND clone to diff them) and a
+constraint-violation audit (orphaned foreign keys, duplicate primary
+keys, domain violations — the checks that tell you a clone, or an
+ingest into the training corpus, silently corrupted something).
+
+Both are single-output-table operators whose only data-sized work is
+scan + two-phase aggregation; everything after the partial/final agg
+pair is driver-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+
+# Profiled columns of `orders` and how each min/max renders as a string
+# (BIGINT and VARCHAR cast identically on both engines; TIMESTAMP goes
+# through the same explicit second-resolution format the join keys use
+# — a raw CAST(ts AS VARCHAR) may differ in fractional-second rendering
+# between engines).
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "varchar"),
+    ("o_orderpriority", "varchar"),
+    ("o_orderdate", "timestamp"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "timestamp":
+            mn = f"strftime(MIN({c}), '%Y-%m-%d %H:%M:%S')"
+            mx = f"strftime(MAX({c}), '%Y-%m-%d %H:%M:%S')"
+        else:
+            mn = f"CAST(MIN({c}) AS VARCHAR)"
+            mx = f"CAST(MAX({c}) AS VARCHAR)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, COUNT(*)::BIGINT AS n_rows,\n"
+            f"       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_null,\n"
+            f"       COUNT(DISTINCT {c})::BIGINT AS n_distinct,\n"
+            f"       {mn} AS min_s, {mx} AS max_s\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_PROFILE = _profile_oracle()
+
+
+@register("q_dq_profile", oracle=_ORACLE_DQ_PROFILE, tier="X")
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of `orders` — per column: row count, null
+    count, exact distinct count, min/max (rendered as strings). This is
+    the source-vs-clone diffing report behind the reference's fidelity
+    counts (clone_databases.sh:643): profile both sides, diff the rows.
+    Shape: ONE scan; Spark plans the multi-column COUNT(DISTINCT) via
+    Expand (k=5 replicas of each row, one per distinct column) feeding a
+    two-phase aggregate — the expansion happens map-side BEFORE the
+    exchange, so the shuffle carries only partial states keyed by
+    (gid, value), never 5x the raw rows. At 100 TB you would typically
+    swap the exact distincts for approx_count_distinct (HLL partials, no
+    Expand) — kept exact here because the profile's job is equality
+    diffing and the oracle gate needs exact. The 1-row-per-column
+    reshape after the agg is driver-sized (inline over a 5-element
+    array)."""
+    o = load(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in _PROFILE_COLS:
+        col = F.col(c)
+        if kind == "timestamp":
+            mn = F.date_format(F.min(col), "yyyy-MM-dd HH:mm:ss")
+            mx = F.date_format(F.max(col), "yyyy-MM-dd HH:mm:ss")
+        else:
+            mn = F.min(col).cast("string")
+            mx = F.max(col).cast("string")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"null_{c}"),
+            F.count_distinct(col).alias(f"dist_{c}"),
+            mn.alias(f"min_{c}"),
+            mx.alias(f"max_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"dist_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_s"),
+                F.col(f"max_{c}").alias("max_s"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select("n_rows", F.inline(rows)).select(
+        "col_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
+    )
+
+
+_ORACLE_DQ_CONSTRAINTS = """
+SELECT 'customer_dup_custkey' AS check_name,
+       (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)::BIGINT
+         AS n_violations
+UNION ALL
+SELECT 'lineitem_bad_qty',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_quantity IS NULL OR l_quantity <= 0)::BIGINT
+UNION ALL
+SELECT 'lineitem_orphan_orderkey',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_orderkey IS NOT NULL
+          AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderkey IS NOT NULL))::BIGINT
+UNION ALL
+SELECT 'orders_null_custkey',
+       (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)::BIGINT
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       (SELECT COUNT(*) FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL))::BIGINT
+"""
+
+
+@register("q_dq_constraints", oracle=_ORACLE_DQ_CONSTRAINTS, tier="X")
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation audit — the post-clone validation suite the
+    reference's count checks (clone_databases.sh:1025-1030) gesture at,
+    as one queryable table: primary-key duplicates, foreign-key orphans
+    (lineitem→orders, orders→customer), NULL keys, and a domain check
+    (non-positive quantity). One row per check with its violation
+    count, so a clone/ingest gate is `WHERE n_violations > 0`.
+    Shape per check: PK duplicates are COUNT(*) - COUNT(DISTINCT) in a
+    single two-phase agg (no self-join); orphan checks are LEFT ANTI
+    equi-joins on the key (shuffle-partitioned both sides, AQE handles
+    key skew) feeding a 1-row count; NULL/domain checks are map-side
+    filtered counts with the predicate pushed to the scan. The five
+    1-row frames union driver-sized. NOT NULL guards on the anti-join
+    probes mirror SQL NOT IN semantics exactly (a NULL probe key is not
+    an orphan on either engine)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    dup = cust.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias("n")
+    )
+    bad_qty = li.filter(
+        F.col("l_quantity").isNull() | (F.col("l_quantity") <= 0)
+    ).agg(F.count(F.lit(1)).alias("n"))
+    li_orphan = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .join(
+            orders.select("o_orderkey").filter(F.col("o_orderkey").isNotNull()),
+            li["l_orderkey"] == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    null_cust = orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    o_orphan = (
+        orders.filter(F.col("o_custkey").isNotNull())
+        .join(
+            cust.select("c_custkey").filter(F.col("c_custkey").isNotNull()),
+            orders["o_custkey"] == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one("customer_dup_custkey", dup)
+        .unionAll(one("lineitem_bad_qty", bad_qty))
+        .unionAll(one("lineitem_orphan_orderkey", li_orphan))
+        .unionAll(one("orders_null_custkey", null_cust))
+        .unionAll(one("orders_orphan_custkey", o_orphan))
+    )

@@ -629,3 +629,157 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_vertices", "n_edges", "n_triangles")
     )
+
+
+def _oracle_degree() -> str:
+    from database_cloner_spark.queries.llm_ops import _ORACLE_DEDUP_FUZZY
+
+    return f"""
+WITH e AS (
+  SELECT doc_a AS u, doc_b AS v FROM ({_ORACLE_DEDUP_FUZZY}) f
+),
+deg AS (
+  SELECT x, COUNT(*)::BIGINT AS deg
+  FROM (SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+  GROUP BY x
+)
+SELECT deg, COUNT(*)::BIGINT AS n_vertices
+FROM deg GROUP BY deg
+"""
+
+
+_ORACLE_DEGREE = _oracle_degree()
+
+
+@register("q_graph_degree", oracle=_ORACLE_DEGREE, tier="X")
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup pair graph (same edge set as
+    q_graph_triangles: document pairs with 3-shingle Jaccard >= 0.4) —
+    the graph profile a dedup pipeline reads BEFORE clustering: a
+    heavy-tailed histogram means hub documents (boilerplate shells) that
+    single-link clustering would snowball through, and it is the
+    empirical input to the O(d_out^2) wedge-cost bound the triangle
+    count relies on. Shape: after pair generation, degree is ONE
+    two-phase count keyed by vertex, and the histogram is a second
+    two-phase count keyed by degree — both exchanges carry partial
+    states only, nothing here scales with more than the (sparse) edge
+    count. Oracle nests q_dedup_fuzzy's oracle verbatim so the edge
+    semantics cannot drift across the three graph keys."""
+    from database_cloner_spark.llm import dedup as _dedup
+
+    pairs = _dedup.shingle_jaccard_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def _pagerank_ranks(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Iterate r <- 0.15 + 0.85 * sum_in(r/deg) over an already-
+    SYMMETRIZED directed edge list (src, dst), returning (src, deg,
+    rank). Ranks are FIXED-POINT decimal(38,18), not doubles — decimal
+    addition is exact and associative, so the groupBy-sum of neighbor
+    contributions is bit-identical regardless of partial-aggregation
+    order (a double formulation drifts in the last ulp run-to-run,
+    which would flip top-k tie-breaks). Every vertex of a symmetrized
+    edge list has deg >= 1: no dangling-mass correction needed. Shape
+    per iteration: ONE shuffle (groupBy(dst) of contributions) against
+    the static degree-carrying edge list; edge list and each rank
+    table are lazily localCheckpointed — edges feed all iterations,
+    and AQE re-planning would otherwise re-run the upstream edge build
+    per iteration (the q_graph_triangles lesson). Fixed iteration
+    count = a static DAG of `iters` bounded stages on a 1000-executor
+    cluster; convergence stopping would need a driver-side delta
+    check between stages, deliberately avoided."""
+    _D = "decimal(38,18)"
+    edges = edges.localCheckpoint(eager=False)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # carry deg on the edge so iterations never re-join the degree table
+    ed = edges.join(deg, "src").localCheckpoint(eager=False)
+    ranks = deg.select(
+        "src", "deg", F.lit(1).cast(_D).alias("rank")
+    ).localCheckpoint(eager=False)
+    for _ in range(iters):
+        contrib = (
+            ed.join(ranks.select("src", "rank"), "src")
+            .select(
+                F.col("dst").alias("src"),
+                (F.col("rank") / F.col("deg")).cast(_D).alias("c"),
+            )
+            .groupBy("src")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            ranks.select("src", "deg")
+            .join(contrib, "src", "left")
+            .select(
+                "src",
+                "deg",
+                (
+                    F.lit("0.15").cast(_D)
+                    + F.lit("0.85").cast(_D)
+                    * F.coalesce(F.col("s"), F.lit(0).cast(_D))
+                ).cast(_D).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+@register("q_graph_pagerank", oracle=None, tier="X")
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 fixed iterations, d = 0.85) over the undirected
+    customer-supplier bipartite graph (edge = at least one lineitem of
+    the customer's orders shipped by the supplier) — hub suppliers and
+    broadly-sourcing customers rank highest; the supply-chain
+    centrality a fulfillment planner reads. The near-dup pair graph
+    (the other two graph keys' edge set) is deliberately NOT used
+    here: its components are cliques, and a clique is an exact fixed
+    point of PageRank (every vertex sends deg * (rank/deg) = rank), so
+    every rank stays exactly 1.0 — no discrimination. The bipartite
+    graph is dense-ish, but PageRank's per-iteration cost is LINEAR in
+    |E| (times a fixed 5 iterations), so — unlike triangle counting's
+    m^1.5 on near-cliques (q_graph_triangles' r8 lesson) — density is
+    not a scale trap. Edge build: orders JOIN lineitem on the order
+    key (one fact-fact shuffle), distinct (custkey, suppkey) pairs,
+    ids disambiguated by 'c:'/'s:' prefixes, symmetrized. Iteration
+    mechanics and determinism: _pagerank_ranks (exact decimal fixed-
+    point; correctness pinned by tests/test_graph_pagerank.py —
+    2-regular-cycle exact fixed point, star monotonicity, rank-mass
+    conservation, bit-identical reruns). No SQL oracle (iterative
+    algorithm; rows-only driver check). Returns the top 20 by
+    (rank DESC, vertex ASC) via TakeOrderedAndProject."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
+    )
+    cs = (
+        o.select("o_orderkey", "o_custkey")
+        .join(
+            li.select("l_orderkey", "l_suppkey"),
+            o["o_orderkey"] == F.col("l_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = cs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = _pagerank_ranks(edges, iters=5)
+    out = ranks.select(
+        F.col("src").alias("vertex"),
+        F.col("rank").cast("double").alias("pagerank"),
+        F.col("deg").cast("long").alias("degree"),
+    )
+    return out.orderBy(F.desc("pagerank"), F.asc("vertex")).limit(20)

@@ -178,6 +178,13 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_text_diversity": ("documents",),
     "q_join_asof_nearest": ("events",),
     "q_graph_triangles": ("documents",),
+    "q_dq_constraints": ("customer", "lineitem", "orders"),
+    "q_dq_profile": ("orders",),
+    "q_graph_degree": ("documents",),
+    "q_graph_pagerank": ("lineitem", "orders"),
+    "q_text_pmi": ("documents",),
+    "q_ts_changepoint": ("events",),
+    "q_ts_crosscorr": ("events",),
     "q_retention_cohort": ("events",),
     "q_udf_password": ("nation",),
     "q_udf_template": ("nation",),

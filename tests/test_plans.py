@@ -44,6 +44,8 @@ BNLJ_ALLOWED = {
     "q_text_bm25",               # two 1-row corpus stats frames (N docs, avg dl)
     "q_stats_chi2",              # lang-dim x source-dim grid (bounded domains) + 1-row totals
     "q_graph_triangles",         # three 1-row scalar frames (|V|, |E|, triangle count)
+    "q_ts_crosscorr",            # 4-row lag dim x span-bounded hour spine
+    "q_text_pmi",                # 1-row corpus token total
 }
 
 SF_DIR = "/root/testdata/sf0.001"
