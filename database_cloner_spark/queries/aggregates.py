@@ -596,3 +596,85 @@ def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("median_price").alias("median_price"),
         )
     )
+
+
+# Weighted lower median: the smallest price whose cumulative weight
+# reaches half the total. Same count-table shape as q_agg_median_exact,
+# with SUM(weight) in place of COUNT(*). Weights must be exact integers
+# for the rank comparison to be engine-identical: l_quantity is a whole
+# double, and the two engines CAST doubles to ints differently (Spark
+# truncates, DuckDB rounds) — FLOOR first makes them agree, TRY_CAST
+# maps non-finite/overflow to NULL identically, and wt > 0 drops
+# degenerate weights on both sides.
+_ORACLE_WEIGHTED_MEDIAN = """
+WITH w AS (
+  SELECT l_linestatus AS status, l_extendedprice AS price,
+         TRY_CAST(FLOOR(l_quantity) AS BIGINT) AS wt
+  FROM lineitem
+  WHERE l_linestatus IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+c AS (
+  SELECT status, price, SUM(wt) AS cw FROM w
+  WHERE wt IS NOT NULL AND wt > 0 GROUP BY status, price
+),
+r AS (
+  SELECT status, price,
+         SUM(cw) OVER (PARTITION BY status ORDER BY price) AS cum,
+         SUM(cw) OVER (PARTITION BY status) AS tot
+  FROM c
+)
+SELECT status, CAST(tot AS BIGINT) AS total_weight,
+       MIN(CASE WHEN 2 * cum >= tot THEN price END) AS wmedian_price
+FROM r GROUP BY status, tot
+"""
+
+
+@register("q_agg_weighted_median", oracle=_ORACLE_WEIGHTED_MEDIAN, tier="X")
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted lower median per group: the extendedprice at which
+    half the shipped QUANTITY sits below — the volume-weighted price
+    midpoint (a row-median over-weights small orders). Shape: identical
+    to q_agg_median_exact's count-table rank pick, with the two-phase
+    aggregate carrying SUM(weight) instead of COUNT(*): the exchange
+    ships (status, price, partial-weight) triples bounded by distinct
+    price cardinality, the cumulative window runs over the tiny count
+    table, and the answer is a PICK of an existing double (no
+    interpolation), so both engines hash-agree with zero rounding.
+    Weight = TRY_CAST(FLOOR(l_quantity) AS BIGINT) with wt > 0 — floor
+    before cast because Spark truncates and DuckDB ROUNDS double->int
+    casts (engine trap: CAST(2.7 AS BIGINT) is 2 vs 3), try_ because
+    ANSI mode hard-errors on non-finite/overflow inputs the adversarial
+    twins carry."""
+    v = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_linestatus").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    w = v.select(
+        F.col("l_linestatus").alias("status"),
+        F.col("l_extendedprice").alias("price"),
+        F.expr("try_cast(floor(l_quantity) AS bigint)").alias("wt"),
+    ).filter(F.col("wt").isNotNull() & (F.col("wt") > 0))
+    counts = w.groupBy("status", "price").agg(F.sum("wt").alias("cw"))
+    from pyspark.sql import Window as W
+
+    by_status = W.partitionBy("status")
+    w_cum = by_status.orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = counts.select(
+        "status",
+        "price",
+        F.sum("cw").over(w_cum).alias("cum"),
+        F.sum("cw").over(by_status).alias("tot"),
+    )
+    med = F.min(
+        F.when(F.lit(2) * F.col("cum") >= F.col("tot"), F.col("price"))
+    ).over(by_status)
+    return (
+        c.select("status", "tot", med.alias("wmedian_price"))
+        .groupBy("status")
+        .agg(
+            F.max("tot").cast("long").alias("total_weight"),
+            F.max("wmedian_price").alias("wmedian_price"),
+        )
+    )

@@ -2224,3 +2224,65 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pmi_ratio"),
     )
     return out.orderBy(F.desc("pmi_ratio"), "w1", "w2").limit(20)
+
+
+# Hour-of-day seasonality profile: the diurnal shape of each event
+# stream. All shares are integer-exact ppm (floor division of exact
+# counts — `div` and `//` agree bit-for-bit), the peak flag is a
+# deterministic argmax (count DESC, hour ASC), and the windows run over
+# the aggregated (type x 24h) count table — the low-cardinality-window
+# guard's admissible shape, never a raw-row sort.
+_ORACLE_SEASONALITY = """
+WITH c AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, hod
+)
+SELECT event_type, hod, CAST(cnt AS BIGINT) AS cnt,
+       CAST(cnt * 1000000 // SUM(cnt) OVER (PARTITION BY event_type)
+            AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY event_type ORDER BY cnt DESC, hod ASC) = 1
+            THEN 1 ELSE 0 END AS BIGINT) AS is_peak
+FROM c
+"""
+
+
+@register("q_ts_seasonality", oracle=_ORACLE_SEASONALITY, tier="X")
+def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: count, share of the
+    type's traffic (ppm), and a deterministic peak-hour flag — the
+    diurnal profile that decides when a 100 TB pipeline schedules its
+    heavy batch windows. Shape: the ONLY data-sized pass is the
+    two-phase groupBy(type, hour(ts)).count() — the exchange carries at
+    most |types| x 24 partial states regardless of event volume. Both
+    windows (type total for the share, argmax rank for the peak) run
+    over that aggregated table, which is the admissible input shape for
+    a domain-key-partitioned window (tests/test_plans.py low-card
+    guard). share_ppm is floor((cnt * 1e6) / total) in exact integer
+    arithmetic on both engines; the peak tie (two hours with the same
+    count) breaks to the earlier hour."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    c = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    by_type = W.partitionBy("event_type")
+    rnk = W.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("hod"))
+    return c.select(
+        "event_type",
+        "hod",
+        "cnt",
+        F.expr(
+            "(cnt * 1000000L) div sum(cnt) over (partition by event_type)"
+        ).cast("long").alias("share_ppm"),
+        F.when(F.row_number().over(rnk) == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_peak"),
+    )

@@ -4,12 +4,15 @@ The reference's clone contract is "the copy equals the source", and it
 verifies that contract with row counts and success tallies
 (clone_databases.sh:643, :1025-1030). These operators are the
 first-class version of that verification: a one-pass column profile
-(what a DBA runs on source AND clone to diff them) and a
+(what a DBA runs on source AND clone to diff them), a
 constraint-violation audit (orphaned foreign keys, duplicate primary
 keys, domain violations — the checks that tell you a clone, or an
-ingest into the training corpus, silently corrupted something).
+ingest into the training corpus, silently corrupted something), a
+join-key skew diagnostic (the planning input for every shuffle
+strategy in this package), and a per-stream freshness monitor (the
+ingestion-lag gate).
 
-Both are single-output-table operators whose only data-sized work is
+All are single-output-table operators whose only data-sized work is
 scan + two-phase aggregation; everything after the partial/final agg
 pair is driver-sized.
 """
@@ -195,4 +198,155 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(one("lineitem_orphan_orderkey", li_orphan))
         .unionAll(one("orders_null_custkey", null_cust))
         .unionAll(one("orders_orphan_custkey", o_orphan))
+    )
+
+
+# Candidate distribution keys of `lineitem`, in output order. The skew
+# report is the planning input for every partitioned operation in this
+# package: which key can a shuffle/bucketing/salting strategy trust?
+_SKEW_COLS = ["l_orderkey", "l_partkey", "l_suppkey"]
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for c in _SKEW_COLS:
+        parts.append(
+            f"""
+(WITH c_{c} AS (
+  SELECT {c} AS k, COUNT(*) AS c FROM lineitem
+  WHERE {c} IS NOT NULL GROUP BY {c}
+),
+s_{c} AS (
+  SELECT SUM(c) AS nr, COUNT(*) AS nd, MAX(c) AS mc FROM c_{c}
+),
+h_{c} AS (
+  SELECT MIN(k) AS hk FROM c_{c}, s_{c} WHERE c_{c}.c = s_{c}.mc
+)
+SELECT '{c}' AS col_name,
+       CAST(nr AS BIGINT) AS n_rows,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(mc AS BIGINT) AS max_cnt,
+       CAST(hk AS BIGINT) AS hot_key,
+       CAST(mc * 1000000 // nr AS BIGINT) AS top1_ppm
+FROM s_{c}, h_{c})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_SKEW = _skew_oracle()
+
+
+@register("q_dq_skew", oracle=_ORACLE_DQ_SKEW, tier="X")
+def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic over `lineitem`'s candidate distribution
+    keys: per key column, total non-null rows, distinct keys, the
+    hottest key and its row count, and the hot key's row share in ppm.
+    This is the report that decides every strategy choice the rest of
+    the package plan-guards — broadcast vs shuffle, salting
+    (functions/skew.py), bucketing: a top1_ppm near 1e6/|keys| is
+    uniform; orders of magnitude above it predicts the straggler task.
+    Shape per column: ONE two-phase groupBy(key).count() (map-side
+    partials, exchange volume bounded by key cardinality) + a 1-row
+    global agg where MAX(struct(cnt, -key)) picks the hot key without a
+    second pass or a join — the struct max is a single partial-aggregable
+    expression, and -key breaks count ties toward the SMALLEST key on
+    both engines (the oracle's MIN(k) WHERE c = max form). The share is
+    integer-exact floor(ppm) — `div` and `//` agree bit-for-bit, no
+    doubles anywhere. Three column passes scan column-pruned parquet;
+    the 3-row union is driver-sized."""
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for c in _SKEW_COLS:
+        counts = (
+            li.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        stats = counts.agg(
+            F.sum("c").alias("nr"),
+            F.count(F.lit(1)).alias("nd"),
+            F.max(F.struct(F.col("c"), (-F.col("k")).alias("negk"))).alias(
+                "m"
+            ),
+        )
+        outs.append(
+            stats.select(
+                F.lit(c).alias("col_name"),
+                F.col("nr").cast("long").alias("n_rows"),
+                F.col("nd").cast("long").alias("n_distinct"),
+                F.col("m.c").cast("long").alias("max_cnt"),
+                (-F.col("m.negk")).cast("long").alias("hot_key"),
+                F.expr("(m.c * 1000000L) div nr").cast("long").alias(
+                    "top1_ppm"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# Freshness / staleness monitor: per event type, how far behind the
+# newest data in the table is this stream? Lag is computed in EXACT
+# integer hours from epoch microseconds (floor division agrees
+# bit-for-bit across engines); timestamps render at second resolution
+# through the same explicit format the profile uses.
+_ORACLE_DQ_FRESHNESS = """
+WITH t AS (
+  SELECT event_type, COUNT(*) AS n, MIN(ts) AS mn, MAX(ts) AS mx
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       strftime(mn, '%Y-%m-%d %H:%M:%S') AS first_s,
+       strftime(mx, '%Y-%m-%d %H:%M:%S') AS last_s,
+       CAST((MAX(epoch_us(mx)) OVER () - epoch_us(mx)) // 3600000000
+            AS BIGINT) AS lag_hours
+FROM t
+"""
+
+
+@register("q_dq_freshness", oracle=_ORACLE_DQ_FRESHNESS, tier="X")
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit over `events`: event count, first/last
+    timestamp, and staleness in whole hours behind the newest event in
+    the table — the ingestion-lag monitor that catches a silently
+    stalled upstream topic before it skews every downstream count.
+    Shape: ONE two-phase aggregate (count/min/max partials combine
+    map-side; the exchange ships |event_types| states), then the global
+    high-water mark is a window over that AGGREGATED handful of rows —
+    never a second scan, never a 1-row crossJoin back onto raw data.
+    lag_hours = (max_all_us - max_type_us) div 3600000000 in exact
+    int64 epoch microseconds: floor division, bit-identical on both
+    engines, no interval/double arithmetic anywhere."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    t = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    marked = t.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.date_format("mn", "yyyy-MM-dd HH:mm:ss").alias("first_s"),
+        F.date_format("mx", "yyyy-MM-dd HH:mm:ss").alias("last_s"),
+        F.unix_micros(F.col("mx")).alias("mx_us"),
+    ).withColumn(
+        "gmax_us",
+        F.max("mx_us").over(W.partitionBy(F.lit(1))),
+    )
+    return marked.select(
+        "event_type",
+        "n_events",
+        "first_s",
+        "last_s",
+        F.expr("(gmax_us - mx_us) div 3600000000").cast("long").alias(
+            "lag_hours"
+        ),
     )

@@ -133,6 +133,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
     "q_agg_median_exact": ("lineitem",),
+    "q_agg_weighted_median": ("lineitem",),
     "q_stats_chi2": ("documents",),
     "q_stats_corr_matrix": ("events",),
     "q_stats_moments": ("events",),
@@ -174,12 +175,15 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_ts_interpolate": ("events",),
     "q_ts_downsample_ohlc": ("events",),
     "q_ts_autocorr": ("events",),
+    "q_ts_seasonality": ("events",),
     "q_ts_ewma": ("events",),
     "q_text_diversity": ("documents",),
     "q_join_asof_nearest": ("events",),
     "q_graph_triangles": ("documents",),
     "q_dq_constraints": ("customer", "lineitem", "orders"),
+    "q_dq_freshness": ("events",),
     "q_dq_profile": ("orders",),
+    "q_dq_skew": ("lineitem",),
     "q_graph_degree": ("documents",),
     "q_graph_pagerank": ("lineitem", "orders"),
     "q_text_pmi": ("documents",),

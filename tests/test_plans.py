@@ -545,3 +545,59 @@ def test_moments_is_one_two_phase_agg(spark):
     assert "partial_sum" in plan, plan
     assert "Window" not in plan and "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+def test_dq_skew_three_column_passes_no_window_no_join(spark):
+    """q_dq_skew: each candidate key column is ONE two-phase
+    groupBy(key).count() (partial_count map-side, exchange bounded by
+    key cardinality) + a 1-row global agg whose MAX(struct(cnt, -key))
+    picks the hot key WITHOUT a join or a second sort — three key
+    exchanges total, join- and window-free."""
+    plan = _plan(spark, "q_dq_skew")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+
+
+def test_dq_freshness_window_rides_aggregated_types(spark):
+    """q_dq_freshness: ONE two-phase count/min/max agg (partials before
+    the single event_type exchange); the global high-water-mark window
+    consumes the aggregated |types| rows, never raw events; join-free."""
+    plan = _plan(spark, "q_dq_freshness")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan and "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_weighted_median_windows_ride_weight_table(spark):
+    """q_agg_weighted_median: the heavy pass must be the two-phase
+    (status, price) SUM(weight) — partial_sum map-side before the wide
+    exchange — and the cumulative/total windows must consume that
+    value-cardinality-bounded weight table, never raw lineitem (the
+    q_agg_median_exact contract with SUM in place of COUNT). Join-free;
+    two exchanges: the (status, price) agg shuffle + one status
+    exchange shared by the windows and the final groupBy."""
+    import re
+
+    plan = _plan(spark, "q_agg_weighted_median")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(status#\d+, price#\d+", plan
+    ), plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_sum" in plan[first_window:], plan
+
+
+def test_seasonality_windows_ride_hourly_count_table(spark):
+    """q_ts_seasonality: the only data-sized pass is the two-phase
+    (event_type, hour) count; the share/argmax windows ride that
+    <= types x 24 aggregated table after one event_type exchange.
+    Join-free; two exchanges total."""
+    plan = _plan(spark, "q_ts_seasonality")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
