@@ -678,3 +678,157 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("wmedian_price").alias("wmedian_price"),
         )
     )
+
+
+# Deterministic per-group arg-extremes. Two engine traps pinned here:
+# (1) native max_by/arg_max tie-break is ENGINE-DEFINED — a duplicate
+# extreme value lets each engine return a different id, splitting the
+# hash; MAX(struct(v, -id)) / MIN(struct(v, id)) pin ties to the
+# SMALLEST id on both sides. (2) -0.0 == 0.0 in SQL comparisons but
+# renders as "-0.0" vs "0.0" in the value hash — `value + 0.0`
+# normalizes the zero sign identically under IEEE754 before any
+# aggregate sees it.
+_ORACLE_ARGMINMAX = """
+WITH e AS (
+  SELECT event_type, event_id, value + 0.0 AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_id IS NOT NULL
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, MAX(v) AS mxv, MIN(v) AS mnv
+  FROM e GROUP BY event_type
+)
+SELECT s.event_type, CAST(s.n AS BIGINT) AS n,
+       s.mxv AS max_value,
+       CAST(MIN(CASE WHEN e.v = s.mxv THEN e.event_id END) AS BIGINT)
+         AS max_event_id,
+       s.mnv AS min_value,
+       CAST(MIN(CASE WHEN e.v = s.mnv THEN e.event_id END) AS BIGINT)
+         AS min_event_id
+FROM e JOIN s USING (event_type)
+GROUP BY s.event_type, s.n, s.mxv, s.mnv
+"""
+
+
+@register("q_agg_argminmax", oracle=_ORACLE_ARGMINMAX, tier="X")
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group argmax/argmin: which event carried each type's extreme
+    value — the 'show me the offending row' companion of min/max.
+    Shape: ONE two-phase hash aggregate; the arg pick is
+    MAX(struct(v, -event_id)) / MIN(struct(v, event_id)) — a single
+    partial-aggregable expression, no join-back, no window, one
+    exchange shipping two structs + a count per group. The struct
+    form (not max_by/arg_max) is deliberate: native arg-extreme
+    tie-breaks are engine-defined, the struct's lexicographic order
+    pins duplicates to the smallest event_id on both engines (the
+    oracle expresses the same pick as MIN(id) over rows equal to the
+    extreme). `value + 0.0` maps -0.0 to +0.0 on both engines before
+    comparison so the rendered hash can't split on zero sign."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    e = ev.select(
+        "event_type",
+        "event_id",
+        (F.col("value") + F.lit(0.0)).alias("v"),
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(
+            F.struct(F.col("v"), (-F.col("event_id")).alias("nid"))
+        ).alias("mx"),
+        F.min(F.struct(F.col("v"), F.col("event_id"))).alias("mn"),
+    ).select(
+        "event_type",
+        "n",
+        F.col("mx.v").alias("max_value"),
+        (-F.col("mx.nid")).cast("long").alias("max_event_id"),
+        F.col("mn.v").alias("min_value"),
+        F.col("mn.event_id").cast("long").alias("min_event_id"),
+    )
+
+
+# Exact quartiles as THREE rank picks over the same count table one
+# cumulative pass builds — the q_agg_median_exact machinery generalized
+# to any rank list. Lower-quantile convention: rank_q = ceil(q * n),
+# expressed in exact integer arithmetic ((n+3) div 4, (n+1) div 2,
+# (3n+3) div 4). The IQR is ONE IEEE754 subtraction of two picked
+# doubles — identical operands, identical result, both engines.
+_ORACLE_QUARTILES = """
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT flag, price,
+         row_number() OVER (PARTITION BY flag ORDER BY price) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM v
+)
+SELECT flag, CAST(n AS BIGINT) AS n,
+       MAX(CASE WHEN rn = (n + 3) // 4 THEN price END) AS p25,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN price END) AS p50,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN price END) AS p75,
+       MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN price END)
+         - MAX(CASE WHEN rn = (n + 3) // 4 THEN price END) AS iqr
+FROM r GROUP BY flag, n
+"""
+
+
+@register("q_agg_quartiles", oracle=_ORACLE_QUARTILES, tier="X")
+def q_agg_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p25/p50/p75 + IQR per group — the spread profile behind
+    q_agg_winsorize's clamp and every outlier rule, exact where
+    approx_percentile is a t-digest estimate. Shape: ONE two-phase
+    (group, value) count (exchange bounded by distinct-value
+    cardinality), then all three quantiles are rank picks off the SAME
+    cumulative-count pass over the tiny count table — adding a
+    quantile costs one projection, not another shuffle or sort. Picks
+    are existing doubles (no interpolation); ranks use ceil(q*n) in
+    exact integer arithmetic; the oracle total-order sorts raw rows as
+    the spec, the engine never does (plan guard: count agg below the
+    window)."""
+    from pyspark.sql import Window as W
+
+    v = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    counts = v.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    by_flag = W.partitionBy("flag")
+    w_cum = by_flag.orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = counts.select(
+        "flag",
+        "price",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(by_flag).alias("n"),
+    )
+
+    def pick(rank_expr: str) -> F.Column:
+        return F.min(
+            F.when(F.col("cum") >= F.expr(rank_expr), F.col("price"))
+        ).over(by_flag)
+
+    out = c.select(
+        "flag",
+        "n",
+        pick("(n + 3) div 4").alias("p25"),
+        pick("(n + 1) div 2").alias("p50"),
+        pick("(3 * n + 3) div 4").alias("p75"),
+    )
+    return out.groupBy("flag").agg(
+        F.max("n").alias("n"),
+        F.max("p25").alias("p25"),
+        F.max("p50").alias("p50"),
+        F.max("p75").alias("p75"),
+        (F.max("p75") - F.max("p25")).alias("iqr"),
+    )

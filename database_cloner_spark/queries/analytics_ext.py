@@ -2286,3 +2286,56 @@ def q_ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_peak"),
     )
+
+
+# Day-over-day rate of change per event stream, over OBSERVED days (a
+# gap is reported via gap_days, not imputed — q_ts_gapfill owns
+# densification). Everything is exact integer arithmetic: counts,
+# count deltas, calendar-day differences.
+_ORACLE_RATE_OF_CHANGE = """
+WITH d AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s,
+       CAST(cnt AS BIGINT) AS cnt,
+       CAST(lag(cnt) OVER w AS BIGINT) AS prev_cnt,
+       CAST(cnt - lag(cnt) OVER w AS BIGINT) AS delta,
+       CAST(date_diff('day', lag(day) OVER w, day) AS BIGINT) AS gap_days
+FROM d
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+@register("q_ts_rate_of_change", oracle=_ORACLE_RATE_OF_CHANGE, tier="X")
+def q_ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day volume change per event type: daily count, previous
+    observed day's count, absolute delta, and the calendar gap to that
+    previous day — the trend/regression monitor a pipeline reads before
+    blaming a code change for a count shift. Shape: the ONLY data-sized
+    pass is the two-phase groupBy(type, day) count (exchange bounded by
+    types x days in the span, not event volume); the lag window rides
+    that AGGREGATED calendar-bounded table after one event_type
+    exchange (the low-card-guard-admissible shape). First observed day
+    per type has NULL prev/delta/gap on both engines. All outputs are
+    exact integers or rendered dates — nothing to round."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
+    d = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("event_type").orderBy("day")
+    return d.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        "cnt",
+        F.lag("cnt").over(w).alias("prev_cnt"),
+        (F.col("cnt") - F.lag("cnt").over(w)).alias("delta"),
+        F.datediff(F.col("day"), F.lag("day").over(w)).cast("long").alias(
+            "gap_days"
+        ),
+    )

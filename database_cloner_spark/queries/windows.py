@@ -340,3 +340,112 @@ def q_win_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_in_frame"),
         F.nth_value("value", 2).over(w).alias("second_in_frame"),
     )
+
+
+# Gaps-and-islands: longest run of CONSECUTIVE active days per user.
+# The oracle is the classic islands SQL (day - row_number() anchors);
+# the engine needs no window at all — one user_id shuffle collects the
+# calendar-bounded distinct-day set and a JVM `aggregate` HOF folds it
+# into (best_len, best_start, best_end) in a single pass. Both
+# formulations are exact integer/date arithmetic, so they agree
+# bit-for-bit regardless of algorithm (unlike float folds, which pin
+# evaluation order).
+_ORACLE_WIN_STREAKS = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+r AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+  FROM days
+),
+s AS (
+  SELECT user_id, anchor, COUNT(*) AS len,
+         MIN(day) AS st, MAX(day) AS en
+  FROM r GROUP BY user_id, anchor
+),
+best AS (
+  SELECT user_id, len, st, en,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY len DESC, st ASC) AS rk
+  FROM s
+),
+nd AS (SELECT user_id, COUNT(*) AS n_days FROM days GROUP BY user_id)
+SELECT b.user_id, CAST(nd.n_days AS BIGINT) AS n_active_days,
+       CAST(b.len AS BIGINT) AS best_len,
+       strftime(b.st, '%Y-%m-%d') AS best_start,
+       strftime(b.en, '%Y-%m-%d') AS best_end
+FROM best b JOIN nd USING (user_id) WHERE b.rk = 1
+"""
+
+# sentinel "previous day" no real day is adjacent to (epoch day of
+# 1970-01-01 is 0; all data is far above any plausible negative day)
+_STREAK_NO_PREV = -(10**9)
+
+
+@register("q_win_streaks", oracle=_ORACLE_WIN_STREAKS, tier="X")
+def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands)
+    — the engagement metric behind every retention dashboard, and the
+    canonical SQL-pattern test the window tier was missing. Shape: ONE
+    user_id shuffle — `sort_array(collect_set(to_date(ts)))` bounds
+    per-user state by the CALENDAR (days in the data's span), not by
+    event volume, exactly like q_retention_cohort; a JVM `aggregate`
+    HOF then folds the sorted day array into (current run, best run)
+    in one linear pass — no per-user window sort, no islands re-shuffle
+    (the oracle's day - row_number anchor + re-aggregate is the
+    two-exchange spec; the fold is the one-exchange engine plan). Ties
+    on length keep the EARLIEST streak (strict > in the fold; the
+    oracle orders len DESC, start ASC). Days fold as exact int64
+    epoch-days; dates render identically on both engines."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    days = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_set(F.datediff(F.to_date("ts"), F.lit("1970-01-01")))
+        ).alias("ds")
+    )
+    zero = F.struct(
+        F.lit(_STREAK_NO_PREV).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("cur_st"),
+        F.lit(0).cast("long").alias("blen"),
+        F.lit(0).cast("long").alias("bst"),
+        F.lit(0).cast("long").alias("ben"),
+    )
+
+    def step(acc, d):
+        dl = d.cast("long")
+        cont = dl == acc["prev"] + F.lit(1).cast("long")
+        cur = F.when(cont, acc["cur"] + 1).otherwise(F.lit(1).cast("long"))
+        cur_st = F.when(cont, acc["cur_st"]).otherwise(dl)
+        better = cur > acc["blen"]
+        return F.struct(
+            dl.alias("prev"),
+            cur.alias("cur"),
+            cur_st.alias("cur_st"),
+            F.when(better, cur).otherwise(acc["blen"]).alias("blen"),
+            F.when(better, cur_st).otherwise(acc["bst"]).alias("bst"),
+            F.when(better, dl).otherwise(acc["ben"]).alias("ben"),
+        )
+
+    folded = days.select(
+        "user_id",
+        F.size("ds").cast("long").alias("n_active_days"),
+        F.aggregate("ds", zero, step).alias("st"),
+    )
+    epoch = F.lit("1970-01-01").cast("date")
+
+    def day_s(col: F.Column) -> F.Column:
+        return F.date_format(F.date_add(epoch, col.cast("int")), "yyyy-MM-dd")
+
+    return folded.select(
+        "user_id",
+        "n_active_days",
+        F.col("st.blen").alias("best_len"),
+        day_s(F.col("st.bst")).alias("best_start"),
+        day_s(F.col("st.ben")).alias("best_end"),
+    )

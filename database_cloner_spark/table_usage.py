@@ -48,6 +48,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_agg_grouping_sets": ("lineitem",),
     "q_agg_histogram": ("lineitem",),
     "q_agg_minmax_checksum": ("orders",),
+    "q_agg_argminmax": ("events",),
     "q_agg_mode": ("orders",),
     "q_agg_percentile": ("documents",),
     "q_agg_rollup": ("customer", "nation", "region"),
@@ -133,6 +134,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_sort_zorder": ("orders",),
     "q_sql_surface": ("lineitem",),
     "q_agg_median_exact": ("lineitem",),
+    "q_agg_quartiles": ("lineitem",),
     "q_agg_weighted_median": ("lineitem",),
     "q_stats_chi2": ("documents",),
     "q_stats_corr_matrix": ("events",),
@@ -177,6 +179,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_ts_autocorr": ("events",),
     "q_ts_seasonality": ("events",),
     "q_ts_ewma": ("events",),
+    "q_ts_rate_of_change": ("events",),
     "q_text_diversity": ("documents",),
     "q_join_asof_nearest": ("events",),
     "q_graph_triangles": ("documents",),
@@ -203,6 +206,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_win_ntile": ("customer",),
     "q_win_rank": ("customer", "nation"),
     "q_win_rownum_dedup": ("events",),
+    "q_win_streaks": ("events",),
     "q_win_running_sum": ("events",),
     "q_win_sessionize": ("events",),
 }

@@ -601,3 +601,60 @@ def test_seasonality_windows_ride_hourly_count_table(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_count" in plan[first_window:], plan
+
+def test_argminmax_is_one_two_phase_agg(spark):
+    """q_agg_argminmax: a single two-phase hash aggregate — the struct
+    arg-picks combine map-side (partial_max/partial_min), one exchange
+    ships two structs + a count per group, and there is no join-back or
+    window (the naive argmax form re-joins rows against the extremes)."""
+    plan = _plan(spark, "q_agg_argminmax")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_max" in plan and "partial_min" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quartiles_windows_ride_count_table(spark):
+    """q_agg_quartiles: the q_agg_median_exact contract for three rank
+    picks — the heavy pass is the two-phase (flag, price) count
+    (partial_count map-side before the wide exchange) and every
+    window rides the value-cardinality-bounded count table; adding
+    quantiles must NOT add exchanges (still two: the count shuffle +
+    one flag exchange shared by all windows and the final groupBy)."""
+    import re
+
+    plan = _plan(spark, "q_agg_quartiles")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the wide exchange is keyed by (group, value) — the optimizer keeps
+    # the pre-alias column names on the exchange, unlike median_exact
+    assert re.search(
+        r"Exchange hashpartitioning\(l_returnflag#\d+, l_extendedprice#\d+",
+        plan,
+    ), plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
+
+
+def test_streaks_fold_is_one_shuffle_no_window(spark):
+    """q_win_streaks: the gaps-and-islands answer must come from ONE
+    user_id shuffle (partial_collect_set of epoch days map-side) and a
+    JVM HOF fold — never the oracle's islands form (window + second
+    anchor re-shuffle + join-back). Join-, window-, and Python-free."""
+    plan = _plan(spark, "q_win_streaks")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert "partial_collect_set" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_rate_of_change_window_rides_daily_count_table(spark):
+    """q_ts_rate_of_change: the lag window consumes the aggregated
+    (type, day) count table — partial_count below the window — after
+    one event_type exchange; two exchanges total, join-free."""
+    plan = _plan(spark, "q_ts_rate_of_change")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
