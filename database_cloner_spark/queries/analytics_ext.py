@@ -2339,3 +2339,72 @@ def q_ts_rate_of_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gap_days"
         ),
     )
+
+
+# First-order Markov transition matrix over per-user event sequences.
+# Sequence order is pinned (ts, event_id) so duplicate timestamps — the
+# adversarial fixture's favorite — order identically on both engines.
+# Probabilities are exact-integer ppm via floor division.
+_ORACLE_MARKOV = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+),
+p AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM s
+),
+c AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM p WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+            AS BIGINT) AS p_ppm
+FROM c
+"""
+
+
+@register("q_events_markov", oracle=_ORACLE_MARKOV, tier="X")
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event streams:
+    P(next event type | current type) — the sequence model a funnel
+    summarizes away, and the behavioral fingerprint that flags bot
+    traffic (near-deterministic rows) in a training-data source audit.
+    Shape: ONE user_id shuffle feeds the lag window (HIGH-cardinality
+    key — raw-row windows are fine here, per the windows-tier rule),
+    then the (from, to) pair count is an ordinary two-phase aggregate
+    whose exchange carries at most |types|² states; the row-probability
+    window rides that aggregated table. Sequence order pins ties by
+    (ts, event_id) so duplicate timestamps order identically on both
+    engines; probabilities are exact-integer ppm floor divisions —
+    nothing to round."""
+    from pyspark.sql import Window as W
+
+    s = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = s.select(
+        F.lag("event_type").over(seq).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = p.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return c.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.expr(
+            "(n * 1000000L) div sum(n) over (partition by from_type)"
+        ).cast("long").alias("p_ppm"),
+    )

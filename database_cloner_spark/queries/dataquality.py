@@ -9,8 +9,9 @@ constraint-violation audit (orphaned foreign keys, duplicate primary
 keys, domain violations — the checks that tell you a clone, or an
 ingest into the training corpus, silently corrupted something), a
 join-key skew diagnostic (the planning input for every shuffle
-strategy in this package), and a per-stream freshness monitor (the
-ingestion-lag gate).
+strategy in this package), a per-stream freshness monitor (the
+ingestion-lag gate), and a Benford first-digit audit (the
+fabricated-data detector).
 
 All are single-output-table operators whose only data-sized work is
 scan + two-phase aggregation; everything after the partial/final agg
@@ -349,4 +350,86 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(gmax_us - mx_us) div 3600000000").cast("long").alias(
             "lag_hours"
         ),
+    )
+
+
+# Benford's-law first-digit audit. The first significant digit is
+# extracted in EXACT arithmetic: price -> integer cents (round(x*100)
+# — 2-decimal money doubles land ~1e-13 from the integer, never near a
+# .5 tie) -> leading character of the INTEGER's string rendering
+# (int->string is identical across engines; double->string is not, and
+# log10-based digit extraction would hang engine-identity on libm).
+# Expected shares are floor(log10(1+1/d)*1e6) computed ONCE in Python
+# and embedded as the same literals on both sides — no runtime log.
+_BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+
+_BENFORD_CASE_SQL = "CASE digit " + " ".join(
+    f"WHEN '{d}' THEN {ppm}" for d, ppm in _BENFORD_PPM.items()
+) + " END"
+
+_ORACLE_DQ_BENFORD = f"""
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+d AS (
+  SELECT SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n
+  FROM cents GROUP BY digit
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       CAST(n * 1000000 // SUM(n) OVER () AS BIGINT) AS obs_ppm,
+       CAST({_BENFORD_CASE_SQL} AS BIGINT) AS benford_ppm,
+       CAST(n * 1000000 // SUM(n) OVER ()
+            - {_BENFORD_CASE_SQL} AS BIGINT) AS diff_ppm
+FROM d
+"""
+
+
+@register("q_dq_benford", oracle=_ORACLE_DQ_BENFORD, tier="X")
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data detector: organically-grown monetary amounts follow
+    log10(1+1/d); synthetic or tampered ones rarely do. One row per
+    leading digit with observed vs expected share (ppm) and the gap.
+    Shape: ONE two-phase count keyed by the 9-value digit (exchange
+    ships <= 9 partial states); the share window rides that aggregated
+    9-row table. Digit extraction stays in exact arithmetic — integer
+    cents via round(x*100), then the leading character of the INTEGER's
+    string form (int->string renders identically across engines, unlike
+    double->string or libm log10). Benford expectations are Python-
+    computed literals embedded in BOTH plans, so no runtime log call
+    can diverge."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+    )
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        ).alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    expected = F.coalesce(
+        *[
+            F.when(F.col("digit") == str(dd), F.lit(ppm))
+            for dd, ppm in _BENFORD_PPM.items()
+        ],
+        F.lit(None),
+    ).cast("long")
+    return d.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr(
+            "(n * 1000000L) div sum(n) over (partition by 1)"
+        ).cast("long").alias("obs_ppm"),
+        expected.alias("benford_ppm"),
+        (
+            F.expr("(n * 1000000L) div sum(n) over (partition by 1)")
+            - expected
+        ).cast("long").alias("diff_ppm"),
     )

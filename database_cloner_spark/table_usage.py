@@ -100,6 +100,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_limit_probe": ("region",),
     "q_map_config": ("nation",),
     "q_math_arith": ("lineitem",),
+    "q_events_markov": ("events",),
     "q_merge_upsert": ("orders",),
     "q_multimodal_frames": ("documents",),
     "q_multimodal_meta": ("documents",),
@@ -183,6 +184,7 @@ TABLES_BY_KEY: dict[str, tuple[str, ...]] = {
     "q_text_diversity": ("documents",),
     "q_join_asof_nearest": ("events",),
     "q_graph_triangles": ("documents",),
+    "q_dq_benford": ("orders",),
     "q_dq_constraints": ("customer", "lineitem", "orders"),
     "q_dq_freshness": ("events",),
     "q_dq_profile": ("orders",),

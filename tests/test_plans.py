@@ -658,3 +658,28 @@ def test_rate_of_change_window_rides_daily_count_table(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_count" in plan[first_window:], plan
+
+def test_markov_pair_count_is_two_phase_after_one_user_shuffle(spark):
+    """q_events_markov: one user_id exchange feeds the lag window (raw
+    rows are fine on a high-cardinality key); the (from, to) pair count
+    must partial-aggregate map-side and the probability window must
+    ride that aggregated <= |types|^2 table. Join-free; three exchanges
+    total (user_id, pair agg, from_type)."""
+    plan = _plan(spark, "q_events_markov")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 3, plan
+    assert "partial_count" in plan, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+
+
+def test_benford_digit_count_is_two_phase(spark):
+    """q_dq_benford: ONE two-phase count keyed by the 9-value digit —
+    partial_count before the digit exchange, the share window over the
+    aggregated 9-row table (low-card-guard-admissible), join-free."""
+    plan = _plan(spark, "q_dq_benford")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
