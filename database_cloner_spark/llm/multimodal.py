@@ -75,6 +75,11 @@ def fake_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload (e.g. NULL source text) degrades to a
+                    # NULL feature array — never a worker crash
+                    feats.append(None)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
                 if arr.size == 0:
                     feats.append([0.0] * FEATURE_DIM)

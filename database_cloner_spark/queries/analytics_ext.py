@@ -2408,3 +2408,216 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n * 1000000L) div sum(n) over (partition by from_type)"
         ).cast("long").alias("p_ppm"),
     )
+
+
+# Exact two-sample Kolmogorov-Smirnov per hour-of-day: D is the max
+# ECDF gap between the click and purchase value distributions. The
+# whole statistic lives in exact integer arithmetic until one rational
+# rounding: D's numerator |cum1*n2 - cum2*n1| and denominator n1*n2
+# are exact decimal products of counts, and the argmax is an exact
+# comparison (ties break to the smallest value).
+_ORACLE_KS = f"""
+WITH e AS (
+  SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod, event_type,
+         value + 0.0 AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND value IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT hod, v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM e GROUP BY hod, v
+),
+w AS (
+  SELECT hod, v,
+         SUM(c1) OVER (PARTITION BY hod ORDER BY v) AS cum1,
+         SUM(c2) OVER (PARTITION BY hod ORDER BY v) AS cum2,
+         SUM(c1) OVER (PARTITION BY hod) AS n1,
+         SUM(c2) OVER (PARTITION BY hod) AS n2
+  FROM c
+),
+d AS (
+  SELECT hod, v, n1, n2,
+         ABS(CAST(cum1 AS HUGEINT) * n2 - CAST(cum2 AS HUGEINT) * n1)
+           AS dnum
+  FROM w WHERE n1 > 0 AND n2 > 0
+),
+best AS (
+  SELECT hod, v, n1, n2, dnum,
+         row_number() OVER (PARTITION BY hod
+                            ORDER BY dnum DESC, v ASC) AS rk
+  FROM d
+)
+SELECT hod, CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       {_rr_sql("dnum", "CAST(n1 AS HUGEINT) * n2", 9, signed=False)}
+         AS d_stat,
+       v + 0.0 AS d_at_value
+FROM best WHERE rk = 1
+"""
+
+
+@register("q_stats_ks", oracle=_ORACLE_KS, tier="X")
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic per hour-of-day:
+    does the click value distribution drift from the purchase value
+    distribution, and when? (The distribution-shift alarm for a
+    training-data source; chi2 compares categories, KS compares
+    continuous shapes.) Shape: the only data-sized pass is the
+    two-phase (hod, value) conditional count — the exchange ships
+    value-cardinality-bounded triples; the ECDF windows ride that
+    aggregated count table inside 24 bounded hod partitions (the
+    median_exact-class admissible shape — never a global or raw-row
+    sort). D's numerator |cum1*n2 - cum2*n1| stays an exact decimal
+    integer, so the argmax is an exact comparison (value ties break
+    low via MAX(struct(dnum, -v))), and ONE rational rounding
+    (_rr_dec, 9 digits) produces the bit-identical double. Hours with
+    either sample empty are omitted (D is undefined), identically on
+    both engines."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.hour("ts").cast("long").alias("hod"),
+        "event_type",
+        (F.col("value") + F.lit(0.0)).alias("v"),
+    )
+    c = e.groupBy("hod", "v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c2"),
+    )
+    by_hod = W.partitionBy("hod")
+    w_cum = by_hod.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w = c.select(
+        "hod",
+        "v",
+        F.sum("c1").over(w_cum).alias("cum1"),
+        F.sum("c2").over(w_cum).alias("cum2"),
+        F.sum("c1").over(by_hod).alias("n1"),
+        F.sum("c2").over(by_hod).alias("n2"),
+    )
+    d = w.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "hod",
+        "n1",
+        "n2",
+        F.abs(
+            F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")
+        ).alias("dnum"),
+        (-F.col("v")).alias("negv"),
+    )
+    best = d.groupBy("hod").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.struct(F.col("dnum"), F.col("negv"))).alias("m"),
+    )
+    return best.select(
+        "hod",
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        _rr_dec(
+            F.col("m.dnum"), F.col("n1") * F.col("n2"), 9, signed=False
+        ).alias("d_stat"),
+        (-F.col("m.negv") + F.lit(0.0)).alias("d_at_value"),
+    )
+
+
+# Exact Gini coefficient from the (group, value) count table: for a
+# value v with count c at inclusive cumulative rank cum, its occupants
+# hold ranks (cum-c+1 .. cum), so 2*sum(i*x) over the run is
+# v*c*(2*cum - c + 1) — every term an exact integer in cents.
+# G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)), one rational rounding.
+_ORACLE_GINI = f"""
+WITH cts AS (
+  SELECT o_orderpriority AS prio,
+         CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL
+    AND o_totalprice IS NOT NULL AND o_totalprice > 0
+),
+c AS (
+  SELECT prio, cents, COUNT(*) AS cnt FROM cts GROUP BY prio, cents
+),
+w AS (
+  SELECT prio, cents, cnt,
+         SUM(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum,
+         SUM(cnt) OVER (PARTITION BY prio) AS n,
+         SUM(CAST(cents AS HUGEINT) * cnt) OVER (PARTITION BY prio) AS sx
+  FROM c
+),
+t AS (
+  SELECT prio, MAX(n) AS n, MAX(sx) AS sx,
+         SUM(CAST(cents AS HUGEINT) * cnt * (2 * cum - cnt + 1)) AS tsum
+  FROM w GROUP BY prio
+)
+SELECT prio, CAST(n AS BIGINT) AS n,
+       {_rr_sql("(tsum - (n + 1) * sx)", "CAST(n AS HUGEINT) * sx", 9, signed=False)}
+         AS gini
+FROM t
+"""
+
+
+@register("q_agg_gini", oracle=_ORACLE_GINI, tier="X")
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Gini coefficient of order totals per priority class — the
+    spend-concentration measure (0 = all orders equal, ->1 = one order
+    dominates) that tells a sampling strategy whether value-weighted
+    selection will collapse onto a few records. Shape: money enters the
+    integer domain as cents (round(x*100) — see q_dq_benford), the
+    heavy pass is the two-phase (prio, cents) count, and the rank
+    machinery rides that count table inside priority partitions: a
+    value run occupying ranks (cum-c+1..cum) contributes
+    v*c*(2*cum-c+1) to 2*sum(rank*x) as ONE exact decimal term —
+    no per-row rank explosion, value cardinality bounds everything.
+    G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) with a single
+    rational rounding; numerator is provably >= 0 (Chebyshev sum
+    inequality), so the unsigned form cannot hide a sign."""
+    from pyspark.sql import Window as W
+
+    cts = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isNotNull()
+        & F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") > 0)
+    ).select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = cts.groupBy("prio", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    by_prio = W.partitionBy("prio")
+    w_cum = by_prio.orderBy("cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w = c.select(
+        "prio",
+        F.col("cents").cast(_DEC).alias("cents_d"),
+        F.col("cnt").cast(_DEC).alias("cnt_d"),
+        F.sum("cnt").over(w_cum).cast(_DEC).alias("cum"),
+        F.sum("cnt").over(by_prio).cast(_DEC).alias("n"),
+        F.sum(F.col("cents").cast(_DEC) * F.col("cnt"))
+        .over(by_prio)
+        .alias("sx"),
+    )
+    term = F.col("cents_d") * F.col("cnt_d") * (
+        F.lit(2).cast(_DEC) * F.col("cum") - F.col("cnt_d") + F.lit(1)
+    )
+    t = w.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.sum(term).alias("tsum"),
+    )
+    num = F.col("tsum") - (F.col("n") + F.lit(1)) * F.col("sx")
+    den = F.col("n") * F.col("sx")
+    return t.select(
+        "prio",
+        F.col("n").cast("long").alias("n"),
+        _rr_dec(num, den, 9, signed=False).alias("gini"),
+    )

@@ -1017,3 +1017,41 @@ def q_text_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").isNotNull(), gini).alias("gini"),
         )
     )
+
+
+@register("q_multimodal_features", oracle=None, tier="X")
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over opaque binary payloads — the
+    decode->embed stage of a multimodal ingest, exercised end-to-end
+    through the driver: llm/multimodal.fake_features runs a
+    deterministic byte-statistics featurizer (the codec stand-in; see
+    decode_image's documented NotImplementedError) inside mapInPandas —
+    Arrow batch transfer, binary-in/array-out schema, per-batch NumPy
+    work, never a row-at-a-time UDF. The 8-dim feature array explodes
+    to one scalar row per (asset, dim) so the driver's hash sees
+    all-scalar columns. Rows-only by design: the featurizer's
+    half-even float rounding has no faithful SQL twin — its
+    determinism is pinned by tests/test_llm.py's pure-NumPy recompute
+    instead. A NULL payload (NULL source text on the nasty twin)
+    degrades to a NULL feature array inside the worker — never a
+    crash — and posexplode then drops that asset from the output. At 100 TB the only change is swapping the fake for a real
+    codec in the same mapInPandas slot (bounded memory via
+    spark.sql.execution.arrow.maxRecordsPerBatch); metadata filters
+    prune BEFORE the Python boundary (q_multimodal_meta's contract)."""
+    from database_cloner_spark.llm.multimodal import (
+        assets_from_documents,
+        fake_features,
+    )
+
+    assets = assets_from_documents(load(spark, sf_dir, "documents"))
+    feats = fake_features(assets)
+    return feats.select(
+        "asset_id",
+        "media_type",
+        F.posexplode("features").alias("feat_idx", "feat_value"),
+    ).select(
+        "asset_id",
+        "media_type",
+        F.col("feat_idx").cast("long").alias("feat_idx"),
+        "feat_value",
+    )

@@ -683,3 +683,33 @@ def test_benford_digit_count_is_two_phase(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_count" in plan[first_window:], plan
+
+def test_ks_ecdf_windows_ride_conditional_count_table(spark):
+    """q_stats_ks: the heavy pass is the two-phase (hod, value)
+    conditional count — partial_sum map-side before the wide exchange —
+    and the ECDF/total windows consume that aggregated table after one
+    hod exchange. Join-free; two exchanges."""
+    import re
+
+    plan = _plan(spark, "q_stats_ks")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(hod#\d+L?, v#\d+", plan
+    ), plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_sum" in plan[first_window:], plan
+
+
+def test_gini_rank_terms_ride_cents_count_table(spark):
+    """q_agg_gini: the rank machinery must consume the (prio, cents)
+    count table — partial_count below every window — never raw orders
+    (a per-row rank explosion). Join-free; two exchanges: the cents
+    count shuffle + one prio exchange shared by windows and final agg."""
+    plan = _plan(spark, "q_agg_gini")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
