@@ -2621,3 +2621,91 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         _rr_dec(num, den, 9, signed=False).alias("gini"),
     )
+
+
+# Peak 60-minute rolling count per event type — burst detection. The
+# rolling sum is a RANGE frame over integer epoch-minutes of the
+# aggregated per-minute count table, so sparse minutes cost nothing and
+# the frame is calendar-correct across gaps (a ROWS frame would be
+# wrong on sparse series). Everything is exact integers; the peak
+# minute reconstructs from the epoch-minute key.
+_ORACLE_TS_BURST = """
+WITH m AS (
+  SELECT event_type, date_trunc('minute', ts) AS mn, COUNT(*) AS cnt
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+  GROUP BY event_type, mn
+),
+r AS (
+  SELECT event_type, epoch_us(mn) // 60000000 AS em, cnt FROM m
+),
+w AS (
+  SELECT event_type, em,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY em
+                        RANGE BETWEEN 59 PRECEDING AND CURRENT ROW)
+           AS roll,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_minutes
+  FROM r
+),
+best AS (
+  SELECT event_type, em, roll, n_minutes,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY roll DESC, em ASC) AS rk
+  FROM w
+)
+SELECT event_type, CAST(n_minutes AS BIGINT) AS n_active_minutes,
+       CAST(roll AS BIGINT) AS peak_count,
+       strftime(make_timestamp(em * 60000000), '%Y-%m-%d %H:%M:%S')
+         AS peak_minute
+FROM best WHERE rk = 1
+"""
+
+
+@register("q_ts_burst", oracle=_ORACLE_TS_BURST, tier="X")
+def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: the peak 60-minute rolling event count per type
+    and the minute it ends — the rate-limit/abuse signal and the
+    capacity number a 100 TB ingest is provisioned against. Shape: the
+    only data-sized pass is the two-phase (type, minute) count (the
+    exchange ships calendar-bounded partials); the rolling sum is a
+    RANGE frame over integer epoch-minutes of that AGGREGATED table —
+    range frames stay calendar-correct across sparse gaps where a ROWS
+    frame silently widens, and observed-minute cardinality (not event
+    volume) bounds the window input (the low-card-guard-admissible
+    shape). Peak pick = MAX(struct(roll, -em)): exact integers, ties
+    break to the earliest minute; the minute renders from the epoch
+    key, so no timestamp rides the aggregate."""
+    from pyspark.sql import Window as W
+
+    m = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    ).groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("mn")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    r = m.select(
+        "event_type",
+        F.expr("unix_micros(mn) div 60000000").alias("em"),
+        "cnt",
+    )
+    by_type = W.partitionBy("event_type")
+    w_roll = by_type.orderBy("em").rangeBetween(-59, 0)
+    w = r.select(
+        "event_type",
+        "em",
+        F.sum("cnt").over(w_roll).alias("roll"),
+        F.count(F.lit(1)).over(by_type).alias("n_minutes"),
+    )
+    best = w.groupBy("event_type").agg(
+        F.max("n_minutes").alias("n_active_minutes"),
+        F.max(F.struct(F.col("roll"), (-F.col("em")).alias("nem"))).alias(
+            "m"
+        ),
+    )
+    return best.select(
+        "event_type",
+        F.col("n_active_minutes").cast("long"),
+        F.col("m.roll").cast("long").alias("peak_count"),
+        F.date_format(
+            F.timestamp_micros(-F.col("m.nem") * F.lit(60000000)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("peak_minute"),
+    )

@@ -713,3 +713,15 @@ def test_gini_rank_terms_ride_cents_count_table(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_count" in plan[first_window:], plan
+
+def test_burst_range_frame_rides_minute_count_table(spark):
+    """q_ts_burst: the 60-minute rolling sum must be a RANGE frame over
+    the aggregated (type, minute) count table — partial_count below the
+    window — after one event_type exchange; join-free, two exchanges."""
+    plan = _plan(spark, "q_ts_burst")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "specifiedwindowframe(RangeFrame" in plan, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
