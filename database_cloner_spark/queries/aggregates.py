@@ -640,21 +640,42 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     price cardinality, the cumulative window runs over the tiny count
     table, and the answer is a PICK of an existing double (no
     interpolation), so both engines hash-agree with zero rounding.
-    Weight = TRY_CAST(FLOOR(l_quantity) AS BIGINT) with wt > 0 — floor
-    before cast because Spark truncates and DuckDB ROUNDS double->int
-    casts (engine trap: CAST(2.7 AS BIGINT) is 2 vs 3), try_ because
-    ANSI mode hard-errors on non-finite/overflow inputs the adversarial
-    twins carry."""
+    Weight semantics: NULL on NaN/overflow, floor otherwise, wt > 0 —
+    floor before any cast because Spark truncates and DuckDB ROUNDS
+    double->int casts (engine trap: CAST(2.7 AS BIGINT) is 2 vs 3);
+    the NULL-on-overflow half is DuckDB TRY_CAST on one side and an
+    explicit NaN/2^63 guard on the other, because Spark's
+    floor(double) SATURATES to Long.MAX instead of failing (see the
+    inline comment)."""
     v = load(spark, sf_dir, "lineitem").filter(
         F.col("l_linestatus").isNotNull()
         & F.col("l_extendedprice").isNotNull()
     )
+    # Spark's floor(double) already RETURNS BIGINT via a saturating
+    # cast (floor(1e20) = floor(+Inf) = Long.MAX, floor(NaN) = 0), so a
+    # try_cast after it is a no-op — the NULL-on-overflow semantics the
+    # oracle gets from DuckDB's TRY_CAST(FLOOR(x)) (where FLOOR stays
+    # DOUBLE) must be written explicitly: NaN and values at/above 2^63
+    # become NULL BEFORE the floor. -Inf saturates negative on Spark
+    # and NULLs on DuckDB — both vanish under wt > 0, so the engines
+    # stay row-identical on every non-finite input.
+    qty = F.col("l_quantity")
+    wt = F.when(
+        ~F.isnan(qty) & (qty < F.lit(2.0**63)), F.floor(qty)
+    ).cast("long")
     w = v.select(
         F.col("l_linestatus").alias("status"),
         F.col("l_extendedprice").alias("price"),
-        F.expr("try_cast(floor(l_quantity) AS bigint)").alias("wt"),
+        wt.alias("wt"),
     ).filter(F.col("wt").isNotNull() & (F.col("wt") > 0))
-    counts = w.groupBy("status", "price").agg(F.sum("wt").alias("cw"))
+    # weight sums accumulate in decimal(38,0): DuckDB's SUM(BIGINT)
+    # silently promotes to HUGEINT, but Spark's SUM(BIGINT) stays int64
+    # and ANSI-errors the moment weights near 2^63 sum past it (the
+    # boundary fixture plants the largest sub-2^63 double) — decimal
+    # accumulation keeps both engines exact and row-identical
+    counts = w.groupBy("status", "price").agg(
+        F.sum(F.col("wt").cast("decimal(38,0)")).alias("cw")
+    )
     from pyspark.sql import Window as W
 
     by_status = W.partitionBy("status")

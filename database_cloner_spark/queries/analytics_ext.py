@@ -2542,7 +2542,8 @@ WITH cts AS (
          CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
   FROM orders
   WHERE o_orderpriority IS NOT NULL
-    AND o_totalprice IS NOT NULL AND o_totalprice > 0
+    AND o_totalprice IS NOT NULL
+    AND o_totalprice > 0 AND o_totalprice < 9.0e16
 ),
 c AS (
   SELECT prio, cents, COUNT(*) AS cnt FROM cts GROUP BY prio, cents
@@ -2562,7 +2563,7 @@ t AS (
 SELECT prio, CAST(n AS BIGINT) AS n,
        {_rr_sql("(tsum - (n + 1) * sx)", "CAST(n AS HUGEINT) * sx", 9, signed=False)}
          AS gini
-FROM t
+FROM t WHERE sx > 0
 """
 
 
@@ -2587,6 +2588,10 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").isNotNull()
         & F.col("o_totalprice").isNotNull()
         & (F.col("o_totalprice") > 0)
+        # domain bound: cents must fit int64 — past it Spark's ANSI
+        # cast and DuckDB's CAST both hard-error; the bound degrades
+        # the absurd row instead of killing the job, identically
+        & (F.col("o_totalprice") < 9.0e16)
     ).select(
         F.col("o_orderpriority").alias("prio"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
@@ -2609,11 +2614,14 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = F.col("cents_d") * F.col("cnt_d") * (
         F.lit(2).cast(_DEC) * F.col("cum") - F.col("cnt_d") + F.lit(1)
     )
+    # sx = 0 (every total in the group rounds to 0 cents — legal under
+    # the > 0 filter) makes den = 0, and _rr_dec requires den > 0: drop
+    # the degenerate group on both engines (oracle: WHERE sx > 0)
     t = w.groupBy("prio").agg(
         F.max("n").alias("n"),
         F.max("sx").alias("sx"),
         F.sum(term).alias("tsum"),
-    )
+    ).filter(F.col("sx") > 0)
     num = F.col("tsum") - (F.col("n") + F.lit(1)) * F.col("sx")
     den = F.col("n") * F.col("sx")
     return t.select(

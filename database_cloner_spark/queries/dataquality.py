@@ -373,7 +373,9 @@ _BENFORD_CASE_SQL = "CASE digit " + " ".join(
 _ORACLE_DQ_BENFORD = f"""
 WITH cents AS (
   SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
-  FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice > 0
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND o_totalprice > 0 AND o_totalprice < 9.0e16
 ),
 d AS (
   SELECT SUBSTRING(CAST(c AS VARCHAR), 1, 1) AS digit, COUNT(*) AS n
@@ -403,7 +405,12 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed literals embedded in BOTH plans, so no runtime log call
     can diverge."""
     o = load(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0)
+        F.col("o_totalprice").isNotNull()
+        & (F.col("o_totalprice") > 0)
+        # cents must fit int64: past 9e16 both engines' casts
+        # hard-error — bound the domain so one absurd row degrades
+        # instead of killing the audit (identical filter in the oracle)
+        & (F.col("o_totalprice") < 9.0e16)
     )
     d = o.select(
         F.substring(

@@ -1034,7 +1034,8 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     determinism is pinned by tests/test_llm.py's pure-NumPy recompute
     instead. A NULL payload (NULL source text on the nasty twin)
     degrades to a NULL feature array inside the worker — never a
-    crash — and posexplode then drops that asset from the output. At 100 TB the only change is swapping the fake for a real
+    crash — and posexplode then drops that asset from the output.
+    At 100 TB the only change is swapping the fake for a real
     codec in the same mapInPandas slot (bounded memory via
     spark.sql.execution.arrow.maxRecordsPerBatch); metadata filters
     prune BEFORE the Python boundary (q_multimodal_meta's contract)."""

@@ -319,3 +319,69 @@ def test_regression_parity_above_2p53(spark, tmp_path):
 
     spec = specs()["q_stats_regression"]
     compare_query(spark, "q_stats_regression", spec.builder, spec.oracle, d)
+
+
+def test_weighted_median_nonfinite_weight_boundary(spark, tmp_path):
+    """Engineered boundary for q_agg_weighted_median's weight guard:
+    Spark's floor(double) SATURATES (floor(+Inf) = floor(1e20) =
+    Long.MAX, floor(NaN) = 0) where DuckDB's TRY_CAST(FLOOR(x)) NULLs —
+    without the explicit NaN/2^63 guard the engines disagree on which
+    rows carry weight. The fixture plants +Inf, NaN, 1e20, exactly 2^63,
+    the largest double BELOW 2^63 (must stay a VALID weight on both
+    engines), and -Inf alongside normal rows; parity must hash-match."""
+    import math
+
+    below = 9223372036854774784.0  # largest double < 2^63
+    rows = [
+        # (linestatus, price, qty)
+        ("O", 10.25, 2.0),
+        ("O", 20.5, 3.0),
+        ("O", 30.75, math.inf),      # Spark floor saturates; DuckDB NULL
+        ("O", 40.0, math.nan),       # Spark floor -> 0; DuckDB NULL
+        ("O", 50.0, 1.0e20),         # overflow: NULL both, via the guard
+        ("O", 60.0, 2.0**63),        # exactly 2^63: NULL both
+        ("F", 10.0, below),          # max representable weight: KEPT both
+        ("F", 99.0, 1.0),
+        ("F", 99.0, -math.inf),      # negative: dropped by wt > 0 both
+    ]
+    li = pa.table(
+        {
+            "l_linestatus": pa.array([r[0] for r in rows], pa.string()),
+            "l_extendedprice": pa.array([r[1] for r in rows], pa.float64()),
+            "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    d = str(tmp_path / "wm_boundary")
+    os.makedirs(d)
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+    spec = specs()["q_agg_weighted_median"]
+    compare_query(spark, "q_agg_weighted_median", spec.builder, spec.oracle, d)
+
+
+def test_gini_and_benford_degenerate_orders_boundary(spark, tmp_path):
+    """Engineered boundary for the cents-domain keys: a priority group
+    whose every total rounds to 0 cents (legal under the > 0 filter)
+    makes Gini's denominator n*sx = 0 — the group must be DROPPED on
+    both engines, not raise DIVIDE_BY_ZERO; and a total past the 9e16
+    cents-overflow bound must be filtered on both engines, not hard-
+    error the ANSI cast. Benford shares the bound on the same table."""
+    rows = [
+        ("1-URGENT", 0.001),   # rounds to 0 cents
+        ("1-URGENT", 0.004),   # rounds to 0 cents -> sx = 0, group drops
+        ("2-HIGH", 123.45),
+        ("2-HIGH", 678.90),
+        ("2-HIGH", 1.0e20),    # past the cents-overflow bound: filtered
+        ("3-LOW", 42.00),
+    ]
+    orders = pa.table(
+        {
+            "o_orderpriority": pa.array([r[0] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        }
+    )
+    d = str(tmp_path / "gini_boundary")
+    os.makedirs(d)
+    pq.write_table(orders, os.path.join(d, "orders.parquet"))
+    for key in ("q_agg_gini", "q_dq_benford"):
+        spec = specs()[key]
+        compare_query(spark, key, spec.builder, spec.oracle, d)

@@ -320,6 +320,11 @@ def test_interval_overlap_key_plans_equi_join(spark):
 LOW_CARD_COLS = {
     "event_type", "lang", "priority", "o_orderpriority", "o_orderstatus",
     "l_returnflag", "l_linestatus", "r_name", "n_name", "status",
+    # r8 aliases of bounded domains (hour-of-day, returnflag, priority,
+    # event-type, leading digit): windows partitioned only by these must
+    # also ride aggregated inputs — added after a self-review found the
+    # guard silently treating them as high-cardinality keys
+    "hod", "flag", "prio", "from_type", "digit",
 }
 
 # Audited windows over low-card/global partitions whose input is bounded
@@ -725,3 +730,34 @@ def test_burst_range_frame_rides_minute_count_table(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_count" in plan[first_window:], plan
+
+def test_changepoint_cusum_rides_hourly_count_table(spark):
+    """q_ts_changepoint: the CUSUM machinery must consume the two-phase
+    (type, hour) count table — partial_count below every window — after
+    one event_type exchange; join-free, two exchanges total."""
+    plan = _plan(spark, "q_ts_changepoint")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
+
+
+def test_crosscorr_shifted_key_plans_equi_join(spark):
+    """q_ts_crosscorr: the lag pairing must be an EQUI join on the
+    computed shifted key (hash/merge join — Spark derives the hash key
+    from `us_x + lag*3600000000`; DuckDB does NOT, which is why the
+    ORACLE materializes the key in its own CTE — SCALE.md pitfall 10),
+    and the only nested-loop join is the audited 4-row lag dim. A
+    CartesianProduct or a second BNLJ is the 80 GB-spill class this
+    pins."""
+    import re
+
+    plan = _plan(spark, "q_ts_crosscorr")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[\(us_x#\d+L?"
+        r" \+ ",
+        plan,
+    ), plan
