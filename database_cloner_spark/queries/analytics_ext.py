@@ -2717,3 +2717,131 @@ def q_ts_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             "yyyy-MM-dd HH:mm:ss",
         ).alias("peak_minute"),
     )
+
+
+# Mann-Whitney rank-sum per weekday: location-shift companion of
+# q_stats_ks (KS sees shape, MWU sees median shift). Midranks for a
+# tied value run occupying positions (cumprev+1 .. cumprev+c) average
+# to cumprev + (c+1)/2, so DOUBLED rank sums stay exact integers:
+# 2*R1 = sum c1*(2*cumprev + c + 1). The common-language effect size
+# P(click > purchase) + 0.5*P(tie) = U1/(n1*n2) then needs ONE
+# rational rounding. Weekday key: Spark weekday(ts) == DuckDB
+# isodow(ts)-1 (0 = Monday) — Spark's dayofweek() and DuckDB's dow()
+# disagree on Sunday's index, so neither is used.
+_ORACLE_MANNWHITNEY = f"""
+WITH e AS (
+  SELECT CAST(isodow(ts) - 1 AS BIGINT) AS dow, event_type,
+         value + 0.0 AS v
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+    AND value IS NOT NULL AND ts IS NOT NULL
+),
+c AS (
+  SELECT dow, v,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c2
+  FROM e GROUP BY dow, v
+),
+w AS (
+  SELECT dow, v, c1, c2,
+         SUM(c1 + c2) OVER (PARTITION BY dow ORDER BY v)
+           - (c1 + c2) AS cumprev,
+         SUM(c1) OVER (PARTITION BY dow) AS n1,
+         SUM(c2) OVER (PARTITION BY dow) AS n2
+  FROM c
+),
+s AS (
+  SELECT dow, n1, n2,
+         SUM(CAST(c1 AS HUGEINT)
+             * (2 * cumprev + (c1 + c2) + 1)) AS r1x2
+  FROM w WHERE n1 > 0 AND n2 > 0
+  GROUP BY dow, n1, n2
+)
+SELECT dow, CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       {{cles}} AS cles
+FROM s
+"""
+
+
+def _mwu_oracle() -> str:
+    return _ORACLE_MANNWHITNEY.format(
+        cles=_rr_sql(
+            "(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1))",
+            "2 * CAST(n1 AS HUGEINT) * n2",
+            9,
+            signed=False,
+        )
+    )
+
+
+@register("q_stats_mannwhitney", oracle=_mwu_oracle(), tier="X")
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U per weekday as the common-language effect size
+    P(click value > purchase value) + 0.5 P(tie) — the location-shift
+    alarm beside q_stats_ks's shape alarm (a medians-apart drift that
+    KS smears, MWU pins). Shape: identical machinery to KS — the only
+    data-sized pass is the two-phase (dow, value) conditional count;
+    rank windows ride that aggregated table in 7 bounded weekday
+    partitions. Tied values fold as whole runs: doubled midrank sums
+    2*R1 = sum c1*(2*cumprev + run + 1) stay exact integers, so
+    U1/(n1*n2) is ONE rational rounding. Weekday = Spark weekday(ts)
+    == DuckDB isodow(ts)-1 (0 = Monday); Spark dayofweek() and DuckDB
+    dow() index Sunday differently and are both avoided. Weekdays
+    missing either sample are omitted identically."""
+    from pyspark.sql import Window as W
+
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    ).select(
+        F.weekday("ts").cast("long").alias("dow"),
+        "event_type",
+        (F.col("value") + F.lit(0.0)).alias("v"),
+    )
+    c = e.groupBy("dow", "v").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c2"),
+    )
+    by_dow = W.partitionBy("dow")
+    w_cum = by_dow.orderBy("v").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    run = F.col("c1") + F.col("c2")
+    w = c.select(
+        "dow",
+        "c1",
+        "c2",
+        (F.sum(run).over(w_cum) - run).alias("cumprev"),
+        F.sum("c1").over(by_dow).alias("n1"),
+        F.sum("c2").over(by_dow).alias("n2"),
+    )
+    s = (
+        w.filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .groupBy("dow", "n1", "n2")
+        .agg(
+            F.sum(
+                F.col("c1")
+                * (
+                    F.lit(2).cast(_DEC) * F.col("cumprev")
+                    + (F.col("c1") + F.col("c2"))
+                    + F.lit(1)
+                )
+            ).alias("r1x2")
+        )
+    )
+    return s.select(
+        "dow",
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        _rr_dec(
+            F.col("r1x2") - F.col("n1") * (F.col("n1") + F.lit(1)),
+            F.lit(2).cast(_DEC) * F.col("n1") * F.col("n2"),
+            9,
+            signed=False,
+        ).alias("cles"),
+    )

@@ -217,3 +217,128 @@ def q_text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         round4_ratio(F.col("n_rare"), F.col("n_tokens")).alias("rare_frac"),
         round4_ratio(F.col("__sum_cnt"), F.col("n_tokens")).alias("mean_count"),
     )
+
+
+# Total-variation distance between two ingest batches' token
+# distributions — the corpus-drift alarm that needs no logarithm:
+# TV = 0.5 * sum_t |p_t - q_t| = sum_t |c1*N2 - c2*N1| / (2*N1*N2),
+# every intermediate an exact integer (KL/JS need libm logs, whose
+# cross-engine rounding is not reproducible — the q_text_diversity
+# lesson). Batches stand in as doc_id parity (deterministic at every
+# sf and on the nasty twins; a real deployment keys on batch_id).
+_ORACLE_TV_DIVERGENCE = f"""
+WITH terms AS (
+  SELECT doc_id % 2 AS batch, UNNEST({tokens_sql('lower(text)')}) AS term
+  FROM documents WHERE doc_id IS NOT NULL
+),
+c AS (
+  SELECT term,
+         SUM(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS c2
+  FROM terms WHERE term <> '' GROUP BY term
+),
+tot AS (
+  SELECT COUNT(*) AS n_terms,
+         CAST(SUM(c1) AS HUGEINT) AS n1, CAST(SUM(c2) AS HUGEINT) AS n2
+  FROM c
+),
+d AS (
+  SELECT c.term, ABS(c.c1 * tot.n2 - c.c2 * tot.n1) AS dnum
+  FROM c CROSS JOIN tot
+),
+agg AS (
+  SELECT SUM(dnum) AS tvnum FROM d
+)
+SELECT CAST(tot.n_terms AS BIGINT) AS n_terms,
+       CAST(tot.n1 AS BIGINT) AS tokens_a,
+       CAST(tot.n2 AS BIGINT) AS tokens_b,
+       {{tv}} AS tv_distance,
+       (SELECT term FROM d ORDER BY dnum DESC, term DESC LIMIT 1)
+         AS drift_term
+FROM tot, agg
+WHERE tot.n1 > 0 AND tot.n2 > 0
+"""
+
+
+def _tv_oracle() -> str:
+    from database_cloner_spark.queries.analytics_ext import _rr_sql
+
+    return _ORACLE_TV_DIVERGENCE.format(
+        tv=_rr_sql("agg.tvnum", "2 * tot.n1 * tot.n2", 9, signed=False)
+    )
+
+
+@register("q_text_tv_divergence", oracle=_tv_oracle(), tier="X")
+def q_text_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-variation distance between the token distributions of two
+    ingest batches (doc_id parity as the batch key) — the corpus-drift
+    alarm a pre-training pipeline checks before mixing a new crawl into
+    an old one. TV is deliberately the drift metric instead of KL/JS:
+    TV = sum |c1*N2 - c2*N1| / (2*N1*N2) stays in exact integer
+    arithmetic until ONE rational rounding, while KL/JS would hang
+    bit-parity on libm logs (the q_text_diversity lesson). Shape: one
+    token explode feeds a two-phase (term, conditional-counts)
+    aggregate; the |.| terms and their sum are exact decimals in a
+    second two-phase 1-row aggregate, so the exchange after the term
+    count carries vocabulary-bounded rows and the final exchange one
+    row. The single most-drifted term rides the same aggregate as
+    MAX(struct(dnum, term)) — ties break to the LARGEST term,
+    deterministic on both engines. An empty batch yields zero rows
+    (TV undefined), identically on both sides."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    _DEC = "decimal(38,0)"
+    terms = docs.select(
+        (F.col("doc_id") % 2).alias("batch"),
+        F.explode(tokens(F.lower("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    # the term-count table feeds BOTH the totals frame and the per-term
+    # distance pass — lazily checkpoint it or AQE re-plans the whole
+    # tokenize+explode+count pipeline once per consumer (the
+    # q_graph_triangles lesson; the plan guard pins ONE explode)
+    c = terms.groupBy("term").agg(
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c1"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+        .cast(_DEC)
+        .alias("c2"),
+    ).localCheckpoint(eager=False)
+    tot = c.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+    )
+    d = c.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "n_terms",
+        "n1",
+        "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")).alias(
+            "dnum"
+        ),
+    )
+    # keyless final agg: n_terms/n1/n2 are per-row constants after the
+    # crossJoin, so MAX carries them without a grouped sort/exchange
+    agg = d.agg(
+        F.max("n_terms").alias("n_terms"),
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum("dnum").alias("tvnum"),
+        F.max(F.struct(F.col("dnum"), F.col("term"))).alias("m"),
+    )
+    from database_cloner_spark.queries.analytics_ext import _rr_dec
+
+    return agg.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.col("n1").cast("long").alias("tokens_a"),
+        F.col("n2").cast("long").alias("tokens_b"),
+        _rr_dec(
+            F.col("tvnum"),
+            F.lit(2).cast("decimal(38,0)") * F.col("n1") * F.col("n2"),
+            9,
+            signed=False,
+        ).alias("tv_distance"),
+        F.col("m.term").alias("drift_term"),
+    )

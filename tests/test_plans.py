@@ -46,6 +46,7 @@ BNLJ_ALLOWED = {
     "q_graph_triangles",         # three 1-row scalar frames (|V|, |E|, triangle count)
     "q_ts_crosscorr",            # 4-row lag dim x span-bounded hour spine
     "q_text_pmi",                # 1-row corpus token total
+    "q_text_tv_divergence",      # 1-row batch-totals frame (n_terms, N1, N2)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -761,3 +762,37 @@ def test_crosscorr_shifted_key_plans_equi_join(spark):
         r" \+ ",
         plan,
     ), plan
+
+def test_mannwhitney_rank_windows_ride_conditional_count_table(spark):
+    """q_stats_mannwhitney: the KS contract — partial_sum before the
+    wide (dow, value) exchange, rank windows over that aggregated
+    table after one dow exchange. Join-free; two exchanges."""
+    import re
+
+    plan = _plan(spark, "q_stats_mannwhitney")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(dow#\d+L?, v#\d+", plan
+    ), plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_sum" in plan[first_window:], plan
+
+
+def test_tv_divergence_single_token_pass_two_phase(spark):
+    """q_text_tv_divergence: ONE token explode feeding a two-phase term
+    count; the totals frame is the only BNLJ-free 1-row broadcast
+    (plain crossJoin of an aggregate — no window, no sort); the final
+    1-row aggregate partial-combines map-side."""
+    plan = _plan(spark, "q_text_tv_divergence")
+    assert "Window" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the tokenize+explode+count pipeline lives behind ONE lazy
+    # checkpoint consumed twice (totals frame + distance pass): both
+    # consumers must read the checkpointed RDD, and no parquet scan —
+    # i.e. no re-execution of the token pipeline — may remain visible
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert plan.count("FileScan parquet") == 0, plan
+    assert "Generate explode" not in plan, plan
