@@ -124,3 +124,44 @@ def test_adversarial_parity(spark, nasty_dir, name):
         pytest.skip(_EXEMPT[name])
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
+
+
+def test_ks_mwu_argminmax_tie_and_zero_sign_boundary(spark, tmp_path_factory):
+    """Engineered boundary for the rank-statistics keys: values SHARED
+    across the click and purchase samples (whole tied runs with both
+    c1 > 0 and c2 > 0 — the midrank fold's hard case) and a -0.0/0.0
+    collision across samples (the `v + 0.0` zero-sign normalization:
+    -0.0 == 0.0 compares equal but hashes differently when rendered).
+    KS, Mann-Whitney, and argminmax must all hash-match the oracle."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from database_cloner_spark.registry import specs
+    from tests.oracle_harness import compare_query
+
+    base = datetime(2024, 3, 4, 10, 0, 0)  # a Monday, 10:00 UTC
+    rows = [
+        # (event_id, type, value) — all same hour/weekday partition
+        (1, "click", 5.0), (2, "click", 5.0), (3, "purchase", 5.0),
+        (4, "purchase", 5.0), (5, "click", 7.5), (6, "purchase", 7.5),
+        (7, "click", -0.0), (8, "purchase", 0.0), (9, "click", 0.0),
+        (10, "purchase", 9.25), (11, "click", 9.25), (12, "purchase", 1.0),
+        # duplicate extreme value: argminmax tie must pick MIN event_id
+        (13, "click", 9.25), (14, "purchase", -3.5), (15, "click", -3.5),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("rank_boundary"))
+    pq.write_table(table, f"{d}/events.parquet")
+    for key in ("q_stats_ks", "q_stats_mannwhitney", "q_agg_argminmax"):
+        spec = specs()[key]
+        compare_query(spark, key, spec.builder, spec.oracle, d)
