@@ -2845,3 +2845,111 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             signed=False,
         ).alias("cles"),
     )
+
+
+# Spearman rank correlation of the click vs purchase hourly series:
+# Pearson on midranks. Doubled midranks stay exact integers —
+# midrank2 = 2*min_rank + tie_count - 1 (a tie run at positions
+# p..p+c-1 averages p + (c-1)/2) — so the whole statistic is exact
+# integer sufficient statistics into the shared _pearson_r rational
+# rounding. Pearson (q_stats_corr_matrix) sees linear co-movement;
+# Spearman sees any monotone relation and shrugs at outlier hours.
+_ORACLE_SPEARMAN = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND ts IS NOT NULL
+  GROUP BY hr
+),
+r AS (
+  SELECT CAST(2 * rank() OVER (ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY x) - 1 AS HUGEINT) AS rx,
+         CAST(2 * rank() OVER (ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY y) - 1 AS HUGEINT) AS ry
+  FROM h
+),
+s AS (
+  SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+         SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+  FROM r
+),
+d AS (
+  SELECT n,
+         n * sxy - sx * sy AS num,
+         n * sxx - sx * sx AS denx,
+         n * syy - sy * sy AS deny
+  FROM s
+  WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+)
+SELECT CAST(n AS BIGINT) AS n_hours,
+       (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+       * sqrt({_rr_sql("num", "denx", 8, signed=False)}
+              * {_rr_sql("num", "deny", 12, signed=False)})
+         AS spearman_rho
+FROM d
+"""
+
+
+@register("q_stats_spearman", oracle=_ORACLE_SPEARMAN, tier="X")
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of the click vs purchase hourly
+    volumes — the monotone-association companion of
+    q_stats_corr_matrix's Pearson (a few viral hours dominate a
+    Pearson; ranks shrug them off). Shape: the only data-sized pass is
+    the two-phase hourly conditional count (calendar-bounded exchange);
+    the rank windows ride that AGGREGATED hours table (global order
+    over observed hours — admissible because the input is aggregated,
+    span-bounded, and tiny at any event volume). Ties fold exactly:
+    doubled midranks 2*min_rank + ties - 1 are exact integers, so the
+    sufficient statistics are exact decimals into the shared
+    _pearson_r rational-rounding pipeline — bit-identical
+    cross-engine, no libm beyond one sqrt of identical doubles."""
+    from pyspark.sql import Window as W
+
+    h = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & F.col("ts").isNotNull()
+    ).groupBy(F.date_trunc("hour", F.col("ts")).alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("y"),
+    )
+
+    def midrank2(col: str):
+        return (
+            F.lit(2) * F.rank().over(W.orderBy(col))
+            + F.count(F.lit(1)).over(W.partitionBy(col))
+            - F.lit(1)
+        ).cast(_DEC)
+
+    r = h.select(
+        midrank2("x").alias("rx"),
+        midrank2("y").alias("ry"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    d = s.select(
+        F.col("n").cast("long").alias("n_hours"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias(
+            "denx"
+        ),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias(
+            "deny"
+        ),
+    ).filter((F.col("denx") != 0) & (F.col("deny") != 0))
+    return d.select(
+        "n_hours",
+        _pearson_r(F.col("num"), F.col("denx"), F.col("deny")).alias(
+            "spearman_rho"
+        ),
+    )

@@ -796,3 +796,16 @@ def test_tv_divergence_single_token_pass_two_phase(spark):
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert plan.count("FileScan parquet") == 0, plan
     assert "Generate explode" not in plan, plan
+
+def test_spearman_ranks_ride_hourly_count_table(spark):
+    """q_stats_spearman: the rank windows and the sufficient-statistics
+    aggregate must consume the two-phase hourly conditional count table
+    (partial_sum below every window) — ONE hash exchange (the hour
+    count); the global rank sort runs over the aggregated span-bounded
+    hours only. Join-free."""
+    plan = _plan(spark, "q_stats_spearman")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_sum" in plan[first_window:], plan
