@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from database_cloner_spark.queries.windows import SESSION_GAP_US
+
 TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
@@ -345,4 +347,117 @@ def user_ewma_stream(events: DataFrame) -> DataFrame:
         stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+SESSIONS_SCHEMA = (
+    "user_id long, session_idx long, n_events long, "
+    "duration_us long, start_us long"
+)
+_SESSIONS_STATE_SCHEMA = "idx long, last_us long, n long, mn long, mx long"
+
+
+def user_sessions_stream(events: DataFrame) -> DataFrame:
+    """Stateful sessionizer via applyInPandasWithState — the streaming
+    twin of q_win_sessionize's gap rule (> SESSION_GAP_US of silence
+    starts a new session), with keyed state = ONE open session per user
+    (5 longs; bounded by key cardinality, not stream length, and unlike
+    the built-in session_window the state never holds per-event rows).
+    Each micro-batch folds its rows in (ts, event_id) order: a gap
+    closes the open session (its FINAL row is emitted at close) and
+    opens the next; the still-open session re-emits its running row
+    every batch, so after draining, the latest emission per
+    (user, session_idx) — the one with the largest n_events — equals
+    the batch answer row for row (asserted in tests/test_streaming.py).
+    All outputs are exact integers (counts, epoch-microsecond duration
+    and start), so stream/batch equality is ==, not isclose — float
+    session totals are deliberately NOT in this contract because batch
+    partial-aggregation sums in a different association order.
+    Same in-order-arrival caveat as user_ewma_stream; epoch-us is
+    computed JVM-side before the Python boundary so pandas never
+    touches a datetime dtype (nanos-vs-micros dtype drift across Arrow
+    versions). NULL user_id/ts rows are dropped here — the batch twin
+    applies the identical filter."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", F.unix_micros("ts").alias("us"), "event_id")
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            idx, last_us, n, mn, mx = state.get
+        else:
+            idx, last_us, n, mn, mx = 0, 0, 0, 0, 0
+        frames = [pdf for pdf in pdfs]
+        rows = (
+            pd.concat(frames).sort_values(["us", "event_id"])
+            if frames
+            else pd.DataFrame({"us": [], "event_id": []})
+        )
+        out = []
+        for us in rows["us"]:
+            us = int(us)
+            if n == 0:
+                idx += 1
+                n, mn, mx = 1, us, us
+            elif us - last_us > SESSION_GAP_US:
+                out.append((key[0], idx, n, mx - mn, mn))  # closed: final
+                idx += 1
+                n, mn, mx = 1, us, us
+            else:
+                n += 1
+                mx = us
+            last_us = us
+        if n > 0:
+            out.append((key[0], idx, n, mx - mn, mn))  # open: running row
+        state.update((idx, last_us, n, mn, mx))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_idx", "n_events", "duration_us",
+                "start_us",
+            ],
+        )
+
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONS_SCHEMA,
+        stateStructType=_SESSIONS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_sessions_batch(events: DataFrame) -> DataFrame:
+    """Drained-stream twin of user_sessions_stream: q_win_sessionize's
+    lag-flag + running-sum idiom (same SESSION_GAP_US) restricted to
+    the integer outputs the stream contract covers, with the stream's
+    NULL filter applied. ONE user_id shuffle serves both windows and
+    the session aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id",
+        us.alias("us"),
+        F.sum(is_new).over(wsum).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        (F.max("us") - F.min("us")).alias("duration_us"),
+        F.min("us").alias("start_us"),
     )

