@@ -2953,3 +2953,152 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spearman_rho"
         ),
     )
+
+
+# Market-basket co-occurrence of event types within user sessions:
+# support and lift per unordered type pair. Sessions are
+# q_win_sessionize's gap rule; a session's "basket" is its distinct
+# type set (bounded by |types|, so per-session state is tiny). Lift
+# = P(ab)/(P(a)P(b)) = n_ab*N / (n_a*n_b) stays an exact integer ratio
+# into one rational rounding. The engine generates pairs JOIN-FREE with
+# a sorted-array HOF (each basket emits its own C(k,2) pairs map-side);
+# the oracle self-joins the exploded baskets — the clearest SQL spec.
+_ORACLE_COOCCURRENCE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {{gap}}
+              OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_type,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM flagged
+),
+ex AS (
+  SELECT DISTINCT user_id, session_idx, event_type AS t FROM sess
+),
+n AS (SELECT CAST(COUNT(DISTINCT (user_id, session_idx)) AS HUGEINT)
+        AS n_sessions FROM ex),
+ta AS (SELECT t, CAST(COUNT(*) AS HUGEINT) AS n_t FROM ex GROUP BY t),
+pr AS (
+  SELECT e1.t AS type_a, e2.t AS type_b, CAST(COUNT(*) AS HUGEINT) AS n_ab
+  FROM ex e1 JOIN ex e2 USING (user_id, session_idx)
+  WHERE e1.t < e2.t
+  GROUP BY e1.t, e2.t
+)
+SELECT pr.type_a, pr.type_b, CAST(pr.n_ab AS BIGINT) AS n_sessions_both,
+       CAST(pr.n_ab * 1000000 // n.n_sessions AS BIGINT) AS support_ppm,
+       {{lift}} AS lift
+FROM pr
+JOIN ta a ON a.t = pr.type_a
+JOIN ta b ON b.t = pr.type_b
+CROSS JOIN n
+"""
+
+
+def _cooccurrence_oracle() -> str:
+    from database_cloner_spark.queries.windows import SESSION_GAP_US
+
+    return _ORACLE_COOCCURRENCE.format(
+        gap=SESSION_GAP_US,
+        lift=_rr_sql(
+            "(pr.n_ab * n.n_sessions)", "(a.n_t * b.n_t)", 6, signed=False
+        ),
+    )
+
+
+@register("q_events_cooccurrence", oracle=_cooccurrence_oracle(), tier="X")
+def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level co-occurrence (market-basket) of event types:
+    which behaviors happen TOGETHER in one sitting, measured as support
+    (share of sessions containing both, ppm) and lift
+    (P(ab)/(P(a)P(b))) — the association signal behind "users who do X
+    in a session also do Y". Shape: sessionization is ONE user_id
+    shuffle (q_win_sessionize's windows); each session reduces to its
+    DISTINCT type set (state bounded by |types|, never events); pair
+    generation is JOIN-FREE — a sorted-set HOF emits each basket's
+    C(k,2) pairs map-side (k <= |types|, so fan-out is bounded by the
+    domain, not the data; the oracle self-joins exploded baskets as the
+    readable spec); pair counts two-phase into a <= |types|^2 exchange.
+    Type totals and the session count broadcast back (audited BNLJ for
+    the 1-row N). Lift = n_ab*N/(n_a*n_b) is exact integers into
+    _rr_dec; support is exact floor-ppm."""
+    from pyspark.sql import Window as W
+
+    from database_cloner_spark.queries.windows import SESSION_GAP_US
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(is_new).over(wsum).alias("session_idx"),
+    )
+    baskets = sess.groupBy("user_id", "session_idx").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    ).localCheckpoint(eager=False)
+    n = baskets.agg(F.count(F.lit(1)).cast(_DEC).alias("n_sessions"))
+    # checkpointed: ta joins BOTH pair sides — without it each side
+    # re-runs the explode+agg over the basket table
+    ta = baskets.select(F.explode("types").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_t")
+    ).localCheckpoint(eager=False)
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) -> "
+                "transform(slice(types, i + 2, size(types) - i - 1), "
+                "y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("p")
+    ).select("p.type_a", "p.type_b")
+    pr = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast(_DEC).alias("n_ab")
+    )
+    joined = (
+        pr.join(
+            F.broadcast(ta.select(F.col("t").alias("type_a"),
+                                  F.col("n_t").alias("n_a"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(ta.select(F.col("t").alias("type_b"),
+                                  F.col("n_t").alias("n_b"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n))
+    )
+    return joined.select(
+        "type_a",
+        "type_b",
+        F.col("n_ab").cast("long").alias("n_sessions_both"),
+        F.expr(
+            "cast((cast(n_ab AS decimal(38,0)) * 1000000) div n_sessions"
+            " AS long)"
+        ).alias("support_ppm"),
+        _rr_dec(
+            F.col("n_ab") * F.col("n_sessions"),
+            F.col("n_a") * F.col("n_b"),
+            6,
+            signed=False,
+        ).alias("lift"),
+    )

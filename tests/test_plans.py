@@ -47,6 +47,7 @@ BNLJ_ALLOWED = {
     "q_ts_crosscorr",            # 4-row lag dim x span-bounded hour spine
     "q_text_pmi",                # 1-row corpus token total
     "q_text_tv_divergence",      # 1-row batch-totals frame (n_terms, N1, N2)
+    "q_events_cooccurrence",     # 1-row session-count frame (N)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -809,3 +810,21 @@ def test_spearman_ranks_ride_hourly_count_table(spark):
     first_window = plan.find("Window")
     assert first_window > 0, plan
     assert "partial_sum" in plan[first_window:], plan
+
+def test_cooccurrence_pair_generation_is_join_free_pre_count(spark):
+    """q_events_cooccurrence: the data-sized half (sessionize -> basket
+    -> HOF pair explode -> pair count) must be join-free — joins appear
+    only AFTER the counts, against the broadcast |types|-row totals and
+    the audited 1-row session count. The basket table is checkpointed
+    and shared by all three consumers (pairs, type totals, N): no
+    parquet scan may remain visible, and nothing may plan a cartesian."""
+    plan = _plan(spark, "q_events_cooccurrence")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # 1-row N
+    assert plan.count("FileScan parquet") == 0, plan
+    # four cheap checkpointed-RDD scans: baskets x2 (pair gen + session
+    # count) and the tiny type-totals table x2 (one per pair side) —
+    # re-scanning a materialized RDD, never re-running sessionization
+    assert plan.count("Scan ExistingRDD") == 4, plan
+    # pair counting itself is two-phase
+    assert "partial_count" in plan, plan
