@@ -342,3 +342,91 @@ def q_text_tv_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tv_distance"),
         F.col("m.term").alias("drift_term"),
     )
+
+
+# Novel-bigram rate of an ingest batch: what fraction of batch B's
+# bigram TYPES were never seen in batch A? The freshness metric next to
+# q_text_tv_divergence's drift metric — drift says the mix changed,
+# novelty says how much genuinely new phrase material arrived. Pure
+# set arithmetic on exact integer counts; ppm by floor division.
+_ORACLE_TEXT_NOVELTY = f"""
+WITH toks AS (
+  SELECT doc_id % 2 AS batch, {tokens_sql('lower(text)')} AS ts
+  FROM documents WHERE doc_id IS NOT NULL
+),
+bg AS (
+  SELECT batch,
+         UNNEST([ts[i] || ' ' || ts[i + 1]
+                 for i in range(1, len(ts))]) AS b
+  FROM toks WHERE len(ts) >= 2
+),
+c AS (
+  SELECT b,
+         MAX(CASE WHEN batch = 0 THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN batch = 1 THEN 1 ELSE 0 END) AS in_b
+  FROM bg GROUP BY b
+),
+s AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+         CAST(SUM(in_b) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN in_b = 1 AND in_a = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM c
+)
+SELECT n_a AS n_bigrams_a, n_b AS n_bigrams_b, n_novel,
+       CAST(n_novel * 1000000 // n_b AS BIGINT) AS novelty_ppm
+FROM s WHERE n_b > 0
+"""
+
+
+@register("q_text_novelty", oracle=_ORACLE_TEXT_NOVELTY, tier="X")
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novel-bigram rate of an ingest batch (doc_id parity as the batch
+    key, matching q_text_tv_divergence): the share of batch B's
+    distinct bigrams never seen in batch A — TV drift says the MIX
+    changed; novelty says how much genuinely NEW phrase material
+    arrived (a recrawl of known pages scores near zero, a new domain
+    scores high — the dedup-adjacent freshness gate). Shape: one
+    bigram explode (adjacent-token zip_with, map-side, never leaving
+    the doc) into a two-phase per-bigram presence aggregate — the
+    exchange carries bigram-type-cardinality rows of two booleans —
+    then a 1-row two-phase count. Set counts are exact integers; the
+    rate is exact floor-ppm. An empty batch B yields zero rows on both
+    engines (rate undefined)."""
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull()
+    )
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("batch"),
+        tokens(F.lower("text")).alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    bg = toks.select(
+        "batch",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ts, 1, size(ts) - 1), "
+                "slice(ts, 2, size(ts) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("b"),
+    )
+    c = bg.groupBy("b").agg(
+        F.max(F.when(F.col("batch") == 0, 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("batch") == 1, 1).otherwise(0)).alias("in_b"),
+    )
+    s = c.agg(
+        F.sum("in_a").cast("long").alias("n_bigrams_a"),
+        F.sum("in_b").cast("long").alias("n_bigrams_b"),
+        F.sum(
+            F.when((F.col("in_b") == 1) & (F.col("in_a") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_novel"),
+    )
+    return s.filter(F.col("n_bigrams_b") > 0).select(
+        "n_bigrams_a",
+        "n_bigrams_b",
+        "n_novel",
+        F.expr("(n_novel * 1000000L) div n_bigrams_b").cast("long").alias(
+            "novelty_ppm"
+        ),
+    )

@@ -10,8 +10,9 @@ keys, domain violations — the checks that tell you a clone, or an
 ingest into the training corpus, silently corrupted something), a
 join-key skew diagnostic (the planning input for every shuffle
 strategy in this package), a per-stream freshness monitor (the
-ingestion-lag gate), and a Benford first-digit audit (the
-fabricated-data detector).
+ingestion-lag gate), a Benford first-digit audit (the fabricated-data
+detector), and a Tukey IQR fence audit (the outlier census behind
+winsorize clamps).
 
 All are single-output-table operators whose only data-sized work is
 scan + two-phase aggregation; everything after the partial/final agg
@@ -439,4 +440,116 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n * 1000000L) div sum(n) over (partition by 1)")
             - expected
         ).cast("long").alias("diff_ppm"),
+    )
+
+
+# IQR fence audit: Tukey outlier counts per group, entirely on the
+# (group, value) count table — the quartile picks, the fences, and the
+# outlier counts all ride the same cumulative pass, so the raw table is
+# scanned ONCE and nothing data-sized happens after the count shuffle.
+# Fences are two IEEE ops (1.5*IQR, then +/-) on exactly-picked doubles
+# — identical operands, identical results, both engines.
+_ORACLE_DQ_OUTLIERS = """
+WITH v AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS price
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+),
+r AS (
+  SELECT flag, price,
+         row_number() OVER (PARTITION BY flag ORDER BY price) AS rn,
+         COUNT(*) OVER (PARTITION BY flag) AS n
+  FROM v
+),
+q AS (
+  SELECT flag, CAST(n AS BIGINT) AS n,
+         MAX(CASE WHEN rn = (n + 3) // 4 THEN price END) AS p25,
+         MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN price END) AS p75
+  FROM r GROUP BY flag, n
+),
+f AS (
+  SELECT flag, n, p25, p75,
+         p25 - 1.5 * (p75 - p25) AS fence_lo,
+         p75 + 1.5 * (p75 - p25) AS fence_hi
+  FROM q
+)
+SELECT f.flag, f.n, f.p25, f.p75, f.fence_lo, f.fence_hi,
+       CAST(SUM(CASE WHEN v.price < f.fence_lo THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN v.price > f.fence_hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above
+FROM v JOIN f USING (flag)
+GROUP BY f.flag, f.n, f.p25, f.p75, f.fence_lo, f.fence_hi
+"""
+
+
+@register("q_dq_outlier_fences", oracle=_ORACLE_DQ_OUTLIERS, tier="X")
+def q_dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR fence audit per group: exact quartiles, the 1.5*IQR
+    fences, and how many rows sit outside them — the outlier census a
+    pipeline reads before choosing a winsorize clamp (q_agg_winsorize
+    applies one; this reports what it would touch). Shape: ONE raw
+    scan into the two-phase (flag, price) count; quartile picks,
+    fences, AND outlier tallies all ride the same cumulative pass over
+    the value-cardinality-bounded count table — the oracle re-joins
+    the raw rows against the fences as the readable spec, the engine
+    never does (conditional sums of cnt over the count table ARE the
+    row tallies). Fences are two IEEE ops on exactly-picked doubles:
+    identical operands, identical doubles, both engines; rows EQUAL to
+    a fence are inliers on both sides (strict < / >)."""
+    from pyspark.sql import Window as W
+
+    v = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    counts = v.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    by_flag = W.partitionBy("flag")
+    w_cum = by_flag.orderBy("price").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = counts.select(
+        "flag",
+        "price",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(by_flag).alias("n"),
+    )
+    p25 = F.min(
+        F.when(F.col("cum") >= F.expr("(n + 3) div 4"), F.col("price"))
+    ).over(by_flag)
+    p75 = F.min(
+        F.when(F.col("cum") >= F.expr("(3 * n + 3) div 4"), F.col("price"))
+    ).over(by_flag)
+    with_q = c.select(
+        "flag", "price", "cnt", "n", p25.alias("p25"), p75.alias("p75")
+    )
+    iqr = F.col("p75") - F.col("p25")
+    fence_lo = F.col("p25") - F.lit(1.5) * iqr
+    fence_hi = F.col("p75") + F.lit(1.5) * iqr
+    flagged = with_q.select(
+        "flag",
+        "n",
+        "p25",
+        "p75",
+        fence_lo.alias("fence_lo"),
+        fence_hi.alias("fence_hi"),
+        F.when(F.col("price") < fence_lo, F.col("cnt")).otherwise(
+            F.lit(0)
+        ).alias("below_cnt"),
+        F.when(F.col("price") > fence_hi, F.col("cnt")).otherwise(
+            F.lit(0)
+        ).alias("above_cnt"),
+    )
+    return flagged.groupBy(
+        "flag", "n", "p25", "p75", "fence_lo", "fence_hi"
+    ).agg(
+        F.sum("below_cnt").cast("long").alias("n_below"),
+        F.sum("above_cnt").cast("long").alias("n_above"),
+    ).select(
+        "flag", F.col("n").cast("long").alias("n"), "p25", "p75",
+        "fence_lo", "fence_hi", "n_below", "n_above",
     )

@@ -828,3 +828,33 @@ def test_cooccurrence_pair_generation_is_join_free_pre_count(spark):
     assert plan.count("Scan ExistingRDD") == 4, plan
     # pair counting itself is two-phase
     assert "partial_count" in plan, plan
+
+def test_outlier_fences_everything_rides_count_table(spark):
+    """q_dq_outlier_fences: quartile picks, fences, AND the outlier
+    tallies must all consume the two-phase (flag, price) count table —
+    partial_count below every window, conditional cnt-sums instead of
+    the oracle's raw-row re-join. Join-free; two exchanges (the wide
+    count shuffle + one flag exchange)."""
+    import re
+
+    plan = _plan(spark, "q_dq_outlier_fences")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert re.search(
+        r"Exchange hashpartitioning\(l_returnflag#\d+, l_extendedprice#\d+",
+        plan,
+    ), plan
+    first_window = plan.find("Window")
+    assert first_window > 0, plan
+    assert "partial_count" in plan[first_window:], plan
+
+
+def test_novelty_single_bigram_pass(spark):
+    """q_text_novelty: ONE bigram explode (adjacent-token zip_with,
+    in-doc) into a two-phase presence aggregate keyed by bigram, then a
+    1-row two-phase count — join- and window-free, one hash exchange."""
+    plan = _plan(spark, "q_text_novelty")
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert plan.count("Generate explode") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "partial_max" in plan, plan
