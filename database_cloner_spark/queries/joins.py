@@ -680,38 +680,55 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_vertices"))
 
 
+# PageRank fixed-point scale: 1 rank unit = 10^12 (12 exact decimal
+# digits). Scaled-INTEGER arithmetic, not decimal(38,18): Spark's
+# allowPrecisionLoss adjustment silently re-scales decimal(38,18)
+# multiplication to scale SIX (p1+p2+1 = 77 > 38 forces adjustedScale =
+# max(38-41, 6)), so the r8 decimal formulation was NOT computing at 18
+# digits and its rounding points were engine-private. Bigint floor
+# division (`div` / DuckDB `//`) is bit-identical across engines with no
+# precision-adjustment rules in play — the same convention as the repo's
+# ppm keys (SCALE.md pitfall 11).
+_PR_SCALE = 10**12
+_PR_TELEPORT = 15 * _PR_SCALE // 100  # 0.15 in rank units
+
+
 def _pagerank_ranks(edges: DataFrame, iters: int = 5) -> DataFrame:
     """Iterate r <- 0.15 + 0.85 * sum_in(r/deg) over an already-
     SYMMETRIZED directed edge list (src, dst), returning (src, deg,
-    rank). Ranks are FIXED-POINT decimal(38,18), not doubles — decimal
-    addition is exact and associative, so the groupBy-sum of neighbor
-    contributions is bit-identical regardless of partial-aggregation
-    order (a double formulation drifts in the last ulp run-to-run,
-    which would flip top-k tie-breaks). Every vertex of a symmetrized
-    edge list has deg >= 1: no dangling-mass correction needed. Shape
-    per iteration: ONE shuffle (groupBy(dst) of contributions) against
-    the static degree-carrying edge list; edge list and each rank
-    table are lazily localCheckpointed — edges feed all iterations,
-    and AQE re-planning would otherwise re-run the upstream edge build
-    per iteration (the q_graph_triangles lesson). Fixed iteration
-    count = a static DAG of `iters` bounded stages on a 1000-executor
-    cluster; convergence stopping would need a driver-side delta
-    check between stages, deliberately avoided."""
-    _D = "decimal(38,18)"
+    rank). Ranks are FIXED-POINT bigints scaled by 10^12: every step is
+    exact integer arithmetic — contribution = rank div deg (floor),
+    sum of bigints, then 0.15 + 0.85*s as (85*s) div 100 — so the
+    groupBy-sum of neighbor contributions is bit-identical regardless
+    of partial-aggregation order AND reproducible verbatim in DuckDB
+    (// on bigints), giving the key a full hash oracle. Overflow is
+    LOUD, not silent: under ANSI, bigint SUM and 85*s error past int64
+    rather than wrap (and the oracle's per-iteration CAST(.. AS BIGINT)
+    errs at the same points on the DuckDB side). Headroom: rank mass is
+    conserved at |V| * 10^12 scaled units and 85*s needs s < 1.08e17,
+    so only a graph funneling >= 10^5 vertices' ENTIRE mass into one
+    vertex (a >=100k-leaf pure star) can trip it — if one ever does,
+    drop _PR_SCALE (10^9 buys 1000x headroom at 9 exact digits). Every
+    vertex of a symmetrized edge list has deg >= 1: no dangling-mass
+    correction needed. Shape per iteration: ONE shuffle (groupBy(dst) of
+    contributions) against the static degree-carrying edge list; edge
+    list and each rank table are lazily localCheckpointed — edges feed
+    all iterations, and AQE re-planning would otherwise re-run the
+    upstream edge build per iteration (the q_graph_triangles lesson).
+    Fixed iteration count = a static DAG of `iters` bounded stages on
+    a 1000-executor cluster; convergence stopping would need a
+    driver-side delta check between stages, deliberately avoided."""
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # carry deg on the edge so iterations never re-join the degree table
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
     ranks = deg.select(
-        "src", "deg", F.lit(1).cast(_D).alias("rank")
+        "src", "deg", F.lit(_PR_SCALE).alias("rank")
     ).localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = (
             ed.join(ranks.select("src", "rank"), "src")
-            .select(
-                F.col("dst").alias("src"),
-                (F.col("rank") / F.col("deg")).cast(_D).alias("c"),
-            )
+            .select(F.col("dst").alias("src"), F.expr("rank div deg").alias("c"))
             .groupBy("src")
             .agg(F.sum("c").alias("s"))
         )
@@ -722,17 +739,54 @@ def _pagerank_ranks(edges: DataFrame, iters: int = 5) -> DataFrame:
                 "src",
                 "deg",
                 (
-                    F.lit("0.15").cast(_D)
-                    + F.lit("0.85").cast(_D)
-                    * F.coalesce(F.col("s"), F.lit(0).cast(_D))
-                ).cast(_D).alias("rank"),
+                    F.lit(_PR_TELEPORT) + F.expr("(85 * coalesce(s, 0L)) div 100")
+                ).alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
     return ranks
 
 
-@register("q_graph_pagerank", oracle=None, tier="X")
+def _oracle_pagerank(iters: int = 5) -> str:
+    """Unroll the `iters` fixed-point iterations as DuckDB CTEs. Exact
+    twin of _pagerank_ranks: same edge build, same scaled-bigint floor
+    arithmetic (`//` == Spark `div` on non-negative bigints), each
+    iteration's rank cast back to BIGINT so a DuckDB HUGEINT overflow
+    would error loudly exactly where Spark's ANSI bigint ops would."""
+    it = """
+c{i} AS (
+  SELECT ed.dst AS src, CAST(SUM(r.rank // ed.deg) AS BIGINT) AS s
+  FROM ed JOIN r{p} r USING (src) GROUP BY ed.dst
+),
+r{i} AS (
+  SELECT d.src, d.deg,
+         CAST({tele} + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS rank
+  FROM deg d LEFT JOIN c{i} c USING (src)
+)"""
+    iter_ctes = ",".join(
+        it.format(i=i, p=i - 1, tele=_PR_TELEPORT) for i in range(1, iters + 1)
+    )
+    return f"""
+WITH cs AS (
+  SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IS NOT NULL AND o.o_custkey IS NOT NULL
+    AND l.l_orderkey IS NOT NULL AND l.l_suppkey IS NOT NULL
+),
+e AS (SELECT c AS src, s AS dst FROM cs UNION ALL SELECT s AS src, c AS dst FROM cs),
+deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+r0 AS (SELECT src, deg, CAST({_PR_SCALE} AS BIGINT) AS rank FROM deg),
+{iter_ctes}
+SELECT src AS vertex, rank AS pagerank_fp, deg AS degree
+FROM r{iters} ORDER BY rank DESC, src ASC LIMIT 20
+"""
+
+
+_ORACLE_PAGERANK = _oracle_pagerank()
+
+
+@register("q_graph_pagerank", oracle=_ORACLE_PAGERANK, tier="X")
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 fixed iterations, d = 0.85) over the undirected
     customer-supplier bipartite graph (edge = at least one lineitem of
@@ -749,12 +803,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a scale trap. Edge build: orders JOIN lineitem on the order
     key (one fact-fact shuffle), distinct (custkey, suppkey) pairs,
     ids disambiguated by 'c:'/'s:' prefixes, symmetrized. Iteration
-    mechanics and determinism: _pagerank_ranks (exact decimal fixed-
-    point; correctness pinned by tests/test_graph_pagerank.py —
+    mechanics and determinism: _pagerank_ranks (exact scaled-bigint
+    fixed point; correctness pinned by tests/test_graph_pagerank.py —
     2-regular-cycle exact fixed point, star monotonicity, rank-mass
-    conservation, bit-identical reruns). No SQL oracle (iterative
-    algorithm; rows-only driver check). Returns the top 20 by
-    (rank DESC, vertex ASC) via TakeOrderedAndProject."""
+    conservation, bit-identical reruns). Full hash oracle: the 5
+    iterations unroll as DuckDB CTEs (_oracle_pagerank) in the same
+    exact integer arithmetic, bit-identical by construction. Returns
+    the top 20 by (pagerank_fp DESC, vertex ASC) via
+    TakeOrderedAndProject; pagerank_fp is the rank in 1e-12 units
+    (divide by _PR_SCALE to read it as the conventional float)."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderkey").isNotNull() & F.col("o_custkey").isNotNull()
     )
@@ -779,7 +836,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = _pagerank_ranks(edges, iters=5)
     out = ranks.select(
         F.col("src").alias("vertex"),
-        F.col("rank").cast("double").alias("pagerank"),
+        F.col("rank").alias("pagerank_fp"),
         F.col("deg").cast("long").alias("degree"),
     )
-    return out.orderBy(F.desc("pagerank"), F.asc("vertex")).limit(20)
+    return out.orderBy(F.desc("pagerank_fp"), F.asc("vertex")).limit(20)

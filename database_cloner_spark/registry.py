@@ -105,22 +105,42 @@ _ROTATION_PRIORITY = [
 ]
 
 
-def _driver_green() -> set[str]:
+def _driver_green() -> dict[str, dict]:
+    """Ledger entries: key -> {"round": last-verified round, "mode":
+    "hash" | "rows"}. A legacy flat-list ledger loads as round-0 hash
+    entries (maximally stale)."""
     try:
         with open(_LEDGER_PATH) as f:
-            return set(json.load(f))
+            raw = json.load(f)
     except (OSError, json.JSONDecodeError):
-        return set()
+        return {}
+    if isinstance(raw, list):
+        return {k: {"round": 0, "mode": "hash"} for k in raw}
+    return raw
 
 
 def _rotation_order(keys: list[str]) -> list[str]:
-    """Never-driver-green keys first (priority list, then registration
-    order), already-green keys last (registration order)."""
+    """Pending keys first, then green keys least-recently-verified first.
+
+    Pending = never driver-green, OR ledgered rows-only but now carrying
+    a DuckDB oracle (an upgraded key must earn a fresh HASH row — the
+    rows-only pass no longer certifies it; VERDICT r8 items 1/3). Within
+    pending: hand-priority list, then registration order. Within green:
+    ascending last-verified round, registration order breaking ties, so
+    the driver's ~50-key sample rotates true full coverage over rounds."""
     green = _driver_green()
     rank = {k: i for i, k in enumerate(_ROTATION_PRIORITY)}
-    pending = [k for k in keys if k not in green]
+
+    def _pending(k: str) -> bool:
+        entry = green.get(k)
+        if entry is None:
+            return True
+        return entry["mode"] == "rows" and _REGISTRY[k].oracle is not None
+
+    pending = [k for k in keys if _pending(k)]
     pending.sort(key=lambda k: rank.get(k, len(rank)))  # stable: reg order ties
-    done = [k for k in keys if k in green]
+    done = [k for k in keys if not _pending(k)]
+    done.sort(key=lambda k: green[k]["round"])  # stable: reg order ties
     return pending + done
 
 

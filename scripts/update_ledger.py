@@ -1,10 +1,25 @@
 """Merge driver CORRECTNESS_r*.json results into the driver-green ledger.
 
 The correctness driver verifies only the first N (observed: 50) keys of
-``__spark_entry__.queries()`` per round. The ledger records every key that
-has EVER received a green driver row, so the registry can order
-never-verified keys first and rotate full coverage across rounds
-(VERDICT.md round 1, "Next round" item 2).
+``__spark_entry__.queries()`` per round. The ledger records, for every
+key that has EVER received a green driver row, the LAST round it was
+verified in and HOW it was verified:
+
+    {"q_scan_full": {"round": 8, "mode": "hash"},
+     "q_dedup_minhash": {"round": 7, "mode": "rows"}, ...}
+
+- ``mode: "hash"`` — rows + schema + value-hash matched the DuckDB oracle.
+- ``mode: "rows"``  — no oracle that round; the driver recorded a
+  rows-only pass (SURVEY.md marks these keys ✗-oracle by design).
+
+The registry orders (a) never-verified keys and (b) keys whose ledger
+entry is rows-only but that NOW carry an oracle (an upgrade that must
+earn a fresh hash row) FIRST, then all green keys oldest-round-first, so
+successive driver rounds rotate true least-recently-verified coverage
+(VERDICT.md round 1 item 2; round 8 "Next round" item 2).
+
+An earlier plain-list ledger format (key names only) also loads: each
+listed key is treated as hash-verified in round 0, i.e. maximally stale.
 
 Usage: python scripts/update_ledger.py CORRECTNESS_r01.json [more...]
 """
@@ -13,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 
 LEDGER = os.path.join(
@@ -22,28 +38,49 @@ LEDGER = os.path.join(
 )
 
 
+def load_ledger(path: str = LEDGER) -> dict[str, dict]:
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        raw = json.load(f)
+    if isinstance(raw, list):  # legacy: flat list of green key names
+        return {k: {"round": 0, "mode": "hash"} for k in raw}
+    return raw
+
+
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
 def main(paths: list[str]) -> None:
-    # The ledger on disk is a plain sorted LIST of green key names —
-    # registry._driver_green() does set(json.load(f)). (An earlier dict
-    # format also round-trips: set(dict) is its keys.)
-    ledger: set[str] = set()
-    if os.path.exists(LEDGER):
-        with open(LEDGER) as f:
-            ledger = set(json.load(f))
+    ledger = load_ledger()
     for path in paths:
+        rnd = _round_of(path)
         with open(path) as f:
             rows = json.load(f)
         for key, row in rows.items():
             if row.get("hash_match") is True:
-                ledger.add(key)
+                mode = "hash"
             elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
                 # Rows-only by design (SURVEY.md marks these ✗-oracle).
-                ledger.add(key)
-            # FAIL rows and missing keys stay out: they must be re-checked.
+                mode = "rows"
+            else:
+                # FAIL rows and missing keys: drop any stale entry so the
+                # key re-enters the never-verified front of the rotation.
+                ledger.pop(key, None)
+                continue
+            prev = ledger.get(key)
+            if prev is None or rnd >= prev["round"]:
+                ledger[key] = {"round": rnd, "mode": mode}
     with open(LEDGER, "w") as f:
-        json.dump(sorted(ledger), f, indent=0)
+        json.dump(dict(sorted(ledger.items())), f, indent=0)
         f.write("\n")
-    print(f"ledger: {len(ledger)} driver-green keys -> {LEDGER}")
+    n_hash = sum(1 for v in ledger.values() if v["mode"] == "hash")
+    print(
+        f"ledger: {len(ledger)} driver-green keys "
+        f"({n_hash} hash, {len(ledger) - n_hash} rows-only) -> {LEDGER}"
+    )
 
 
 if __name__ == "__main__":
