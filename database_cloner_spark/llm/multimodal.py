@@ -66,8 +66,18 @@ def decode_image(payload: bytes) -> "object":
 
 def fake_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame:
     """Deterministic fake feature extractor over binary payloads via
-    mapInPandas: 8 floats derived from byte statistics. Stands in for
-    decode->resize->embed; identical batch shape and schema contract."""
+    mapInPandas: 8 INTEGER fixed-point byte statistics (mean byte value
+    per np.array_split chunk, in 1e-4 units, floored). Stands in for
+    decode->resize->embed; identical batch shape and schema contract.
+
+    Integer-exact by design (r8 VERDICT item 3): the r8 float form
+    (round(mean, 4), half-even) had no faithful SQL twin, so the key
+    could only be rows-only checked. `(sum * 10000) // len` is exact
+    associative integer math — a DuckDB oracle recomputes it
+    bit-for-bit from the hex-encoded payload, upgrading
+    q_multimodal_features to a full hash row. Overflow headroom:
+    payloads up to ~10^14 bytes fit int64 after the *10000 scaling
+    (sum <= 255 * n_bytes); real assets are megabytes."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -80,12 +90,14 @@ def fake_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
                     # NULL feature array — never a worker crash
                     feats.append(None)
                     continue
-                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 if arr.size == 0:
-                    feats.append([0.0] * FEATURE_DIM)
+                    feats.append([0] * FEATURE_DIM)
                     continue
                 chunks = np.array_split(arr, FEATURE_DIM)
-                feats.append([round(float(c.mean()), 4) if c.size else 0.0 for c in chunks])
+                feats.append(
+                    [int(c.sum()) * 10000 // c.size if c.size else 0 for c in chunks]
+                )
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
@@ -95,7 +107,7 @@ def fake_features(assets: DataFrame, batch_hint: int | None = None) -> DataFrame
             )
 
     return assets.mapInPandas(
-        extract, schema="asset_id long, media_type string, features array<double>"
+        extract, schema="asset_id long, media_type string, features array<long>"
     )
 
 
