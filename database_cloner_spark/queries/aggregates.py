@@ -744,7 +744,10 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-breaks are engine-defined, the struct's lexicographic order
     pins duplicates to the smallest event_id on both engines (the
     oracle expresses the same pick as MIN(id) over rows equal to the
-    extreme). `value + 0.0` maps -0.0 to +0.0 on both engines before
+    extreme). The id is widened to decimal(38,0) BEFORE negation:
+    under ANSI, -bigint raises on Long.MIN_VALUE, and the oracle's
+    MIN-over-extremes form has no such edge — the decimal negate keeps
+    the engine side total on the full int64 domain (r8 ADVICE). `value + 0.0` maps -0.0 to +0.0 on both engines before
     comparison so the rendered hash can't split on zero sign."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull()
@@ -759,7 +762,10 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.max(
-            F.struct(F.col("v"), (-F.col("event_id")).alias("nid"))
+            F.struct(
+                F.col("v"),
+                (-F.col("event_id").cast("decimal(38,0)")).alias("nid"),
+            )
         ).alias("mx"),
         F.min(F.struct(F.col("v"), F.col("event_id"))).alias("mn"),
     ).select(

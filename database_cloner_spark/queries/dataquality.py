@@ -252,7 +252,9 @@ def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     global agg where MAX(struct(cnt, -key)) picks the hot key without a
     second pass or a join — the struct max is a single partial-aggregable
     expression, and -key breaks count ties toward the SMALLEST key on
-    both engines (the oracle's MIN(k) WHERE c = max form). The share is
+    both engines (the oracle's MIN(k) WHERE c = max form; the key is
+    widened to decimal(38,0) before negation — ANSI -bigint raises on
+    Long.MIN_VALUE, which the oracle form never hits — r8 ADVICE). The share is
     integer-exact floor(ppm) — `div` and `//` agree bit-for-bit, no
     doubles anywhere. Three column passes scan column-pruned parquet;
     the 3-row union is driver-sized."""
@@ -267,9 +269,12 @@ def q_dq_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats = counts.agg(
             F.sum("c").alias("nr"),
             F.count(F.lit(1)).alias("nd"),
-            F.max(F.struct(F.col("c"), (-F.col("k")).alias("negk"))).alias(
-                "m"
-            ),
+            F.max(
+                F.struct(
+                    F.col("c"),
+                    (-F.col("k").cast("decimal(38,0)")).alias("negk"),
+                )
+            ).alias("m"),
         )
         outs.append(
             stats.select(

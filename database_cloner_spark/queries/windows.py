@@ -240,7 +240,7 @@ SELECT doc_id, lang,
        ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 4) AS cume
 FROM documents
-WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars NULLS LAST, doc_id)
 """
 
 
@@ -272,7 +272,11 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt")
     )
     w_lang = W.partitionBy("lang")
-    w_cum = w_lang.orderBy("n_chars").rowsBetween(
+    # NULLS LAST explicitly: Spark default-sorts NULLs FIRST in ASC
+    # while DuckDB sorts them LAST — with NULL n_chars rows present the
+    # base offsets of every non-NULL row would diverge cross-engine
+    # (r8 ADVICE); the oracle pins NULLS LAST on its ORDER BY too
+    w_cum = w_lang.orderBy(F.asc_nulls_last("n_chars")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     base = counts.select(

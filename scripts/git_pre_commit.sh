@@ -20,10 +20,24 @@ cd "$(git rev-parse --show-toplevel)"
 # capture first, then grep: `git diff | grep -q` under pipefail can
 # report 141 (SIGPIPE) when grep exits at the first match, silently
 # skipping the gate this hook exists to enforce
+GATED='^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py|tests/)'
 CHANGED="$(git diff --cached --name-only)"
 if grep -qE \
   '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)' \
   <<<"$CHANGED"; then
+  # The gate runs pytest against the WORKING TREE, so a partially
+  # staged gated file would validate code that is not being committed
+  # (an unstaged fix can green-light a broken staged snapshot, and
+  # vice versa — r8 ADVICE). Rather than stash-juggle, refuse: gated
+  # paths must be fully staged when the gate fires.
+  UNSTAGED="$(git diff --name-only | grep -E "$GATED" || true)"
+  if [ -n "$UNSTAGED" ]; then
+    echo "[pre-commit] REFUSING: gated files have unstaged changes, so the"
+    echo "plan+parity gate would validate a tree that differs from this commit:"
+    echo "$UNSTAGED"
+    echo "Stage them (git add) or stash them, then retry."
+    exit 1
+  fi
   echo "[pre-commit] staged diff touches query/operator code -> running plan + parity gates (sf0.001, ~3.5 min)"
   python -m pytest tests/test_plans.py tests/test_oracle_parity.py -q
 fi

@@ -135,3 +135,31 @@ def test_known_unicode_casefold_limit_is_real_and_documented(spark):
     assert engine == "i̇ς"  # full mapping: i + combining dot, final sigma
     assert oracle == "iσ"  # simple mapping: plain i, plain sigma
     assert engine != oracle
+
+
+def test_win_dist_null_length_ordering_boundary(spark, tmp_path_factory):
+    """NULL n_chars rows: Spark default-sorts ASC NULLS FIRST while
+    DuckDB sorts NULLS LAST, so without the explicit asc_nulls_last /
+    NULLS LAST pins the cumulative base offsets — hence pct_rank and
+    cume of EVERY non-NULL row in the language — diverge cross-engine
+    (r8 ADVICE). NULL lang rows ride along to re-check the null-safe
+    count-table join keeps them as their own partition."""
+    rows = [
+        # (doc_id, lang, n_chars) — NULL lengths inside a real language
+        (1, "en", 10), (2, "en", None), (3, "en", 10), (4, "en", 25),
+        (5, "en", None), (6, "de", None), (7, "de", 5),
+        (8, None, 7), (9, None, None),
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["x" * (r[2] or 0) for r in rows], pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("win_dist_nulls"))
+    pq.write_table(table, os.path.join(d, "documents.parquet"))
+    spec = specs()["q_win_dist"]
+    compare_query(spark, "q_win_dist", spec.builder, spec.oracle, d)

@@ -165,3 +165,43 @@ def test_ks_mwu_argminmax_tie_and_zero_sign_boundary(spark, tmp_path_factory):
     for key in ("q_stats_ks", "q_stats_mannwhitney", "q_agg_argminmax"):
         spec = specs()[key]
         compare_query(spark, key, spec.builder, spec.oracle, d)
+
+
+def test_argminmax_total_on_int64_extreme_ids(spark, tmp_path_factory):
+    """Long.MIN_VALUE event ids: the arg pick negates the id inside
+    MAX(struct(v, -id)), and under ANSI a bare -bigint RAISES on
+    -2^63 (the one int64 with no negation) — the r8 ADVICE latent
+    crash. The id is widened to decimal(38,0) before negation, so the
+    key must stay total AND still hash-match the oracle's
+    MIN-id-over-extremes form, including when Long.MIN itself is one
+    of the tied extreme carriers (tie must resolve TO it)."""
+    from datetime import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from database_cloner_spark.registry import specs
+    from tests.oracle_harness import compare_query
+
+    i64_min, i64_max = -(1 << 63), (1 << 63) - 1
+    base = datetime(2024, 3, 4, 10, 0, 0)
+    rows = [
+        # duplicate max value 9.0 carried by i64_min and 5: pick i64_min
+        (i64_min, "click", 9.0), (5, "click", 9.0), (7, "click", 1.0),
+        # i64_max id on the minimum; plain ids elsewhere
+        (i64_max, "purchase", -4.0), (2, "purchase", 3.0),
+        (i64_min, "purchase", 3.0),
+    ]
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([base] * len(rows), pa.timestamp("us")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("id_boundary"))
+    pq.write_table(table, f"{d}/events.parquet")
+    spec = specs()["q_agg_argminmax"]
+    compare_query(spark, "q_agg_argminmax", spec.builder, spec.oracle, d)

@@ -385,3 +385,26 @@ def test_gini_and_benford_degenerate_orders_boundary(spark, tmp_path):
     for key in ("q_agg_gini", "q_dq_benford"):
         spec = specs()[key]
         compare_query(spark, key, spec.builder, spec.oracle, d)
+
+
+def test_dq_skew_total_on_int64_extreme_keys(spark, tmp_path_factory):
+    """Long.MIN_VALUE join keys: the hot-key pick negates the key inside
+    MAX(struct(cnt, -key)), and under ANSI a bare -bigint RAISES on
+    -2^63 (r8 ADVICE, same latent crash as argminmax). With the
+    decimal(38,0) widen the key must stay total and hash-match the
+    oracle — including a count TIE between Long.MIN and a plain key,
+    which must resolve to Long.MIN (the smallest key)."""
+    i64_min, i64_max = -(1 << 63), (1 << 63) - 1
+    i64 = pa.int64()
+    li = _tbl(
+        {
+            # i64_min ties with key 7 at two rows each: hot_key = i64_min
+            "l_orderkey": ([i64_min, i64_min, 7, 7, 9, None], i64),
+            "l_partkey": ([i64_max, i64_max, i64_max, 1, 2, 3], i64),
+            "l_suppkey": ([i64_min, 4, 4, 4, None, None], i64),
+        }
+    )
+    d = str(tmp_path_factory.mktemp("skew_boundary"))
+    pq.write_table(li, os.path.join(d, "lineitem.parquet"))
+    spec = specs()["q_dq_skew"]
+    compare_query(spark, "q_dq_skew", spec.builder, spec.oracle, d)
