@@ -44,6 +44,66 @@ def prompt_password(prompt_text: str, *, reader=None, out=None) -> str:
         return password
 
 
+# Per-DB_TYPE conf schemas (clone_databases.sh:75-130): required keys
+# checked IN ORDER (the reference exits at the first missing one) and
+# type-specific defaults applied for the optional keys. mysql is the
+# reference's validated-then-rejected "planned" type (README.md:3,
+# mysql_db_clone.conf.example "planned"): it falls through to the
+# else-branch "Unsupported database type" exit, and so does any unknown
+# type (clone_databases.sh:128-130).
+_DB_TYPE_REQUIRED = {
+    "postgresql": (
+        "PG_HOST", "PG_PORT", "PG_SUPERUSER", "DB_PREFIX",
+        "DATABASES_TO_CLONE",
+    ),
+    "mongodb": (
+        "MONGO_PRIMARY_HOST", "MONGO_PRIMARY_PORT", "MONGO_ADMIN_USER",
+        "DB_PREFIX", "DATABASES_TO_CLONE",
+    ),
+}
+_DB_TYPE_DEFAULTS = {
+    "postgresql": {
+        "APP_ROLE_PREFIX": "r_rw_",
+        "OWNER_ROLE_PREFIX": "r_rc_",
+        "SOURCE_SCHEMA_NAME": "public",
+    },
+    "mongodb": {
+        "MONGO_AUTH_DATABASE": "admin",
+        "MONGO_APP_USER_SUFFIX": "_app_user",
+        "TEST_USER_CONNECTIONS": "true",
+    },
+}
+
+
+def validate_db_conf(conf: dict[str, str], *, err=None) -> dict[str, str] | None:
+    """DB_TYPE dispatch parity with the reference's load_config
+    (clone_databases.sh:12, :75-130): when the conf declares DB_TYPE,
+    validate that type's required keys in reference order (first
+    missing key errors, like the reference's per-var exit 1), apply the
+    type's optional-key defaults, and reject mysql/unknown types with
+    the reference's "Unsupported database type" posture. A conf WITHOUT
+    a DB_TYPE key keeps the lenient parquet-native path — the reference
+    carries the type in the environment and the conf FILENAME
+    (${DB_TYPE}_db_clone.conf); with a single --conf flag the explicit
+    key is the carrier. Returns the defaulted conf, or None (caller
+    exits 1)."""
+    err = err or sys.stderr
+    db_type = conf.get("DB_TYPE")
+    if db_type is None:
+        return dict(conf)
+    if db_type not in _DB_TYPE_REQUIRED:
+        print(f"Error: Unsupported database type: {db_type}", file=err)
+        return None
+    for key in _DB_TYPE_REQUIRED[db_type]:
+        if not conf.get(key):
+            print(
+                f"Error: Required configuration variable not set: {key}",
+                file=err,
+            )
+            return None
+    return {**_DB_TYPE_DEFAULTS[db_type], **conf}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="python -m database_cloner_spark",
@@ -86,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
         from database_cloner_spark.sources.kv_config import read_config
 
         conf = read_config(spark, args.conf)
+        validated = validate_db_conf(conf)
+        if validated is None:
+            return 1  # reference exit contract (clone_databases.sh:128-130)
+        conf = validated
 
     # Admin credential precedence mirrors the reference (CS:107-109):
     # conf key wins; --prompt fills the gap interactively (confirmation
