@@ -38,6 +38,6 @@ if grep -qE \
     echo "Stage them (git add) or stash them, then retry."
     exit 1
   fi
-  echo "[pre-commit] staged diff touches query/operator code -> running plan + parity gates (sf0.001, ~3.5 min)"
-  python -m pytest tests/test_plans.py tests/test_oracle_parity.py -q
+  echo "[pre-commit] staged diff touches query/operator code -> running plan + parity + shuffle-budget gates (sf0.001, ~5 min)"
+  python -m pytest tests/test_plans.py tests/test_oracle_parity.py tests/test_shuffle_budget.py -q
 fi
