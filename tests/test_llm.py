@@ -4,6 +4,8 @@ recall vs brute force, multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from database_cloner_spark.llm import dedup, similarity
@@ -86,8 +88,17 @@ def test_embedding_neardup_symmetric_bounds(spark):
         assert 0.35 <= r.cosine <= 1.0
 
 
-def test_bucketed_embedding_neardup_recall(spark):
-    embs = load(spark, SF, "embeddings")
+@pytest.mark.parametrize(
+    "emb_dir",
+    ["/root/testdata/sf0.001", "/root/testdata/sf0.1"],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_bucketed_embedding_neardup_recall(spark, emb_dir):
+    """Recall floor pinned on TWO differently-shaped distributions
+    (r8 VERDICT item 8, the commit-237696f second-fixture discipline):
+    the 500-vector engineered fixture AND the 2000-vector sf0.1 table
+    (measured 0.777 there — 4137 exact pairs, 3216 bucketed)."""
+    embs = load(spark, emb_dir, "embeddings")
     exact = {
         (r.vec_a, r.vec_b): r.cosine
         for r in dedup.embedding_neardup_pairs(embs).collect()
@@ -102,9 +113,10 @@ def test_bucketed_embedding_neardup_recall(spark):
     assert set(bucketed) <= set(exact)
     for pair, cos in bucketed.items():
         assert cos == exact[pair]
-    # The fixture's near-dups are all weak (cos 0.35-0.45; no true dups),
+    # The fixtures' near-dups are all weak (cos 0.35-0.45; no true dups),
     # the hardest case for cell-sharing — 0.7 is the measured floor at
-    # nprobe=3/16 cells. True dups (cos >= 0.9) bucket near-perfectly.
+    # nprobe=3/16 cells on BOTH shapes. True dups (cos >= 0.9) bucket
+    # near-perfectly.
     assert len(bucketed) / len(exact) >= 0.7, (
         f"bucketed recall too low: {len(bucketed)}/{len(exact)}"
     )
@@ -648,27 +660,41 @@ def test_pq_codeword_vectors_encode_to_themselves(spark, sf_dir):
     assert top.vec_id == 0 and top.adc_dist == 0.0
 
 
-def test_pq_topk_recall_floor(spark, sf_dir):
+@pytest.mark.parametrize(
+    "emb_dir,floor",
+    [("/root/testdata/sf0.001", 6), ("/root/testdata/sf0.1", 5)],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_pq_topk_recall_floor(spark, emb_dir, floor):
     """The deployed PQ pipeline (ADC shortlist 5x + exact rerank) must
     recover most of the exact top-10 even on random vectors (PQ's worst
-    case); threshold leaves ulp-tie headroom under the measured 8/10."""
-    embs = load(spark, sf_dir, "embeddings")
+    case), on BOTH fixture shapes (second-distribution discipline,
+    r8 VERDICT item 8). Floors sit under the measured values (8/10 on
+    the engineered fixture, 6/10 on the 2000-vector sf0.1 table) with
+    ulp-tie headroom; the pipeline itself is deterministic."""
+    embs = load(spark, emb_dir, "embeddings")
     probe = similarity.probe_vector(embs)
     got = {r.vec_id for r in similarity.pq_topk(embs, probe).collect()}
     exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
-    assert len(got & exact) >= 6
+    assert len(got & exact) >= floor
     assert len(got) == 10
 
 
-def test_ivfpq_recall_floor(spark, sf_dir):
+@pytest.mark.parametrize(
+    "emb_dir,floor",
+    [("/root/testdata/sf0.001", 4), ("/root/testdata/sf0.1", 5)],
+    ids=["sf0.001", "sf0.1"],
+)
+def test_ivfpq_recall_floor(spark, emb_dir, floor):
     """The composed IVF-PQ pipeline must recover a usable share of the
-    exact top-10 even on random vectors with half the cells pruned."""
-    embs = load(spark, sf_dir, "embeddings")
+    exact top-10 even on random vectors with half the cells pruned —
+    pinned on both fixture shapes (measured 7/10 at sf0.1)."""
+    embs = load(spark, emb_dir, "embeddings")
     probe = similarity.probe_vector(embs)
     got = {r.vec_id for r in similarity.ivfpq_topk(embs, probe).collect()}
     exact = {r.vec_id for r in similarity.brute_force_topk(embs, probe).collect()}
     assert len(got) == 10
-    assert len(got & exact) >= 4
+    assert len(got & exact) >= floor
 
 
 def test_chunk_documents_windows_and_tail(spark):
