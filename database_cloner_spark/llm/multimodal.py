@@ -123,18 +123,25 @@ def resize_images(
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
+            out, lens = [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload degrades to NULL output (the
+                    # fake_features contract) — never a worker crash
+                    out.append(None)
+                    lens.append(None)
+                    continue
                 b = bytes(payload)
                 resized = b[:target_bytes] if len(b) >= target_bytes else b.ljust(
                     target_bytes, b"\x00"
                 )
                 out.append(resized)
+                lens.append(len(b))
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"],
                     "payload": out,
-                    "orig_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "orig_bytes": lens,
                 }
             )
 

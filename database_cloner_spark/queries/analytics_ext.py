@@ -3102,3 +3102,94 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             signed=False,
         ).alias("lift"),
     )
+
+
+# Holt's linear (level + trend) smoothing with dyadic alpha = beta =
+# 1/2, folded over each user's (ts, event_id)-ordered value stream:
+#   l_t = (l_{t-1} + b_{t-1} + x_t) / 2        l_0 = x_0
+#   b_t = (b_{t-1} + (l_t - l_{t-1})) / 2      b_0 = 0
+# Every step is +, -, /2 — correctly-rounded IEEE ops evaluated in the
+# SAME sequential order by both engines, so level/trend/forecast are
+# bit-identical cross-engine with zero output rounding (the q_ts_ewma
+# discipline extended to a 2-component recurrence state). The oracle is
+# a RECURSIVE CTE, not list_reduce: DuckDB v1.0's list_reduce mutates a
+# struct accumulator FIELD-BY-FIELD in pack order, so a later field's
+# expression reads the EARLIER field's already-updated value (measured:
+# b came out 0.6875 where the recurrence gives 1.125) — engine-private
+# sequencing this oracle must not depend on. The recursive join key is
+# projected as next_rn INSIDE the CTE (SCALE.md pitfall 10: DuckDB
+# derives no hash key from a mixed-relation r.rn + 1 equality).
+_ORACLE_TS_HOLT = """
+WITH RECURSIVE pts AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+),
+rec AS (
+  SELECT user_id, rn, rn + 1 AS next_rn, n,
+         x AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM pts WHERE rn = 1
+  UNION ALL
+  SELECT p.user_id, p.rn, p.rn + 1 AS next_rn, p.n,
+         (r.l + r.b + p.x) / 2.0 AS l,
+         (r.b + ((r.l + r.b + p.x) / 2.0 - r.l)) / 2.0 AS b
+  FROM rec r JOIN pts p ON p.user_id = r.user_id AND p.rn = r.next_rn
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       l AS level, b AS trend, l + b AS forecast_1
+FROM rec WHERE rn = n
+"""
+
+
+@register("q_ts_holt", oracle=_ORACLE_TS_HOLT, tier="X")
+def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt linear smoothing (level + trend, alpha = beta =
+    1/2) of the metric stream, with the one-step-ahead forecast
+    level + trend — the trend-aware upgrade of q_ts_ewma's flat
+    smoothing ("where is this metric heading", not just "where is it").
+    A coupled two-component recurrence is exactly what windows cannot
+    express without O(n^2) frames; Spark-first answer: ONE user_id
+    shuffle collects each user's (ts, event_id, value) structs,
+    sort_array orders them in-partition, and a JVM `aggregate` HOF
+    folds a named_struct(level, trend) accumulator sequentially — no
+    Python, per-user state bounded by that user's history (the
+    q_ts_ewma state argument). Dyadic 1/2 coefficients keep every step
+    an exact-scaling IEEE op, and the DuckDB oracle replays the fold in
+    the same order (a recursive CTE — see _ORACLE_TS_HOLT's note on why
+    list_reduce's in-place struct mutation is unusable), so the doubles
+    are bit-identical cross-engine — no libm, no output rounding. At 100 TB
+    swap the fold for applyInPandasWithState only if one user's history
+    outgrows a task."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("evs"),
+    )
+    vs = F.expr("transform(evs, e -> CAST(e.value AS DOUBLE))")
+    st = F.expr(
+        "aggregate(slice(__vs, 2, size(__vs) - 1), "
+        "named_struct('l', __vs[0], 'b', CAST(0.0 AS DOUBLE)), "
+        "(acc, x) -> named_struct("
+        "'l', (acc.l + acc.b + x) / 2.0D, "
+        "'b', (acc.b + ((acc.l + acc.b + x) / 2.0D - acc.l)) / 2.0D))"
+    )
+    return (
+        per_user.select("user_id", "n_events", vs.alias("__vs"))
+        .select("user_id", "n_events", st.alias("__st"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("__st.l").alias("level"),
+            F.col("__st.b").alias("trend"),
+            (F.col("__st.l") + F.col("__st.b")).alias("forecast_1"),
+        )
+    )

@@ -430,3 +430,72 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ppm"
         ),
     )
+
+
+# Vocabulary-tail census per language: hapax/dis legomena rates and
+# type-token ratio — the Zipf-tail health check of a corpus slice (an
+# OCR-noisy or dedup-starved slice shows a bloated hapax share; a
+# boilerplate-flooded one collapses TTR). Pure integer arithmetic:
+# two stacked counts plus exact floor(ppm) ratios — no logarithm, so no
+# libm cross-engine drift (the TV-divergence lesson applied to the
+# Zipf audit).
+_ORACLE_HAPAX = f"""
+WITH terms AS (
+  SELECT lang, UNNEST({tokens_sql('lower(text)')}) AS term
+  FROM documents
+),
+c AS (
+  SELECT lang, term, COUNT(*)::BIGINT AS n
+  FROM terms WHERE term <> '' GROUP BY lang, term
+)
+SELECT lang,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       COUNT(*)::BIGINT AS vocab,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis_legomena,
+       CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000)
+         // COUNT(*) AS BIGINT) AS hapax_ppm,
+       CAST((COUNT(*) * 1000000) // CAST(SUM(n) AS BIGINT) AS BIGINT)
+         AS ttr_ppm
+FROM c GROUP BY lang
+"""
+
+
+@register("q_text_hapax", oracle=_ORACLE_HAPAX, tier="X")
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language hapax/dis-legomena census with type-token ratio:
+    how much of each language's vocabulary occurs exactly once or
+    twice, and how many types per million tokens. The corpus-health
+    reading: hapax share far above the language's usual band means
+    OCR noise, mojibake, or under-deduplication is minting junk types;
+    a collapsing TTR means boilerplate is flooding the slice. Companion
+    of q_text_vocab (head coverage) — this key audits the TAIL.
+
+    Scale shape: two stacked two-phase counts — (lang, term) counts
+    partial-aggregate map-side (the exchange carries one row per
+    distinct type per language, vocabulary-bounded, never
+    corpus-bounded), then a lang-keyed fold of that vocabulary table
+    into 4 counters. Ratios are exact integer floor(ppm) (`div`/`//`
+    agree bit-for-bit); NULL lang rides as its own group on both
+    engines. No logarithms anywhere — Zipf-tail health without libm
+    (the q_text_tv_divergence discipline)."""
+    docs = load(spark, sf_dir, "documents").select("lang", "text")
+    terms = docs.select(
+        "lang", F.explode(tokens(F.lower("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    c = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    agg = c.groupBy("lang").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0)).alias("dis_legomena"),
+    )
+    return agg.select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.col("hapax").cast("long").alias("hapax"),
+        F.col("dis_legomena").cast("long").alias("dis_legomena"),
+        F.expr("(hapax * 1000000L) div vocab").cast("long").alias("hapax_ppm"),
+        F.expr("(vocab * 1000000L) div n_tokens").cast("long").alias("ttr_ppm"),
+    )

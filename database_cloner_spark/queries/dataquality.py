@@ -558,3 +558,175 @@ def q_dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flag", F.col("n").cast("long").alias("n"), "p25", "p75",
         "fence_lo", "fence_hi", "n_below", "n_above",
     )
+
+
+# Candidate-key uniqueness census: per declared key, how many rows,
+# how many distinct keys, how many keys collide, the worst
+# multiplicity, and the duplicate-row share in exact floor(ppm). The
+# clone-fidelity reading: a clone (or a re-ingest) that duplicated rows
+# shows dup_rows_ppm > 0 here before any downstream join fans out.
+_UNIQ_KEYS = [
+    ("orders.o_orderkey", "orders", ("o_orderkey",)),
+    ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+     ("l_orderkey", "l_linenumber")),
+    ("events.event_id", "events", ("event_id",)),
+    ("documents.doc_id", "documents", ("doc_id",)),
+]
+
+
+def _uniq_oracle() -> str:
+    parts = []
+    for label, table, cols in _UNIQ_KEYS:
+        nn = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+        keys = ", ".join(cols)
+        parts.append(f"""
+SELECT '{label}' AS key_name,
+       CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_rows,
+       COUNT(*)::BIGINT AS n_keys,
+       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+       CAST(COALESCE(MAX(m), 0) AS BIGINT) AS max_mult,
+       CAST(CASE WHEN COALESCE(SUM(m), 0) > 0
+                 THEN ((SUM(m) - COUNT(*)) * 1000000) // SUM(m)
+                 ELSE 0 END AS BIGINT) AS dup_rows_ppm
+FROM (SELECT {keys}, COUNT(*)::BIGINT AS m
+      FROM {table} WHERE {nn} GROUP BY {keys})""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_UNIQUENESS = _uniq_oracle()
+
+
+@register("q_dq_uniqueness", oracle=_ORACLE_DQ_UNIQUENESS, tier="X")
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness census over the namespace's declared
+    keys (single-column ids plus lineitem's composite order/line key) —
+    the duplicate-primary-key audit a clone verification runs before
+    trusting any downstream join cardinality. Shape per key: ONE
+    two-phase groupBy(key).count() (map-side partials; the exchange
+    carries one row per distinct key) + a single-row fold of that count
+    table into 5 counters; the 4-row union is driver-sized. NULL key
+    parts are excluded (a NULL never equals anything, so it cannot
+    collide); dup_rows_ppm is exact floor ppm on exactly-summed
+    bigints, zero-guarded for empty tables on both engines."""
+    outs = []
+    for label, table, cols in _UNIQ_KEYS:
+        t = load(spark, sf_dir, table)
+        nn = None
+        for c in cols:
+            cond = F.col(c).isNotNull()
+            nn = cond if nn is None else (nn & cond)
+        m = t.filter(nn).groupBy(*cols).agg(F.count(F.lit(1)).alias("m"))
+        agg = m.agg(
+            F.coalesce(F.sum("m"), F.lit(0)).alias("nr"),
+            F.count(F.lit(1)).alias("nk"),
+            F.sum(F.when(F.col("m") > 1, 1).otherwise(0)).alias("dk"),
+            F.coalesce(F.max("m"), F.lit(0)).alias("mm"),
+        )
+        outs.append(
+            agg.select(
+                F.lit(label).alias("key_name"),
+                F.col("nr").cast("long").alias("n_rows"),
+                F.col("nk").cast("long").alias("n_keys"),
+                F.coalesce(F.col("dk"), F.lit(0)).cast("long").alias("dup_keys"),
+                F.col("mm").cast("long").alias("max_mult"),
+                F.when(
+                    F.col("nr") > 0,
+                    F.expr("((nr - nk) * 1000000L) div nr"),
+                ).otherwise(F.lit(0)).cast("long").alias("dup_rows_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+# Referential-integrity audit: per declared foreign key, how many child
+# rows point at a missing parent, and how many distinct parents are
+# missing. The clone-fidelity reading: a partially-failed clone (child
+# table copied, parent truncated) or an ingest race shows orphans here
+# before any inner join silently drops the rows.
+_FK_EDGES = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey"),
+]
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        parts.append(f"""
+SELECT '{label}' AS fk_name,
+       CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_child_rows,
+       CAST(COALESCE(SUM(CASE WHEN orphan THEN m ELSE 0 END), 0)
+            AS BIGINT) AS n_orphan_rows,
+       CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+         AS missing_parents,
+       CAST(CASE WHEN COALESCE(SUM(m), 0) > 0
+                 THEN (COALESCE(SUM(CASE WHEN orphan THEN m ELSE 0 END), 0)
+                       * 1000000) // SUM(m)
+                 ELSE 0 END AS BIGINT) AS orphan_ppm
+FROM (SELECT k.{fk}, k.m,
+             NOT EXISTS (SELECT 1 FROM {parent} p
+                         WHERE p.{pk} = k.{fk}) AS orphan
+      FROM (SELECT {fk}, COUNT(*)::BIGINT AS m
+            FROM {child} WHERE {fk} IS NOT NULL GROUP BY {fk}) k)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_REFERENTIAL = _fk_oracle()
+
+
+@register("q_dq_referential", oracle=_ORACLE_DQ_REFERENTIAL, tier="X")
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over the namespace's foreign keys
+    (fact->fact and fact->dimension edges) — the orphaned-row census a
+    clone verification runs so a truncated parent table is caught
+    BEFORE inner joins silently drop the children. Shape per FK: the
+    child side first collapses to a two-phase groupBy(fk).count()
+    (the exchange carries one row per DISTINCT child key, never child
+    rows), then a LEFT ANTI join against the parent key column marks
+    missing parents — distinct-key-sized on both sides, with AQE free
+    to broadcast the smaller side at runtime — and a single-row fold
+    produces the counters. NULL FKs are excluded (SQL semantics: a
+    NULL FK is not a reference); orphan_ppm is exact floor ppm,
+    zero-guarded for empty children. The 4-row union is driver-sized."""
+    outs = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        k = (
+            load(spark, sf_dir, child)
+            .filter(F.col(fk).isNotNull())
+            .groupBy(fk)
+            .agg(F.count(F.lit(1)).alias("m"))
+        )
+        par = load(spark, sf_dir, parent).select(F.col(pk).alias(fk)).distinct()
+        orphans = k.join(par, fk, "left_anti")
+        totals = k.agg(
+            F.coalesce(F.sum("m"), F.lit(0)).alias("ncr")
+        )
+        oagg = orphans.agg(
+            F.coalesce(F.sum("m"), F.lit(0)).alias("orows"),
+            F.count(F.lit(1)).alias("oparents"),
+        )
+        outs.append(
+            totals.crossJoin(F.broadcast(oagg)).select(
+                F.lit(label).alias("fk_name"),
+                F.col("ncr").cast("long").alias("n_child_rows"),
+                F.col("orows").cast("long").alias("n_orphan_rows"),
+                F.col("oparents").cast("long").alias("missing_parents"),
+                F.when(
+                    F.col("ncr") > 0,
+                    F.expr("(orows * 1000000L) div ncr"),
+                ).otherwise(F.lit(0)).cast("long").alias("orphan_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

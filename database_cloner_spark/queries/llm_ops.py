@@ -1105,3 +1105,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("feat_idx").cast("long").alias("feat_idx"),
         F.col("feat_value").alias("feat_fp"),
     )
+
+
+# Exact SQL twin of the resize fake: kept bytes = min(orig, 256), and
+# the resized tail re-derived on the HEX STRING — rpad(hex, 512, '0')
+# both truncates a longer payload's hex to 512 chars (= the 256 kept
+# bytes) and zero-pads a shorter one (= the \x00 right-padding), so
+# chars 505..512 are exactly the last 4 bytes the mapInPandas transform
+# emitted. Media selection repeats the features oracle's list-index
+# expression so the two multimodal oracles cannot drift.
+_ORACLE_MULTIMODAL_RESIZE = """
+SELECT doc_id AS asset_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+       CAST(LEAST(octet_length(encode(text)), 256) AS BIGINT) AS kept_bytes,
+       substr(rpad(hex(encode(text)), 512, '0'), 505, 8) AS tail_hex
+FROM documents
+WHERE text IS NOT NULL
+  AND ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] = 'image'
+"""
+
+
+@register("q_multimodal_resize", oracle=_ORACLE_MULTIMODAL_RESIZE, tier="X")
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image 'resize' stage of the multimodal ingest: media-type and
+    NULL-payload pruning happen BEFORE the Python boundary (metadata
+    filters cut the decode workload — q_multimodal_meta's contract),
+    then llm/multimodal.resize_images truncates/right-pads every image
+    payload to 256 bytes inside mapInPandas (Arrow batches,
+    binary-in/binary-out; a real deployment swaps the fake for a codec
+    resample in the same slot). Output is scalar-hashable evidence of
+    the transform: original size, kept bytes, and the hex of the
+    resized payload's LAST 4 bytes — the window where truncation vs
+    zero-padding shows — recomputed by the DuckDB oracle from the hex
+    string (rpad truncates AND pads, mirroring both branches). hex()
+    renders uppercase on both engines."""
+    from database_cloner_spark.llm.multimodal import (
+        assets_from_documents,
+        resize_images,
+    )
+
+    assets = assets_from_documents(load(spark, sf_dir, "documents")).filter(
+        F.col("payload").isNotNull()
+    )
+    resized = resize_images(assets, target_bytes=256)
+    return resized.select(
+        "asset_id",
+        F.col("orig_bytes").cast("long").alias("orig_bytes"),
+        F.least(F.col("orig_bytes"), F.lit(256)).cast("long").alias("kept_bytes"),
+        F.hex(F.substring(F.col("payload"), 253, 4)).alias("tail_hex"),
+    )

@@ -453,3 +453,67 @@ def q_win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         day_s(F.col("st.bst")).alias("best_start"),
         day_s(F.col("st.ben")).alias("best_end"),
     )
+
+
+# Running distinct-count: after each event, how many DISTINCT event
+# types has this user touched so far? The engagement-breadth curve per
+# user, computed WITHOUT distinct-state windows: a naive
+# size(collect_set() OVER (...rows unbounded preceding)) carries a
+# per-row set (O(n * |types|) window state and no partial aggregation);
+# instead each row gets a FIRST-SEEN flag (row_number == 1 within
+# (user, type) by time) and the running distinct count is the running
+# SUM of that 0/1 flag — integer-exact, O(1) window state.
+_ORACLE_WIN_RUNNING_DISTINCT = """
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS n_types_seen
+FROM (
+  SELECT event_id, user_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+    AND ts IS NOT NULL AND event_id IS NOT NULL
+)
+"""
+
+
+@register("q_win_running_distinct", oracle=_ORACLE_WIN_RUNNING_DISTINCT, tier="X")
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user distinct event-type count (engagement breadth
+    after every event). The scale-correct decomposition: a first-seen
+    0/1 flag via row_number over (user_id, event_type) ordered by
+    (ts, event_id), then a running SUM of the flag over the user's
+    (ts, event_id) timeline — two windows with O(1) frame state, vs the
+    naive running collect_set whose per-row set state is O(|types|)
+    with no partial form. Two exchanges (the (user_id, event_type)
+    flag partition cannot serve the user_id running sum — different
+    hash keys); both windows' groups stay task-sized: user_id is
+    high-cardinality, and per (user, type) the flag window only ranks
+    that user's rows of one type. Deterministic total order via the
+    event_id tie-break; integer-exact output, no doubles anywhere."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w_first = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("fs"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("fs").over(w_run).cast("long").alias("n_types_seen"),
+    )

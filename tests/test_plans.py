@@ -48,6 +48,7 @@ BNLJ_ALLOWED = {
     "q_text_pmi",                # 1-row corpus token total
     "q_text_tv_divergence",      # 1-row batch-totals frame (n_terms, N1, N2)
     "q_events_cooccurrence",     # 1-row session-count frame (N)
+    "q_dq_referential",          # four 1-row totals x 1-row orphan-agg folds
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -858,3 +859,64 @@ def test_novelty_single_bigram_pass(spark):
     assert plan.count("Generate explode") == 1, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "partial_max" in plan, plan
+
+
+def test_holt_single_user_shuffle_no_python(spark):
+    """q_ts_holt: the coupled level+trend recurrence folds as an
+    in-partition JVM HOF over ONE user_id exchange — same contract as
+    its q_ts_ewma sibling; no join, no Python runner."""
+    plan = _plan(spark, "q_ts_holt")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_hapax_two_stacked_partial_aggs(spark):
+    """q_text_hapax: the (lang, term) count must partial-aggregate
+    map-side (exchange carries the vocabulary, never raw tokens), the
+    lang fold rides it, and the plan stays join- and window-free."""
+    plan = _plan(spark, "q_text_hapax")
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_running_distinct_flag_decomposition(spark):
+    """q_win_running_distinct: the first-seen-flag decomposition keeps
+    window frame state O(1) — the plan must contain NO collect_set (the
+    naive distinct-state window) and exactly the two documented
+    high-cardinality-keyed exchanges."""
+    plan = _plan(spark, "q_win_running_distinct")
+    assert "collect_set" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_dq_uniqueness_joinless_partial_counts(spark):
+    """q_dq_uniqueness: every candidate key audits as a two-phase
+    count (partials map-side) + a 1-row fold — no joins anywhere, one
+    key-hash exchange per audited key."""
+    plan = _plan(spark, "q_dq_uniqueness")
+    assert "Join" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+
+
+def test_dq_referential_collapses_child_before_anti_join(spark):
+    """q_dq_referential: each FK edge must aggregate the child side to
+    distinct keys BEFORE probing the parent (the anti join's inputs are
+    key-sized, never child-row-sized): partial_count precedes every
+    anti join in DFS order, and no BNLJ/cartesian sneaks in."""
+    plan = _plan(spark, "q_dq_referential")
+    # the only BNLJs are the four 1-row totals x 1-row orphan-agg folds
+    # (BNLJ_ALLOWED); the FK probes themselves must be hash anti joins
+    assert plan.count("BroadcastNestedLoopJoin") == 4, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("LeftAnti") == 4, plan
+    # every anti join consumes an aggregated child: a partial_count
+    # appears below (after, in print order) each join head
+    import re as _re
+
+    heads = [m.start() for m in _re.finditer(r"Join LeftAnti", plan)]
+    for h in heads:
+        assert "partial_count" in plan[h:], plan[h:h + 500]
