@@ -730,3 +730,100 @@ def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# Column-completeness census over events: per column, null rate plus a
+# type-appropriate degeneracy rate (blank-after-trim for strings, exact
+# zero for numerics, n/a for timestamps). The profile a training-data
+# ingest reads before trusting a feed: a null-rate step change or a
+# blank/zero flood is the upstream-schema-drift alarm.
+_COMPLETENESS_COLS = [
+    ("event_id", "numeric"),
+    ("ts", "timestamp"),
+    ("user_id", "numeric"),
+    ("event_type", "string"),
+    ("value", "numeric"),
+    ("props", "string"),
+]
+
+
+def _completeness_oracle() -> str:
+    parts = []
+    for col, kind in _COMPLETENESS_COLS:
+        if kind == "string":
+            degen = f"SUM(CASE WHEN trim({col}) = '' THEN 1 ELSE 0 END)"
+        elif kind == "numeric":
+            degen = f"SUM(CASE WHEN {col} = 0 THEN 1 ELSE 0 END)"
+        else:
+            degen = "NULL"
+        parts.append(f"""
+SELECT '{col}' AS col_name,
+       COUNT(*)::BIGINT AS n_rows,
+       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN (SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
+                       * 1000000) // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS null_ppm,
+       CAST({degen} AS BIGINT) AS n_degenerate
+FROM events""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_COMPLETENESS = _completeness_oracle()
+
+
+@register("q_dq_completeness", oracle=_ORACLE_DQ_COMPLETENESS, tier="X")
+def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-completeness census over the event stream: per column,
+    the null rate (exact floor ppm) and a type-appropriate degeneracy
+    count — blank-after-trim for strings, exact zero for numerics,
+    NULL (n/a) for timestamps. The feed-health profile an ingest gate
+    reads before accepting a batch; complements q_dq_profile (value
+    ranges) and q_dq_constraints (domain rules) with presence/shape.
+
+    Shape: ALL columns audit in ONE scan — a single global aggregate
+    computes every counter as a conditional sum (map-side partials,
+    one single-partition exchange carrying ~13 longs), and the per-
+    column rows are driver-sized projections of that one row; the
+    6-row union never touches data. Zero joins, zero hash exchanges."""
+    ev = load(spark, sf_dir, "events")
+    aggs = [F.count(F.lit(1)).alias("nr")]
+    for col, kind in _COMPLETENESS_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias(f"nn_{col}")
+        )
+        if kind == "string":
+            aggs.append(
+                F.sum(
+                    F.when(F.trim(F.col(col)) == "", 1).otherwise(0)
+                ).alias(f"dg_{col}")
+            )
+        elif kind == "numeric":
+            aggs.append(
+                F.sum(F.when(F.col(col) == 0, 1).otherwise(0)).alias(f"dg_{col}")
+            )
+    one = ev.agg(*aggs)
+    # stack(), not a 6-way union of selects: each union branch re-plans
+    # the whole aggregate subtree (measured: 6 FileScans), while stack
+    # pivots the ONE agg row into 6 rows in a plain projection —
+    # genuinely one scan, one SinglePartition exchange.
+    branches = []
+    for col, kind in _COMPLETENESS_COLS:
+        degen = (
+            f"CAST(coalesce(dg_{col}, 0L) AS BIGINT)"
+            if kind != "timestamp"
+            else "CAST(NULL AS BIGINT)"
+        )
+        branches.append(
+            f"'{col}', CAST(nr AS BIGINT), "
+            f"CAST(coalesce(nn_{col}, 0L) AS BIGINT), "
+            f"CAST(CASE WHEN nr > 0 THEN (coalesce(nn_{col}, 0L) * 1000000L) div nr "
+            f"ELSE 0L END AS BIGINT), {degen}"
+        )
+    return one.select(
+        F.expr(
+            f"stack({len(_COMPLETENESS_COLS)}, {', '.join(branches)}) AS "
+            "(col_name, n_rows, n_null, null_ppm, n_degenerate)"
+        )
+    )

@@ -461,3 +461,123 @@ def user_sessions_batch(events: DataFrame) -> DataFrame:
         (F.max("us") - F.min("us")).alias("duration_us"),
         F.min("us").alias("start_us"),
     )
+
+
+HOLT_SCHEMA = "user_id long, n_events long, level double, trend double, forecast_1 double"
+_HOLT_STATE_SCHEMA = "n long, l double, b double"
+
+
+def user_holt_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user Holt linear smoothing (alpha = beta = 1/2)
+    across micro-batches — the streaming twin of the batch `q_ts_holt`
+    operator: keyed state holds (n, level, trend); each batch's rows
+    fold in (ts, event_id) order with
+        l' = (l + b + x) / 2;  b' = (b + (l' - l)) / 2
+    the exact recurrence the batch key's JVM `aggregate` HOF builds.
+    Python floats are the same IEEE-754 doubles, the fold order is
+    pinned identically, so a drained stream's final state is BIT-EQUAL
+    to the batch answer (tests/test_streaming.py), with the same
+    in-order-batches caveat as user_ewma_stream. State is three scalars
+    per user — bounded by key cardinality, not stream length. NULL
+    user_id/value/ts rows are dropped HERE, matching the batch twin's
+    filter (a NaN reaching the fold would poison the state forever)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        n, l, b = state.get if state.exists else (0, 0.0, 0.0)
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else pd.DataFrame(
+            {"ts": [], "event_id": [], "value": []}
+        )
+        rows = rows.sort_values(["ts", "event_id"])
+        for x in rows["value"]:
+            if n == 0:
+                l, b = float(x), 0.0
+            else:
+                nl = (l + b + float(x)) / 2.0
+                b = (b + (nl - l)) / 2.0
+                l = nl
+            n += 1
+        state.update((n, l, b))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "level": [l],
+                "trend": [b],
+                "forecast_1": [l + b],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=HOLT_SCHEMA,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RUNNING_DISTINCT_SCHEMA = "event_id long, user_id long, n_types_seen long"
+_RUNNING_DISTINCT_STATE_SCHEMA = "types array<string>"
+
+
+def user_running_distinct_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user running DISTINCT event-type count — the
+    streaming twin of the batch `q_win_running_distinct` window key:
+    keyed state is the SET of types seen (bounded by the type domain,
+    never stream length — the same reason the batch form beats a
+    running collect_set); each batch's rows fold in (ts, event_id)
+    order and every input event emits exactly one output row carrying
+    the count after that event. Integer-exact, so a drained in-order
+    stream equals the batch answer row-for-row (drained-equal contract,
+    tests/test_streaming.py). NULL user_id/event_type/ts/event_id rows
+    are dropped HERE, matching the batch twin's filter."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    events = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        (types,) = state.get if state.exists else ([],)
+        seen = set(types)
+        frames = [pdf for pdf in pdfs]
+        rows = pd.concat(frames) if frames else pd.DataFrame(
+            {"ts": [], "event_id": [], "event_type": []}
+        )
+        rows = rows.sort_values(["ts", "event_id"])
+        out_ids, out_counts = [], []
+        for eid, et in zip(rows["event_id"], rows["event_type"]):
+            seen.add(et)
+            out_ids.append(int(eid))
+            out_counts.append(len(seen))
+        state.update((sorted(seen),))
+        yield pd.DataFrame(
+            {
+                "event_id": out_ids,
+                "user_id": [key[0]] * len(out_ids),
+                "n_types_seen": out_counts,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_DISTINCT_SCHEMA,
+        stateStructType=_RUNNING_DISTINCT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

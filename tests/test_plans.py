@@ -920,3 +920,13 @@ def test_dq_referential_collapses_child_before_anti_join(spark):
     heads = [m.start() for m in _re.finditer(r"Join LeftAnti", plan)]
     for h in heads:
         assert "partial_count" in plan[h:], plan[h:h + 500]
+
+
+def test_completeness_single_scan_no_hash_exchange(spark):
+    """q_dq_completeness: every column's counters ride ONE scan and one
+    single-partition exchange — a per-column scan (6x the bytes) or any
+    hash exchange is a regression."""
+    plan = _plan(spark, "q_dq_completeness")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "Join" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan

@@ -571,3 +571,113 @@ def test_stateful_sessions_stream_equals_batch_twin(spark, tmp_path):
     # more events than half1 alone contributed) — guarantees the
     # open-session path was actually exercised by this fixture
     assert len(want) > 0
+
+
+def test_stateful_holt_stream_bit_equals_batch_twin(spark, tmp_path):
+    """user_holt_stream drained over two TIME-SPLIT micro-batches must
+    be BIT-EQUAL (==, not isclose) to q_ts_holt's batch answer: the
+    coupled level/trend recurrence folds in the same (ts, event_id)
+    order and Python floats are the same IEEE doubles as the JVM HOF's."""
+    src_dir = str(tmp_path / "holt_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events")
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0]["c"]
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = ops.user_holt_stream(stream)
+    name = f"holt_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT user_id, n_events, level, trend, forecast_1 FROM {name}"
+    ).collect()
+    q.stop()
+    final = {}
+    for r in rows:  # update mode: the emission with the largest n wins
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.level, r.trend, r.forecast_1)
+    from database_cloner_spark.registry import specs
+
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in specs()["q_ts_holt"].builder(spark, SF).collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        assert final[uid] == w, (uid, final[uid], w)  # bit-equality
+
+
+def test_stateful_running_distinct_stream_equals_batch_twin(spark, tmp_path):
+    """user_running_distinct_stream drained over two TIME-SPLIT
+    micro-batches must equal q_win_running_distinct's batch answer
+    ROW-FOR-ROW (integer-exact drained-equal contract): every event
+    emits exactly one row carrying the post-event distinct-type count,
+    and the keyed state (the seen-type set) is bounded by the type
+    domain, not the stream length."""
+    src_dir = str(tmp_path / "rdist_src")
+    os.makedirs(src_dir)
+    ev = load(spark, SF, "events")
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0]["c"]
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = ops.user_running_distinct_stream(stream)
+    name = f"rdist_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q.processAllAvailable()
+    rows = spark.sql(
+        f"SELECT event_id, user_id, n_types_seen FROM {name}"
+    ).collect()
+    q.stop()
+    got = {(r.event_id, r.user_id): r.n_types_seen for r in rows}
+    assert len(got) == len(rows)  # each event emitted exactly once
+    from database_cloner_spark.registry import specs
+
+    want = {
+        (r.event_id, r.user_id): r.n_types_seen
+        for r in specs()["q_win_running_distinct"].builder(spark, SF).collect()
+    }
+    assert got == want
