@@ -14,6 +14,7 @@ from __future__ import annotations
 import pytest
 
 from database_cloner_spark.registry import all_queries, get_query
+from tests.plan_cache import plan_of
 
 # Queries whose plans legitimately contain BroadcastNestedLoopJoin:
 # every one broadcasts a bounded tiny frame (a 1-row scalar — probe
@@ -55,16 +56,15 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(spark, name: str) -> str:
-    df = all_queries()[name](spark, SF_DIR)
-    return df._jdf.queryExecution().executedPlan().toString()
+    return plan_of(spark, name, SF_DIR)
 
 
 def test_no_cartesian_products_anywhere(spark):
     """No registered operator may plan a CartesianProduct, and
     BroadcastNestedLoopJoin is restricted to the audited allowlist."""
     offenders = {}
-    for name, fn in all_queries().items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name in all_queries():
+        plan = plan_of(spark, name, SF_DIR)
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"
         elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_ALLOWED:
@@ -210,7 +210,10 @@ def test_bucketed_join_key_is_shuffle_free(spark):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        plan = _plan(spark, "q_join_bucketed")
+        # bypass plan_cache: this plan must be BUILT under the
+        # broadcast-off conf, not served from the default-conf sweep
+        df = all_queries()["q_join_bucketed"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert "SortMergeJoin" in plan, plan
@@ -407,8 +410,8 @@ def test_low_cardinality_window_partitions_ride_bounded_inputs(spark):
     (user_id, doc_id, keys...) are exempt: their groups stay
     task-sized at 100 TB."""
     offenders = {}
-    for name, fn in all_queries().items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name in all_queries():
+        plan = plan_of(spark, name, SF_DIR)
         if "windowspecdefinition" not in plan:
             continue
         for off, part in _window_partition_sets(plan):

@@ -24,6 +24,7 @@ import re
 import pytest
 
 from database_cloner_spark.registry import all_queries
+from tests.plan_cache import plan_of
 
 SF_DIR = "/root/testdata/sf0.001"
 SCALE_MD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE.md")
@@ -67,8 +68,8 @@ def test_plans_fit_shuffle_budgets(spark):
     """Single sweep (build/explain only, no execution): each key's plan
     must not exceed its budgeted Exchange counts."""
     offenders = {}
-    for name, fn in all_queries().items():
-        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    for name in all_queries():
+        plan = plan_of(spark, name, SF_DIR)
         got = (
             plan.count("Exchange hashpartitioning"),
             plan.count("Exchange rangepartitioning"),
