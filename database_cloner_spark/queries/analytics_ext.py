@@ -3193,3 +3193,97 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("__st.l") + F.col("__st.b")).alias("forecast_1"),
         )
     )
+
+
+# Last-touch marketing attribution: each purchase is attributed to the
+# user's latest click at-or-before it iff that click happened within
+# the attribution window (1 hour), else counted organic. The carry is
+# the q_join_asof union-form (one user_id shuffle, running max of click
+# time — never a per-key range join); time math is exact epoch micros;
+# only the final per-bucket revenue sum touches doubles, rounded at the
+# 2-decimal edge like every revenue key.
+_ATTR_WINDOW_US = 3_600_000_000  # 1 hour
+
+_ORACLE_ATTRIBUTION = f"""
+WITH ev AS (
+  SELECT user_id, event_type, value,
+         epoch_us(ts) AS us, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IN ('click', 'purchase')
+),
+carried AS (
+  SELECT user_id, event_type, value, us,
+         MAX(CASE WHEN event_type = 'click' THEN us END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS last_click_us
+  FROM ev
+)
+SELECT CASE WHEN last_click_us IS NOT NULL
+             AND us - last_click_us <= {_ATTR_WINDOW_US}
+            THEN 'attributed' ELSE 'organic' END AS attribution,
+       COUNT(*)::BIGINT AS n_purchases,
+       ROUND(SUM(COALESCE(value, 0.0)), 2) AS total_value
+FROM carried
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("q_events_attribution", oracle=_ORACLE_ATTRIBUTION, tier="X")
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution split: purchases whose user clicked
+    within the last hour are 'attributed', the rest 'organic' — with
+    per-bucket purchase counts and revenue. The composite a marketing
+    pipeline runs hourly, built on the q_join_asof union-carry shape:
+    clicks and purchases interleave in ONE scan, ONE user_id shuffle
+    orders them by (ts, event_id), and a running MAX carries the latest
+    click's epoch-micros forward — no join, no per-key range probe, no
+    second exchange until the 2-row bucket fold. The window delta is
+    exact integer micros; doubles appear only in the final revenue SUM,
+    rounded at 2 decimals on identical operands (the q_join_multiway
+    revenue discipline)."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = ev.select(
+        "event_type",
+        "value",
+        "us",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("us"))
+        ).over(w).alias("last_click_us"),
+    )
+    purchases = carried.filter(F.col("event_type") == "purchase")
+    attribution = F.when(
+        F.col("last_click_us").isNotNull()
+        & (F.col("us") - F.col("last_click_us") <= F.lit(_ATTR_WINDOW_US)),
+        F.lit("attributed"),
+    ).otherwise(F.lit("organic"))
+    return (
+        purchases.select(attribution.alias("attribution"), "value")
+        .groupBy("attribution")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+                "total_value"
+            ),
+        )
+    )

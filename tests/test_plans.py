@@ -933,3 +933,24 @@ def test_completeness_single_scan_no_hash_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 0, plan
     assert "Join" not in plan, plan
     assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_bitmap_distinct_folds_map_side(spark):
+    """q_agg_bitmap_distinct: the bitmap build must partial-aggregate
+    (partial_bit_or) before its exchange — the whole point is shipping
+    folded longs, not ids — and the plan stays join-free with exactly
+    the two documented exchanges."""
+    plan = _plan(spark, "q_agg_bitmap_distinct")
+    assert "partial_bit_or" in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_attribution_carry_is_joinless_single_shuffle(spark):
+    """q_events_attribution: the click-carry must be the union-form
+    as-of (one user_id exchange feeding the window), never a join; the
+    bucket fold adds the only other exchange."""
+    plan = _plan(spark, "q_events_attribution")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "windowspecdefinition" in plan, plan
