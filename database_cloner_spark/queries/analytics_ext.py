@@ -3287,3 +3287,118 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# RFM segmentation: per user, recency (exact whole days from the
+# corpus' newest purchase), frequency (purchase count), monetary
+# (revenue, rounded once at the edge); each dimension scored into
+# quintiles by a GLOBAL ntile over the USER-level table (already
+# aggregated — user-cardinality rows, never raw events), then the
+# classic segment census. Total orders everywhere (ties broken by
+# user_id) or the two engines could bucket tied users differently.
+_ORACLE_RFM = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS us, COALESCE(value, 0.0) AS v
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase'
+),
+mx AS (SELECT MAX(us) AS gmax FROM p),
+u AS (
+  SELECT user_id,
+         CAST((mx.gmax - MAX(us)) // 86400000000 AS BIGINT) AS recency_days,
+         COUNT(*)::BIGINT AS frequency,
+         ROUND(SUM(v), 2) AS monetary
+  FROM p CROSS JOIN mx
+  GROUP BY user_id, mx.gmax
+),
+scored AS (
+  SELECT user_id, recency_days, frequency, monetary,
+         NTILE(5) OVER (ORDER BY recency_days ASC, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM u
+)
+SELECT CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       COUNT(*)::BIGINT AS n_users,
+       ROUND(SUM(monetary), 2) AS segment_value
+FROM scored
+GROUP BY r_score, f_score, m_score
+"""
+
+
+@register("q_events_rfm", oracle=_ORACLE_RFM, tier="X")
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation census: users scored 1-5 on purchase recency,
+    frequency, and monetary value, then counted per (r, f, m) cell —
+    the classic lifecycle-marketing cube. Scale shape: ONE two-phase
+    purchase aggregation collapses events to a USER-level table first
+    (map-side partials; the exchange carries users, not events); the
+    corpus max-timestamp is a 1-row broadcast; the three ntile windows
+    run over that ALREADY-AGGREGATED user table (satisfying the
+    low-card-window rule: global-order windows only ride aggregated
+    inputs), and the final census is a second small fold. Honest scale
+    bound: exact quintile ASSIGNMENT is inherently a global rank, so
+    each ntile is a single-task sort of the USER table — fine to ~1e8
+    users; past that the documented swap is approx_percentile cutpoint
+    scoring (only the scorer changes, the census is untouched — the
+    q_dq_profile exact-distinct/HLL precedent). Recency is exact integer
+    days (floor micros div); revenue doubles round once at each edge
+    on identically-summed operands; every ntile order is total via the
+    user_id tie-break (row-position assignment would otherwise bucket
+    tied users engine-differently)."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+        )
+    )
+    mx = p.agg(F.max("us").alias("gmax"))
+    u = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("us").alias("last_us"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("v"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.expr("(gmax - last_us) div 86400000000").cast("long").alias(
+                "recency_days"
+            ),
+            F.col("frequency").cast("long").alias("frequency"),
+            "monetary",
+        )
+    )
+    scored = u.select(
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    ).select(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        "n_users",
+        "segment_value",
+    )

@@ -499,3 +499,71 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(hapax * 1000000L) div vocab").cast("long").alias("hapax_ppm"),
         F.expr("(vocab * 1000000L) div n_tokens").cast("long").alias("ttr_ppm"),
     )
+
+
+def _readability_oracle() -> str:
+    from database_cloner_spark.queries.oracle_fragments import WS_CLASS
+
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(regexp_replace(text, '{WS_CLASS}', '', 'g'))
+              AS BIGINT) AS n_chars_vis,
+         CAST(len({tokens_sql()}) AS BIGINT) AS n_words,
+         CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+              AS BIGINT) AS n_sentences
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id, n_chars_vis, n_words, n_sentences,
+       4.71 * (CAST(n_chars_vis AS DOUBLE) / CAST(n_words AS DOUBLE))
+         + 0.5 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         - 21.43 AS ari
+FROM m WHERE n_words > 0
+"""
+
+
+_ORACLE_READABILITY = _readability_oracle()
+
+
+@register("q_text_readability", oracle=_ORACLE_READABILITY, tier="X")
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated Readability Index per document — the grade-level
+    quality signal a curation pipeline uses alongside q_text_quality's
+    heuristics (very low ARI = fragments/boilerplate, absurdly high =
+    run-on OCR soup). Chosen over Flesch-Kincaid deliberately: ARI
+    needs no syllable counting and NO logarithm — it is pure arithmetic
+    over three exact integers (visible chars, words, sentence marks),
+    so the score doubles are bit-identical cross-engine with zero
+    output rounding (the no-libm discipline): both engines parse the
+    same 4.71/0.5/21.43 literals and evaluate the same expression tree
+    over identical integer-derived operands. Sentences = runs of
+    [.!?] with a floor of 1 (headline-style docs count as one
+    sentence); chars = length after stripping the shared WS_CLASS;
+    words = the shared tokenizer's count. Map-only: zero exchanges,
+    scan-to-project, trivially scale-linear."""
+    from database_cloner_spark.llm.textprep import WS_CLASS
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    n_chars_vis = F.length(
+        F.regexp_replace(F.col("text"), WS_CLASS, "")
+    ).cast("long")
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_chars_vis.alias("n_chars_vis"),
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+    ).filter(F.col("n_words") > 0)
+    ari = (
+        F.lit(4.71)
+        * (F.col("n_chars_vis").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(0.5)
+        * (F.col("n_words").cast("double") / F.col("n_sentences").cast("double"))
+        - F.lit(21.43)
+    )
+    return m.select(
+        "doc_id", "n_chars_vis", "n_words", "n_sentences", ari.alias("ari")
+    )

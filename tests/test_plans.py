@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "q_text_tv_divergence",      # 1-row batch-totals frame (n_terms, N1, N2)
     "q_events_cooccurrence",     # 1-row session-count frame (N)
     "q_dq_referential",          # four 1-row totals x 1-row orphan-agg folds
+    "q_events_rfm",              # 1-row corpus max-timestamp frame (recency anchor)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -954,3 +955,22 @@ def test_attribution_carry_is_joinless_single_shuffle(spark):
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "windowspecdefinition" in plan, plan
+
+
+def test_rfm_windows_ride_user_table(spark):
+    """q_events_rfm: the global ntile windows must consume the
+    already-aggregated USER table (a HashAggregate deeper than every
+    window), and the event scan collapses map-side first."""
+    plan = _plan(spark, "q_events_rfm")
+    assert "ntile" in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    head = plan.index("ntile")
+    assert "HashAggregate" in plan[head:], plan
+
+
+def test_readability_is_map_only(spark):
+    """q_text_readability: scan-to-project, zero exchanges of any kind
+    — a shuffle appearing here means someone broke the map-only shape."""
+    plan = _plan(spark, "q_text_readability")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
