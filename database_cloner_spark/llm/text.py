@@ -420,3 +420,51 @@ def chunk_documents(
         F.array_join("__w", " ").alias("chunk_text"),
         F.size("__w").alias("n_tokens"),
     )
+
+
+def segment_boilerplate_census(
+    docs: DataFrame,
+    seg_len: int = 8,
+    bp_df: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate EXPOSURE census — segment_dedup's read-only sibling:
+    instead of cutting high-df segments, report per document how much
+    of it IS boilerplate (segments appearing in >= bp_df docs): the
+    triage signal that decides whether a source needs the dedup pass at
+    all, and the per-doc feature a quality model consumes. Same segment
+    definition as segment_dedup (fixed non-overlapping seg_len-token
+    runs), same scale shape: df is one map-combined groupBy keyed on
+    xxhash64(segment) (8-byte shuffle keys), the join back is an
+    equi-join on that hash, and the per-doc fold is one more compact
+    groupBy — no corpus-wide window anywhere. bp_ppm is exact
+    floor(ppm) on exactly-counted integers."""
+    docs = docs.filter(F.col(text_col).isNotNull())
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
+    seg_at = lambda i: F.array_join(  # noqa: E731
+        F.slice(toks, (i - F.lit(1)) * seg_len + F.lit(1), F.lit(seg_len)), " "
+    )
+    segs = F.when(
+        F.size(toks) > 0, F.transform(F.sequence(F.lit(1), n_segs), seg_at)
+    ).otherwise(F.array().cast("array<string>"))
+    seg_rows = docs.select(
+        F.col("doc_id"), F.explode(segs).alias("seg")
+    ).withColumn("seg_h", F.xxhash64("seg"))
+    seg_df = seg_rows.groupBy("seg_h").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    per = (
+        seg_rows.join(seg_df, "seg_h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("df") >= bp_df, 1).otherwise(0)).alias("n_bp"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.col("n_bp").cast("long").alias("n_boilerplate"),
+        F.expr("(n_bp * 1000000L) div n_segs").cast("long").alias("bp_ppm"),
+    )

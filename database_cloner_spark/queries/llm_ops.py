@@ -1154,3 +1154,48 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("orig_bytes"), F.lit(256)).cast("long").alias("kept_bytes"),
         F.hex(F.substring(F.col("payload"), 253, 4)).alias("tail_hex"),
     )
+
+
+# Boilerplate-exposure census: per document, how many of its 8-token
+# segments appear in >= 3 documents corpus-wide — segment_dedup's
+# read-only sibling (q_text_line_dedup CUTS df>=2 segments; this key
+# MEASURES df>=3 exposure so a pipeline can triage sources before
+# paying for the cut). Same segment CTEs as _ORACLE_LINE_DEDUP so the
+# two keys' segment semantics cannot drift.
+_ORACLE_BOILERPLATE = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS ts
+              FROM documents WHERE text IS NOT NULL),
+seglists AS (
+  SELECT doc_id,
+         [list_aggregate(ts[(i-1)*8+1:i*8], 'string_agg', ' ')
+          for i in range(1, CAST(ceil(len(ts)/8.0) AS INT) + 1)] AS segs
+  FROM toks
+),
+seg_rows AS (SELECT doc_id, unnest(segs) AS seg FROM seglists),
+seg_df AS (SELECT seg, COUNT(DISTINCT doc_id) AS df FROM seg_rows GROUP BY seg),
+per AS (
+  SELECT r.doc_id, COUNT(*) AS n_segs,
+         SUM(CASE WHEN d.df >= 3 THEN 1 ELSE 0 END) AS n_bp
+  FROM seg_rows r JOIN seg_df d ON r.seg = d.seg
+  GROUP BY r.doc_id
+)
+SELECT doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_bp AS BIGINT) AS n_boilerplate,
+       CAST((n_bp * 1000000) // n_segs AS BIGINT) AS bp_ppm
+FROM per
+"""
+
+
+@register("q_text_boilerplate", oracle=_ORACLE_BOILERPLATE, tier="X")
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-exposure census (read-only sibling of
+    q_text_line_dedup): per doc, the count and ppm share of its 8-token
+    segments that appear in >= 3 docs corpus-wide — headers, footers,
+    license blurbs. The triage signal that decides whether a source
+    needs the (more expensive) cut pass, and a per-doc quality feature.
+    Scale shape: llm/text.segment_boilerplate_census — segment df is
+    ONE map-combined groupBy keyed on xxhash64(segment) (8-byte shuffle
+    keys, never segment text), the join back an equi-join on the same
+    hash, the per-doc fold one more compact groupBy; no corpus-wide
+    window. Exact integers throughout, floor(ppm) at the edge."""
+    return llmtext.segment_boilerplate_census(load(spark, sf_dir, "documents"))

@@ -457,3 +457,62 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     are excluded (a zero-weight doc must never be drawn)."""
     docs = load(spark, sf_dir, "documents")
     return es_sample(docs, "doc_id", "n_chars", _ES_K).select("doc_id")
+
+
+# Class-balanced downsampling: every language keeps exactly
+# min-class-count docs, picked by the Knuth draw (retry/repartition
+# stable) with doc_id tie-break — the class-imbalance fix a training
+# mix applies before sampling weights, expressed entirely in
+# deterministic integer arithmetic.
+_ORACLE_SAMPLE_BALANCED = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         ((doc_id % {_MOD}) * {_KNUTH}) % {_MOD} AS h
+  FROM documents WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+),
+mc AS (
+  SELECT MIN(c) AS min_count
+  FROM (SELECT lang, COUNT(*) AS c FROM d GROUP BY lang)
+),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM d
+)
+SELECT r.doc_id, r.lang
+FROM r CROSS JOIN mc
+WHERE r.rn <= mc.min_count
+"""
+
+
+@register("q_sample_balanced", oracle=_ORACLE_SAMPLE_BALANCED, tier="X")
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep exactly min-class-count docs
+    of EVERY language — the majority-class cut a training mix applies
+    when a head language would otherwise drown the tail. Deterministic
+    by construction: the kept set is the min_count smallest Knuth draws
+    per language (doc_id tie-break), so retries, repartitioning, and
+    cluster size cannot change the training set (the module's standing
+    contract; df.sample() cannot promise any of that). Scale shape: the
+    min-class count folds two-phase to ONE row and is collected
+    driver-side (a bounded-metadata collect, the centroid-ranking
+    precedent) so the rank filter is a LITERAL — that is what lets
+    Spark plan WindowGroupLimit, forwarding at most min_count rows per
+    language from each map task instead of fully sorting a
+    bounded-domain language partition; a dynamic column threshold
+    defeats the pushdown, and the low-card window guard would rightly
+    flag the resulting whole-language sort."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("doc_id").isNotNull())
+        .select("doc_id", "lang", _split_hash("doc_id").alias("h"))
+    )
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    min_count = counts.agg(F.min("c")).collect()[0][0] or 0
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang").orderBy(F.asc("h"), F.asc("doc_id"))
+    r = d.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+    return r.filter(F.col("rn") <= F.lit(int(min_count))).select(
+        "doc_id", "lang"
+    )

@@ -974,3 +974,22 @@ def test_readability_is_map_only(spark):
     plan = _plan(spark, "q_text_readability")
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_boilerplate_shuffles_hashes_not_text(spark):
+    """q_text_boilerplate: the df exchange must be keyed on the 64-bit
+    segment hash, never raw segment text, with map-side partials."""
+    import re as _re
+
+    plan = _plan(spark, "q_text_boilerplate")
+    assert _re.search(r"Exchange hashpartitioning\(seg_h#\d+", plan), plan
+    assert "partial_count" in plan, plan
+
+
+def test_sample_balanced_plans_group_limit(spark):
+    """q_sample_balanced: the literal rank filter must plan
+    WindowGroupLimit (per-task ≤min_count forwarding) — a dynamic
+    threshold silently reverts to whole-language sorts."""
+    plan = _plan(spark, "q_sample_balanced")
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
