@@ -583,7 +583,8 @@ def _uniq_oracle() -> str:
 SELECT '{label}' AS key_name,
        CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_rows,
        COUNT(*)::BIGINT AS n_keys,
-       CAST(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+       CAST(COALESCE(SUM(CASE WHEN m > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS dup_keys,
        CAST(COALESCE(MAX(m), 0) AS BIGINT) AS max_mult,
        CAST(CASE WHEN COALESCE(SUM(m), 0) > 0
                  THEN ((SUM(m) - COUNT(*)) * 1000000) // SUM(m)
@@ -666,7 +667,7 @@ SELECT '{label}' AS fk_name,
        CAST(COALESCE(SUM(m), 0) AS BIGINT) AS n_child_rows,
        CAST(COALESCE(SUM(CASE WHEN orphan THEN m ELSE 0 END), 0)
             AS BIGINT) AS n_orphan_rows,
-       CAST(SUM(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN orphan THEN 1 ELSE 0 END), 0) AS BIGINT)
          AS missing_parents,
        CAST(CASE WHEN COALESCE(SUM(m), 0) > 0
                  THEN (COALESCE(SUM(CASE WHEN orphan THEN m ELSE 0 END), 0)

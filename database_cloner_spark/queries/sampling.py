@@ -501,7 +501,11 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     language from each map task instead of fully sorting a
     bounded-domain language partition; a dynamic column threshold
     defeats the pushdown, and the low-card window guard would rightly
-    flag the resulting whole-language sort."""
+    flag the resulting whole-language sort. Consequence, documented
+    like the IVF index builds (tests/test_plans.py module note): this
+    builder runs one bounded two-phase count JOB at DataFrame-build
+    time — plan sweeps over this key execute that small aggregation,
+    not zero jobs."""
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("lang").isNotNull() & F.col("doc_id").isNotNull())

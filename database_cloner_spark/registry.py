@@ -116,7 +116,14 @@ def _driver_green() -> dict[str, dict]:
         return {}
     if isinstance(raw, list):
         return {k: {"round": 0, "mode": "hash"} for k in raw}
-    return raw
+    # migrate entries from any legacy dict shape (values without
+    # round/mode load as maximally-stale hash entries instead of
+    # KeyError-ing every rotation consumer)
+    return {
+        k: (v if isinstance(v, dict) and "round" in v and "mode" in v
+            else {"round": 0, "mode": "hash"})
+        for k, v in raw.items()
+    }
 
 
 def _rotation_order(keys: list[str]) -> list[str]:

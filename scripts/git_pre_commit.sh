@@ -20,17 +20,24 @@ cd "$(git rev-parse --show-toplevel)"
 # capture first, then grep: `git diff | grep -q` under pipefail can
 # report 141 (SIGPIPE) when grep exits at the first match, silently
 # skipping the gate this hook exists to enforce
-GATED='^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py|tests/)'
+# ONE base pattern: TRIGGER (query/operator code that makes the gate
+# fire) and GATED (everything the refusal below must also cover —
+# trigger paths plus tests/) both derive from it so the two scopes
+# cannot drift apart when a path is added.
+TRIGGER='^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)'
+GATED="${TRIGGER%)}|tests/)"
 CHANGED="$(git diff --cached --name-only)"
-if grep -qE \
-  '^(database_cloner_spark/(queries|functions|llm|streaming)/|database_cloner_spark/(registry|table_usage)\.py|__spark_entry__\.py)' \
-  <<<"$CHANGED"; then
+if grep -qE "$TRIGGER" <<<"$CHANGED"; then
   # The gate runs pytest against the WORKING TREE, so a partially
   # staged gated file would validate code that is not being committed
   # (an unstaged fix can green-light a broken staged snapshot, and
   # vice versa — r8 ADVICE). Rather than stash-juggle, refuse: gated
-  # paths must be fully staged when the gate fires.
-  UNSTAGED="$(git diff --name-only | grep -E "$GATED" || true)"
+  # paths must be fully staged when the gate fires. UNTRACKED gated
+  # files count too: pytest would validate them while the commit
+  # lacks them entirely (the import-breaks-after-commit hole).
+  UNSTAGED="$( { git diff --name-only; \
+                 git ls-files --others --exclude-standard; } \
+               | grep -E "$GATED" || true)"
   if [ -n "$UNSTAGED" ]; then
     echo "[pre-commit] REFUSING: gated files have unstaged changes, so the"
     echo "plan+parity gate would validate a tree that differs from this commit:"

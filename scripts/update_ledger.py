@@ -45,7 +45,11 @@ def load_ledger(path: str = LEDGER) -> dict[str, dict]:
         raw = json.load(f)
     if isinstance(raw, list):  # legacy: flat list of green key names
         return {k: {"round": 0, "mode": "hash"} for k in raw}
-    return raw
+    return {
+        k: (v if isinstance(v, dict) and "round" in v and "mode" in v
+            else {"round": 0, "mode": "hash"})
+        for k, v in raw.items()
+    }
 
 
 def _round_of(path: str) -> int:
@@ -54,7 +58,9 @@ def _round_of(path: str) -> int:
 
 
 def main(paths: list[str]) -> None:
-    ledger = load_ledger()
+    # read the module attribute at CALL time (a def-time default would
+    # freeze the original path and defeat test monkeypatching)
+    ledger = load_ledger(LEDGER)
     for path in paths:
         rnd = _round_of(path)
         with open(path) as f:
@@ -66,9 +72,13 @@ def main(paths: list[str]) -> None:
                 # Rows-only by design (SURVEY.md marks these ✗-oracle).
                 mode = "rows"
             else:
-                # FAIL rows and missing keys: drop any stale entry so the
-                # key re-enters the never-verified front of the rotation.
-                ledger.pop(key, None)
+                # FAIL row: drop the entry so the key re-enters the
+                # never-verified front — but only if this file is at
+                # least as new as the ledgered pass (merging an OLDER
+                # round's file must not erase a newer green row).
+                prev = ledger.get(key)
+                if prev is None or rnd >= prev["round"]:
+                    ledger.pop(key, None)
                 continue
             prev = ledger.get(key)
             if prev is None or rnd >= prev["round"]:

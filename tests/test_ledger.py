@@ -1,0 +1,102 @@
+"""update_ledger merge semantics + registry ledger-format migration.
+
+Pinned after the r9 code review: (1) a FAIL row from an OLDER round's
+CORRECTNESS file must not erase a NEWER round's green entry (catch-up
+merges and re-runs are explicitly supported by the multi-file CLI);
+(2) any legacy ledger shape must load as maximally-stale entries, never
+KeyError the rotation.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "update_ledger",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "scripts", "update_ledger.py"),
+)
+update_ledger = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(update_ledger)
+
+
+def _run_merge(tmp_path, monkeypatch, ledger_before, files):
+    """files: list of (filename, rows-dict) merged in order."""
+    ledger_path = str(tmp_path / "driver_ledger.json")
+    if ledger_before is not None:
+        with open(ledger_path, "w") as f:
+            json.dump(ledger_before, f)
+    monkeypatch.setattr(update_ledger, "LEDGER", ledger_path)
+    paths = []
+    for fname, rows in files:
+        p = str(tmp_path / fname)
+        with open(p, "w") as f:
+            json.dump(rows, f)
+        paths.append(p)
+    update_ledger.main(paths)
+    with open(ledger_path) as f:
+        return json.load(f)
+
+
+def test_older_fail_row_cannot_erase_newer_green(tmp_path, monkeypatch):
+    led = _run_merge(
+        tmp_path, monkeypatch,
+        {"q_x": {"round": 9, "mode": "hash"}},
+        [("CORRECTNESS_r08.json", {"q_x": {"err": "FAIL", "spark_rows": None}})],
+    )
+    assert led["q_x"] == {"round": 9, "mode": "hash"}
+
+
+def test_same_or_newer_fail_row_does_demote(tmp_path, monkeypatch):
+    led = _run_merge(
+        tmp_path, monkeypatch,
+        {"q_x": {"round": 8, "mode": "hash"}},
+        [("CORRECTNESS_r09.json", {"q_x": {"err": "FAIL", "spark_rows": None}})],
+    )
+    assert "q_x" not in led
+
+
+def test_older_green_row_cannot_downgrade_round(tmp_path, monkeypatch):
+    led = _run_merge(
+        tmp_path, monkeypatch,
+        {"q_x": {"round": 9, "mode": "hash"}},
+        [("CORRECTNESS_r07.json", {"q_x": {"hash_match": True}})],
+    )
+    assert led["q_x"]["round"] == 9
+
+
+def test_rows_only_pass_records_rows_mode(tmp_path, monkeypatch):
+    led = _run_merge(
+        tmp_path, monkeypatch, None,
+        [("CORRECTNESS_r09.json",
+          {"q_r": {"err": "no_oracle", "spark_rows": 12},
+           "q_h": {"hash_match": True}})],
+    )
+    assert led["q_r"] == {"round": 9, "mode": "rows"}
+    assert led["q_h"] == {"round": 9, "mode": "hash"}
+
+
+def test_legacy_shapes_load_as_stale(tmp_path, monkeypatch):
+    # flat list AND a dict with bare values both migrate, never raise
+    for legacy in (["q_a", "q_b"], {"q_a": True, "q_b": "green"}):
+        path = str(tmp_path / "led.json")
+        with open(path, "w") as f:
+            json.dump(legacy, f)
+        loaded = update_ledger.load_ledger(path)
+        assert loaded == {
+            "q_a": {"round": 0, "mode": "hash"},
+            "q_b": {"round": 0, "mode": "hash"},
+        }
+
+
+def test_registry_migrates_legacy_dict_ledger(monkeypatch, tmp_path):
+    from database_cloner_spark import registry
+
+    path = str(tmp_path / "led.json")
+    with open(path, "w") as f:
+        json.dump({"q_a": True}, f)
+    monkeypatch.setattr(registry, "_LEDGER_PATH", path)
+    green = registry._driver_green()
+    assert green == {"q_a": {"round": 0, "mode": "hash"}}

@@ -111,15 +111,24 @@ def test_stream_to_log_sink(spark, tmp_path):
     assert got.filter(F.col("level") != "EVENT").count() == 0
 
 
-def test_stateful_running_totals_across_batches(spark, tmp_path):
-    # Two micro-batches over disjoint row halves: the keyed state must
-    # carry batch-1 counts into batch-2 emissions, and the final totals
-    # must equal the batch twin over the full input.
-    src_dir = str(tmp_path / "state_src")
+def _ts_median_split(ev):
+    """Time-split halves at the median ts: NULL-ts rows ride batch 1 so
+    the op's own NULL filter is exercised mid-stream."""
+    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0]["c"]
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+    return half1, half2
+
+
+def _drain_two_batches(spark, tmp_path, prefix, half1, half2, op, select_sql):
+    """The shared stateful-twin harness: write half1 as a raw-nanos
+    parquet batch, open the stream, drain, land half2, drain again,
+    and return the memory sink's rows. One definition — the six
+    hand-copied versions of this block drifted by round 9 and every
+    EVENTS_SCHEMA / ts-encoding change had that many chances to miss
+    one (r9 code-review)."""
+    src_dir = str(tmp_path / f"{prefix}_src")
     os.makedirs(src_dir)
-    ev = load(spark, SF, "events")
-    half1 = ev.filter(F.col("event_id") % 2 == 0)
-    half2 = ev.filter(F.col("event_id") % 2 == 1)
 
     def as_raw(df):
         return df.withColumn("ts", F.unix_micros("ts") * 1000)
@@ -132,10 +141,9 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
     ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    totals = ops.user_running_totals_stream(stream)
-    name = f"rt_{uuid.uuid4().hex[:8]}"
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
     q = (
-        totals.writeStream.outputMode("update")
+        op(stream).writeStream.outputMode("update")
         .format("memory")
         .queryName(name)
         .trigger(processingTime="0 seconds")
@@ -146,10 +154,23 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         os.path.join(src_dir, "b2.parquet")
     )
     q.processAllAvailable()
-    rows = spark.sql(
-        f"SELECT user_id, n_events, sum_value FROM {name}"
-    ).collect()
+    rows = spark.sql(f"SELECT {select_sql} FROM {name}").collect()
     q.stop()
+    return rows
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    # Two micro-batches over disjoint row halves: the keyed state must
+    # carry batch-1 counts into batch-2 emissions, and the final totals
+    # must equal the batch twin over the full input.
+    ev = load(spark, SF, "events")
+    rows = _drain_two_batches(
+        spark, tmp_path, "rt",
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ops.user_running_totals_stream,
+        "user_id, n_events, sum_value",
+    )
     # last emission per user wins (update mode appends each batch's rows
     # to the memory sink in order)
     final = {}
@@ -451,46 +472,13 @@ def test_stateful_ewma_stream_bit_equals_batch_twin(spark, tmp_path):
     be BIT-EQUAL (==, not isclose) to q_ts_ewma's batch answer: the
     recurrence folds in the same (ts, event_id) order and Python floats
     are the same IEEE doubles the JVM aggregate HOF produces."""
-    src_dir = str(tmp_path / "ewma_src")
-    os.makedirs(src_dir)
     # UNFILTERED events: NULL user_id/value/ts rows ride the stream and
     # the op itself must drop them (batch-twin contract)
-    ev = load(spark, SF, "events")
-    cutoff = ev.agg(
-        F.percentile_approx("ts", 0.5).alias("c")
-    ).collect()[0]["c"]
-    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
-    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
-
-    def as_raw(df):
-        return df.withColumn("ts", F.unix_micros("ts") * 1000)
-
-    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b1.parquet")
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _drain_two_batches(
+        spark, tmp_path, "ewma", half1, half2,
+        ops.user_ewma_stream, "user_id, n_events, ewma",
     )
-    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    # no pre-filter: the op itself must drop NULL rows (a NULL value
-    # reaching pandas is NaN and would poison the state forever)
-    out = ops.user_ewma_stream(stream)
-    name = f"ewma_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b2.parquet")
-    )
-    q.processAllAvailable()
-    rows = spark.sql(f"SELECT user_id, n_events, ewma FROM {name}").collect()
-    q.stop()
     final = {}
     for r in rows:  # update mode: the emission with the largest n wins
         # (order-independent: memory-sink scans carry no cross-batch
@@ -517,45 +505,12 @@ def test_stateful_sessions_stream_equals_batch_twin(spark, tmp_path):
     comparison is ==. The split lands mid-stream, so sessions that
     straddle the batch boundary exercise the open-session re-emission
     path (latest emission per (user, session_idx) = largest n_events)."""
-    src_dir = str(tmp_path / "sess_src")
-    os.makedirs(src_dir)
-    ev = load(spark, SF, "events")
-    cutoff = ev.agg(
-        F.percentile_approx("ts", 0.5).alias("c")
-    ).collect()[0]["c"]
-    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
-    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
-
-    def as_raw(df):
-        return df.withColumn("ts", F.unix_micros("ts") * 1000)
-
-    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b1.parquet")
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _drain_two_batches(
+        spark, tmp_path, "sess", half1, half2,
+        ops.user_sessions_stream,
+        "user_id, session_idx, n_events, duration_us, start_us",
     )
-    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = ops.user_sessions_stream(stream)
-    name = f"sess_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b2.parquet")
-    )
-    q.processAllAvailable()
-    rows = spark.sql(
-        f"SELECT user_id, session_idx, n_events, duration_us, start_us "
-        f"FROM {name}"
-    ).collect()
-    q.stop()
     final = {}
     for r in rows:  # latest emission per session: n_events only grows
         k = (r.user_id, r.session_idx)
@@ -578,42 +533,12 @@ def test_stateful_holt_stream_bit_equals_batch_twin(spark, tmp_path):
     be BIT-EQUAL (==, not isclose) to q_ts_holt's batch answer: the
     coupled level/trend recurrence folds in the same (ts, event_id)
     order and Python floats are the same IEEE doubles as the JVM HOF's."""
-    src_dir = str(tmp_path / "holt_src")
-    os.makedirs(src_dir)
-    ev = load(spark, SF, "events")
-    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0]["c"]
-    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
-    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
-
-    def as_raw(df):
-        return df.withColumn("ts", F.unix_micros("ts") * 1000)
-
-    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b1.parquet")
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _drain_two_batches(
+        spark, tmp_path, "holt", half1, half2,
+        ops.user_holt_stream,
+        "user_id, n_events, level, trend, forecast_1",
     )
-    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = ops.user_holt_stream(stream)
-    name = f"holt_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b2.parquet")
-    )
-    q.processAllAvailable()
-    rows = spark.sql(
-        f"SELECT user_id, n_events, level, trend, forecast_1 FROM {name}"
-    ).collect()
-    q.stop()
     final = {}
     for r in rows:  # update mode: the emission with the largest n wins
         if r.user_id not in final or r.n_events > final[r.user_id][0]:
@@ -636,42 +561,12 @@ def test_stateful_running_distinct_stream_equals_batch_twin(spark, tmp_path):
     emits exactly one row carrying the post-event distinct-type count,
     and the keyed state (the seen-type set) is bounded by the type
     domain, not the stream length."""
-    src_dir = str(tmp_path / "rdist_src")
-    os.makedirs(src_dir)
-    ev = load(spark, SF, "events")
-    cutoff = ev.agg(F.percentile_approx("ts", 0.5).alias("c")).collect()[0]["c"]
-    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
-    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
-
-    def as_raw(df):
-        return df.withColumn("ts", F.unix_micros("ts") * 1000)
-
-    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b1.parquet")
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _drain_two_batches(
+        spark, tmp_path, "rdist", half1, half2,
+        ops.user_running_distinct_stream,
+        "event_id, user_id, n_types_seen",
     )
-    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
-
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(src_dir + "/*")
-    ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    out = ops.user_running_distinct_stream(stream)
-    name = f"rdist_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    q.processAllAvailable()
-    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(src_dir, "b2.parquet")
-    )
-    q.processAllAvailable()
-    rows = spark.sql(
-        f"SELECT event_id, user_id, n_types_seen FROM {name}"
-    ).collect()
-    q.stop()
     got = {(r.event_id, r.user_id): r.n_types_seen for r in rows}
     assert len(got) == len(rows)  # each event emitted exactly once
     from database_cloner_spark.registry import specs
