@@ -517,3 +517,80 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.sum("fs").over(w_run).cast("long").alias("n_types_seen"),
     )
+
+
+# Bounce-rate census over the q_win_sessionize sessions: per user, how
+# many sessions, how many were single-event bounces, and the exact
+# floor(ppm) bounce rate — the engagement-quality summary a product
+# pipeline reads off the sessionizer. Nests the sessionize session
+# definition verbatim so the two keys' gap semantics cannot drift.
+_ORACLE_BOUNCE = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+              OR (epoch_us(ts) - lag(epoch_us(ts)) OVER w) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
+),
+sess AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us NULLS LAST, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+  FROM flagged
+),
+per AS (
+  SELECT user_id, session_idx, COUNT(*) AS n FROM sess
+  GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       COUNT(*)::BIGINT AS n_sessions,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       CAST((SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+            AS BIGINT) AS bounce_ppm
+FROM per GROUP BY user_id
+"""
+
+
+@register("q_win_bounce_rate", oracle=_ORACLE_BOUNCE, tier="X")
+def q_win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user bounce-rate census over the sessionizer's sessions
+    (gap > 6h): session count, single-event bounces, exact floor(ppm)
+    bounce rate — the engagement-quality rollup a product pipeline
+    reads after sessionization. The oracle nests q_win_sessionize's
+    session definition verbatim so gap semantics cannot drift between
+    the two keys. Scale shape: the lag-flag and running-sum windows
+    share the sessionizer's ONE user_id exchange, the (user, session)
+    size count partial-aggregates on the same partitioning (no second
+    data-sized shuffle — session_idx is a function of the user
+    partition), and the final per-user fold is count-table-sized.
+    Integer-exact throughout."""
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = W.partitionBy("user_id").orderBy(us.asc_nulls_last(), F.col("event_id"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    wsum = (
+        W.partitionBy("user_id")
+        .orderBy(us.asc_nulls_last(), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id", F.sum(is_new).over(wsum).alias("session_idx")
+    )
+    per = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_bounces"
+        ),
+    ).select(
+        "user_id",
+        "n_sessions",
+        "n_bounces",
+        F.expr("(n_bounces * 1000000L) div n_sessions").cast("long").alias(
+            "bounce_ppm"
+        ),
+    )

@@ -993,3 +993,13 @@ def test_sample_balanced_plans_group_limit(spark):
     plan = _plan(spark, "q_sample_balanced")
     assert "WindowGroupLimit" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_bounce_rate_shares_sessionizer_exchange(spark):
+    """q_win_bounce_rate: flag window, running sum, session-size count,
+    and per-user fold must all ride the ONE user_id exchange — a second
+    data-sized shuffle means session_idx stopped being computed on the
+    user partitioning."""
+    plan = _plan(spark, "q_win_bounce_rate")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
