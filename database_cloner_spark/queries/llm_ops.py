@@ -1199,3 +1199,59 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, the per-doc fold one more compact groupBy; no corpus-wide
     window. Exact integers throughout, floor(ppm) at the edge."""
     return llmtext.segment_boilerplate_census(load(spark, sf_dir, "documents"))
+
+
+def _oracle_cross_source() -> str:
+    from database_cloner_spark.queries.oracle_fragments import normalized_sql
+
+    # DISTINCT (source, norm_text) first: within-source duplicates must
+    # not inflate the overlap count; the pair join then runs on the
+    # deduped text set with source_a < source_b so each unordered pair
+    # counts once.
+    return f"""
+WITH n AS (
+  SELECT DISTINCT source, {normalized_sql()} AS nt
+  FROM documents
+  WHERE text IS NOT NULL AND source IS NOT NULL
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*)::BIGINT AS n_shared
+FROM n a JOIN n b ON a.nt = b.nt AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
+_ORACLE_CROSS_SOURCE = _oracle_cross_source()
+
+
+@register("q_dedup_cross_source", oracle=_ORACLE_CROSS_SOURCE, tier="X")
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix: for every source
+    pair, how many normalized texts appear in BOTH — the mixture-design
+    input that tells you two crawls are the same feed in disguise
+    (double-weighting a source that q_sample_mixture then upsamples
+    again) and which pairs the fuzzy-dedup pass must scan hardest.
+    Scale shape: texts collapse to DISTINCT (source, xxhash64(norm))
+    FIRST — map-side partial dedup, the exchange carries an 8-byte hash
+    + source, never text — then the self-join runs per hash bucket:
+    cost is sum over shared hashes of (sources-per-hash choose 2),
+    bounded by the (tiny) source domain squared, never corpus^2. The
+    oracle joins on the normalized TEXT itself (readable spec); the
+    engine joins on xxhash64 of it — the q_dedup_exact collision
+    posture (P ~ n^2/2^64, and a collision only perturbs one count)."""
+    from database_cloner_spark.llm.textprep import normalized
+
+    n = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & F.col("source").isNotNull())
+        .select("source", F.xxhash64(normalized(F.col("text"))).alias("h"))
+        .distinct()
+    )
+    a = n.select(F.col("source").alias("source_a"), "h")
+    b = n.select(F.col("source").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -1003,3 +1003,16 @@ def test_bounce_rate_shares_sessionizer_exchange(spark):
     plan = _plan(spark, "q_win_bounce_rate")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_cross_source_shuffles_hash_not_text(spark):
+    """q_dedup_cross_source: the distinct and the pair join must be
+    keyed on the 64-bit text hash — norm_text in any Exchange means the
+    corpus is being shuffled as strings."""
+    import re as _re
+
+    plan = _plan(spark, "q_dedup_cross_source")
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "norm" not in m.group(1), plan
+    # three: the (source, h) distinct, the join re-key on h, the census
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
