@@ -3402,3 +3402,77 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "segment_value",
     )
+
+
+# DAU/MAU stickiness: per calendar month, the exact monthly-active-user
+# count, the mean daily-active-user count (exact rational: sum of the
+# month's daily distinct counts over its active-day count, floored at
+# ppm after x1e6), and stickiness = avg_dau/mau in exact floor(ppm) —
+# sum(dau) * 1e6 div (n_days * mau). The product-health ratio read off
+# every activity dashboard, expressed entirely in integer arithmetic.
+_ORACLE_DAU_MAU = """
+WITH e AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS DATE) AS d,
+         CAST(date_trunc('month', ts) AS DATE) AS m
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+dau AS (
+  SELECT m, d, COUNT(DISTINCT user_id) AS dau FROM e GROUP BY m, d
+),
+mau AS (
+  SELECT m, COUNT(DISTINCT user_id) AS mau FROM e GROUP BY m
+)
+SELECT CAST(dau.m AS VARCHAR) AS month,
+       COUNT(*)::BIGINT AS n_active_days,
+       CAST(MAX(mau.mau) AS BIGINT) AS mau,
+       CAST((SUM(dau.dau) * 1000000) // COUNT(*) AS BIGINT) AS avg_dau_ppm,
+       CAST((SUM(dau.dau) * 1000000) // (COUNT(*) * MAX(mau.mau))
+            AS BIGINT) AS stickiness_ppm
+FROM dau JOIN mau USING (m)
+GROUP BY dau.m
+"""
+
+
+@register("q_events_dau_mau", oracle=_ORACLE_DAU_MAU, tier="X")
+def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per calendar month: exact monthly actives,
+    average daily actives (in 1e-6 users — exact rational, no float
+    mean), and the stickiness ratio avg_dau/mau in exact floor(ppm) —
+    the canonical engagement-health metric. Scale shape: day- and
+    month-grain DISTINCT user counts are two two-phase aggregations
+    over the same scan (grain keys carry the calendar, partial
+    aggregation dedups (grain, user) map-side because a user's events
+    cluster in time); the month join is calendar-bounded (one row per
+    month per side — broadcastable forever); the final fold is
+    month-cardinality. All-integer arithmetic: sum(dau)*1e6 div n_days
+    and div (n_days*mau) — `div` and `//` agree bit-for-bit. UTC
+    session timezone pins date_trunc identically on both engines."""
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("d"),
+            F.date_trunc("month", "ts").cast("date").alias("m"),
+        )
+    )
+    dau = e.groupBy("m", "d").agg(F.count_distinct("user_id").alias("dau"))
+    mau = e.groupBy("m").agg(F.count_distinct("user_id").alias("mau"))
+    j = dau.join(F.broadcast(mau), "m")
+    return j.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active_days"),
+        F.max("mau").cast("long").alias("mau"),
+        F.expr("(sum(dau) * 1000000L) div count(1)").cast("long").alias(
+            "avg_dau_ppm"
+        ),
+        F.expr("(sum(dau) * 1000000L) div (count(1) * max(mau))")
+        .cast("long")
+        .alias("stickiness_ppm"),
+    ).select(
+        F.col("m").cast("string").alias("month"),
+        "n_active_days",
+        "mau",
+        "avg_dau_ppm",
+        "stickiness_ppm",
+    )

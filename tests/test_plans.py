@@ -1016,3 +1016,14 @@ def test_cross_source_shuffles_hash_not_text(spark):
         assert "norm" not in m.group(1), plan
     # three: the (source, h) distinct, the join re-key on h, the census
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_dau_mau_distinct_counts_partial_aggregate(spark):
+    """q_events_dau_mau: both distinct-user counts must partially
+    aggregate before their exchanges (the (grain, user) dedup happens
+    map-side), and the month join must broadcast — a shuffled join on
+    a calendar-bounded side is waste."""
+    plan = _plan(spark, "q_events_dau_mau")
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
