@@ -101,7 +101,15 @@ def validate_db_conf(conf: dict[str, str], *, err=None) -> dict[str, str] | None
                 file=err,
             )
             return None
-    return {**_DB_TYPE_DEFAULTS[db_type], **conf}
+    # Per-key falsy merge, not {**defaults, **conf}: the reference's
+    # ${VAR:-default} substitutes the default for EMPTY strings too
+    # (clone_databases.sh :-default expansions), so an explicitly blank
+    # conf value (APP_ROLE_PREFIX=) must also fall back to the default.
+    merged = dict(conf)
+    for key, default in _DB_TYPE_DEFAULTS[db_type].items():
+        if not merged.get(key):
+            merged[key] = default
+    return merged
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -1378,7 +1378,9 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
     )
     y = F.floor(F.col("value") * 10000).cast(_DEC)
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     pairs = ev.select(
         "user_id", y.alias("y"), F.lag(y).over(w).alias("x")
     ).filter(F.col("x").isNotNull())
@@ -1520,6 +1522,7 @@ WITH pts AS (
   SELECT user_id, value, ts, event_id
   FROM events
   WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
 ),
 l AS (
   SELECT user_id,
@@ -1549,11 +1552,16 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is pinned identically in both engines, so the result double
     is bit-exact with zero output rounding (see _ORACLE_EWMA). At
     100 TB swap sort_array+fold for applyInPandasWithState only if a
-    single user's history outgrows a task — nothing else changes."""
+    single user's history outgrows a task — nothing else changes.
+    event_id is the ts tiebreaker in the struct sort, where Spark puts
+    a NULL FIRST and the oracle's list(ORDER BY) puts it LAST — NULL
+    event_ids are filtered on BOTH sides (the q_ts_holt posture) so
+    the fold order stays bit-identical."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
     )
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1742,7 +1750,7 @@ def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-7, W.currentRow)
     )
     w = pts.select(
@@ -3039,13 +3047,15 @@ def q_events_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("ts").isNotNull()
         & F.col("event_type").isNotNull()
     )
-    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w = W.partitionBy("user_id").orderBy(
+        "ts", F.asc_nulls_last("event_id")
+    )
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     wsum = (
         W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sess = ev.select(
@@ -3127,6 +3137,7 @@ WITH RECURSIVE pts AS (
          COUNT(*) OVER (PARTITION BY user_id) AS n
   FROM events
   WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    AND event_id IS NOT NULL
 ),
 rec AS (
   SELECT user_id, rn, rn + 1 AS next_rn, n,
@@ -3162,11 +3173,16 @@ def q_ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     list_reduce's in-place struct mutation is unusable), so the doubles
     are bit-identical cross-engine — no libm, no output rounding. At 100 TB
     swap the fold for applyInPandasWithState only if one user's history
-    outgrows a task."""
+    outgrows a task. event_id is the ts tiebreaker inside the sorted
+    struct, and Spark's struct sort puts a NULL event_id FIRST while
+    the oracle's ROW_NUMBER ORDER BY puts it LAST — so NULL event_ids
+    are filtered on BOTH sides (the q_win_running_distinct posture) to
+    keep the fold order, hence the level/trend doubles, bit-identical."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
     )
     per_user = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -3215,7 +3231,7 @@ WITH ev AS (
 carried AS (
   SELECT user_id, event_type, value, us,
          MAX(CASE WHEN event_type = 'click' THEN us END)
-           OVER (PARTITION BY user_id ORDER BY us, event_id
+           OVER (PARTITION BY user_id ORDER BY us, event_id NULLS LAST
                  ROWS UNBOUNDED PRECEDING) AS last_click_us
   FROM ev
 )
@@ -3237,7 +3253,9 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket purchase counts and revenue. The composite a marketing
     pipeline runs hourly, built on the q_join_asof union-carry shape:
     clicks and purchases interleave in ONE scan, ONE user_id shuffle
-    orders them by (ts, event_id), and a running MAX carries the latest
+    orders them by (ts, event_id) with event_id pinned asc_nulls_last
+    on both engines (Spark defaults NULLS FIRST, DuckDB LAST — the
+    q_win_dist divergence class), and a running MAX carries the latest
     click's epoch-micros forward — no join, no per-key range probe, no
     second exchange until the 2-row bucket fold. The window delta is
     exact integer micros; doubles appear only in the final revenue SUM,
@@ -3260,7 +3278,7 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("us", "event_id")
+        .orderBy(F.col("us").asc(), F.col("event_id").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = ev.select(

@@ -751,17 +751,24 @@ _COMPLETENESS_COLS = [
 def _completeness_oracle() -> str:
     parts = []
     for col, kind in _COMPLETENESS_COLS:
+        # COALESCE(.., 0) on every countable sum: on an EMPTY events
+        # table DuckDB's un-coalesced SUM is NULL while the engine side
+        # emits coalesce(.., 0L) = 0 — only the timestamp degeneracy
+        # branch stays NULL (n/a by type, both engines).
         if kind == "string":
-            degen = f"SUM(CASE WHEN trim({col}) = '' THEN 1 ELSE 0 END)"
+            degen = (
+                f"COALESCE(SUM(CASE WHEN trim({col}) = '' "
+                "THEN 1 ELSE 0 END), 0)"
+            )
         elif kind == "numeric":
-            degen = f"SUM(CASE WHEN {col} = 0 THEN 1 ELSE 0 END)"
+            degen = f"COALESCE(SUM(CASE WHEN {col} = 0 THEN 1 ELSE 0 END), 0)"
         else:
             degen = "NULL"
         parts.append(f"""
 SELECT '{col}' AS col_name,
        COUNT(*)::BIGINT AS n_rows,
-       CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_null,
+       CAST(COALESCE(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_null,
        CAST(CASE WHEN COUNT(*) > 0
                  THEN (SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END)
                        * 1000000) // COUNT(*)

@@ -59,8 +59,11 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SESSION = """
 WITH seq AS (
   SELECT user_id, ts, value,
+         -- STRICT >: Spark's session_window MERGES an event landing
+         -- exactly at the session end (start + gap), so a gap of
+         -- exactly 30 minutes continues the session on both engines.
          CASE WHEN lag(ts) OVER w IS NULL
-              OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WHERE ts IS NOT NULL  -- Spark session_window() drops NULL event times

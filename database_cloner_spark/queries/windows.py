@@ -81,7 +81,7 @@ def q_win_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-event gap per user: ts - lag(ts), in microseconds (BIGINT —
     exact, no float drift)."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     us = F.unix_micros("ts")
     return ev.select(
         "event_id", "user_id", (us - F.lag(us).over(w)).alias("gap_us")
@@ -104,7 +104,7 @@ def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return ev.select(
@@ -148,7 +148,7 @@ def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-3, W.currentRow)
     )
     return ev.select(
@@ -213,13 +213,13 @@ def q_win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning on user_id (one shuffle total); session stats are a
     partial-aggregated groupBy on (user, session)."""
     ev = load(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), "event_id")
+    w = W.partitionBy("user_id").orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
     us = F.unix_micros("ts")
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     wsum = (
         W.partitionBy("user_id")
-        .orderBy(us.asc_nulls_last(), F.col("event_id"))
+        .orderBy(us.asc_nulls_last(), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sess = ev.select(
@@ -334,7 +334,7 @@ def q_win_frame_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     w = (
         W.partitionBy("user_id")
-        .orderBy(F.asc_nulls_last("ts"), "event_id")
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_id"))
         .rowsBetween(-2, W.currentRow)
     )
     return ev.select(
@@ -567,12 +567,12 @@ def q_win_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer-exact throughout."""
     ev = load(spark, sf_dir, "events")
     us = F.unix_micros("ts")
-    w = W.partitionBy("user_id").orderBy(us.asc_nulls_last(), F.col("event_id"))
+    w = W.partitionBy("user_id").orderBy(us.asc_nulls_last(), F.asc_nulls_last("event_id"))
     gap = us - F.lag(us).over(w)
     is_new = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
     wsum = (
         W.partitionBy("user_id")
-        .orderBy(us.asc_nulls_last(), F.col("event_id"))
+        .orderBy(us.asc_nulls_last(), F.asc_nulls_last("event_id"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sess = ev.select(

@@ -79,6 +79,14 @@ _NASTY_EVENTS = [
     # payload): dedup must pick a DETERMINISTIC canonical survivor, not
     # whichever row a task saw first
     (0, _ts("2024-01-05T00:00:00"), 99, "error", 9.75, '{"k": 99}'),
+    # NULL event_id TIED on ts with a real event for the same user:
+    # event_id is the ts tiebreaker in every window/sort key, and Spark
+    # ASC sorts the NULL first while DuckDB sorts it last — the r9
+    # ADVICE divergence class (q_events_attribution: a NULL-id click
+    # tied with a purchase flips attributed/organic if unpinned).
+    (None, _ts("2024-01-06T00:00:00"), 11, "click", 1.0, '{"k": 1}'),
+    (30, _ts("2024-01-06T00:00:00"), 11, "purchase", 55.5, '{"k": 2}'),
+    (31, _ts("2024-01-06T00:30:00"), 11, "view", 2.0, '{"k": 3}'),
 ]
 
 _EXEMPT: dict[str, str] = {

@@ -220,3 +220,22 @@ def test_validate_db_conf_defaults_applied():
     assert mg["MONGO_AUTH_DATABASE"] == "custom"  # explicit wins
     assert mg["MONGO_APP_USER_SUFFIX"] == "_app_user"
     assert mg["TEST_USER_CONNECTIONS"] == "true"
+
+
+def test_validate_db_conf_empty_value_falls_back_to_default():
+    """An explicitly EMPTY conf value takes the default, matching the
+    reference's ${VAR:-default} expansion which substitutes for empty
+    strings too (clone_databases.sh:86-89) — not just for unset keys."""
+    from database_cloner_spark.__main__ import validate_db_conf
+
+    pg = validate_db_conf(
+        {
+            "DB_TYPE": "postgresql", "PG_HOST": "h", "PG_PORT": "5432",
+            "PG_SUPERUSER": "postgres", "DB_PREFIX": "clone_",
+            "DATABASES_TO_CLONE": "region",
+            "APP_ROLE_PREFIX": "",  # blank, as APP_ROLE_PREFIX= in a conf
+            "SOURCE_SCHEMA_NAME": "",
+        }
+    )
+    assert pg["APP_ROLE_PREFIX"] == "r_rw_"
+    assert pg["SOURCE_SCHEMA_NAME"] == "public"
