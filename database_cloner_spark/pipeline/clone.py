@@ -37,6 +37,7 @@ from pyspark.sql import SparkSession
 from database_cloner_spark.pipeline import admission
 from database_cloner_spark.pipeline import principals as prin
 from database_cloner_spark.pipeline import probe, reports, verify
+from database_cloner_spark.sources import jdbc
 from database_cloner_spark.sources.parquet import load, table_names
 
 
@@ -45,13 +46,27 @@ class CloneConfig:
     source_dir: str
     target_dir: str
     db_prefix: str = "clone_"
-    # At-rest format of the SOURCE namespace: 'parquet' (default) or
-    # 'orc' (sources/orc.py). The clone always lands as parquet — the
-    # engine's at-rest format — which makes the pipeline the one-pass
-    # distributed format converter for neighbour-team ORC tables
-    # (SCALE.md engine-wide rule 7), with re-partitioning and
+    # At-rest format of the SOURCE namespace: 'parquet' (default),
+    # 'orc' (sources/orc.py), or 'jdbc' (sources/jdbc.py — the live-
+    # server face, clone_databases.sh:137-190). The clone lands as
+    # parquet unless jdbc_target is set — which makes the pipeline the
+    # one-pass distributed format converter for neighbour-team ORC
+    # tables (SCALE.md engine-wide rule 7) AND the dump half of the
+    # reference's dump/restore (CS:209-210), with re-partitioning and
     # sort-within-partitions applied in the same pass.
     source_format: str = "parquet"
+    # Live-server endpoints (sources/jdbc.py). source_format='jdbc'
+    # requires jdbc_source + a per-table JdbcPartitionSpec in
+    # jdbc_partition (the pipeline REFUSES an unpartitioned JDBC read —
+    # one connection serializing a table through one executor is never
+    # acceptable); jdbc_target redirects the write side to a server
+    # (the restore half, CS:817-818). Either side may be live
+    # independently: jdbc->parquet is the dump, parquet->jdbc the
+    # restore, jdbc->jdbc the cross-server clone (same-server clones
+    # should instead ship jdbc.server_side_clone_sql, CS:245-246).
+    jdbc_source: jdbc.JdbcTarget | None = None
+    jdbc_target: jdbc.JdbcTarget | None = None
+    jdbc_partition: dict[str, jdbc.JdbcPartitionSpec] | None = None
     # Comma-separated work list (DATABASES_TO_CLONE, PC:22) or explicit list.
     tables: str | list[str] | None = None
     create_backup_before_clone: bool = False
@@ -126,6 +141,12 @@ def _parse_worklist(
 ) -> list[str]:
     """Comma-split + whitespace-trim (clone_databases.sh:1025,:1030)."""
     if tables is None:
+        if source_format == "jdbc":
+            # No server catalog to enumerate offline; the reference's
+            # jdbc-face work list is always explicit (DATABASES_TO_CLONE).
+            raise ValueError(
+                "source_format='jdbc' requires an explicit tables work list"
+            )
         ext = ".orc" if source_format == "orc" else ".parquet"
         return table_names(source_dir, ext=ext)
     if isinstance(tables, str):
@@ -143,13 +164,22 @@ class ClonePipeline:
 
     def _load_source(self, table: str):
         """Read one source table in the configured at-rest format. The
-        target side is format-independent (always parquet)."""
+        target side is parquet unless cfg.jdbc_target redirects it."""
         if self.cfg.source_format == "orc":
             from database_cloner_spark.sources.orc import load_orc
 
             return load_orc(
                 self.spark, os.path.join(self.cfg.source_dir, f"{table}.orc")
             )
+        if self.cfg.source_format == "jdbc":
+            if self.cfg.jdbc_source is None:
+                raise ValueError(
+                    "source_format='jdbc' requires CloneConfig.jdbc_source"
+                )
+            spec = (self.cfg.jdbc_partition or {}).get(table)
+            # read_options (inside load_table) refuses spec=None — the
+            # unpartitioned-read guard lives in ONE place.
+            return jdbc.load_table(self.spark, self.cfg.jdbc_source, table, spec)
         return load(self.spark, self.cfg.source_dir, table)
 
     def _target_path(self, table: str) -> str:
@@ -195,6 +225,8 @@ class ClonePipeline:
             sort_col = (self.cfg.sort_within_partitions_by or {}).get(table)
             if sort_col:
                 out = out.sortWithinPartitions(sort_col)
+            if self.cfg.jdbc_target is not None:
+                return self._clone_table_to_jdbc(table, tgt_name, src, out)
             writer = out.write.mode("overwrite")
             part_col = (self.cfg.partition_by or {}).get(table)
             if part_col:
@@ -220,6 +252,40 @@ class ClonePipeline:
         except Exception as ex:  # noqa: BLE001 — per-db error isolation (CS:1057-1059)
             self.log.error(f"Failed to clone {table}: {ex}")
             return TableResult(table, tgt_name, "failed", error=str(ex))
+
+    def _clone_table_to_jdbc(self, table, tgt_name, src, out) -> TableResult:
+        """Live-server restore half (clone_databases.sh:817-818):
+        executors stream straight into batched inserts, one connection
+        per partition. The filesystem guards above (skip-if-exists,
+        backup, admission) probe target_dir paths a server doesn't
+        have, so here the reference's skip-vs-overwrite choice maps to
+        the writer mode: overwrite=False -> mode='error' (an existing
+        target table fails THAT table's result — surfaced, never
+        silently replaced), overwrite=True -> mode='overwrite'.
+        Verification re-reads the written table through the same
+        partitioned reader when a partition spec exists for the table;
+        without one the re-read would be a single-connection scan, so
+        it is skipped and verified stays None (recorded, not hidden)."""
+        jdbc.save_table(
+            out,
+            self.cfg.jdbc_target,
+            tgt_name,
+            mode="overwrite" if self.cfg.overwrite else "error",
+        )
+        spec = (self.cfg.jdbc_partition or {}).get(table)
+        verified: bool | None = None
+        if self.cfg.verify_clone and spec is not None:
+            dst = jdbc.load_table(self.spark, self.cfg.jdbc_target, tgt_name, spec)
+            report = verify.verify_clone(src, dst)
+            verified = report["match"]
+            if not verified:
+                return TableResult(
+                    table, tgt_name, "failed", rows=report["dst_rows"],
+                    verified=False, error=f"fingerprint mismatch: {report}",
+                )
+        n = src.count()
+        self.log.success(f"Successfully cloned {table} -> {tgt_name} ({n} rows)")
+        return TableResult(table, tgt_name, "cloned", rows=n, verified=verified)
 
     # -- run ---------------------------------------------------------------
 
