@@ -3348,7 +3348,9 @@ GROUP BY r_score, f_score, m_score
 
 
 @register("q_events_rfm", oracle=_ORACLE_RFM, tier="X")
-def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_events_rfm(
+    spark: SparkSession, sf_dir: str, approx_cutpoints: bool = False
+) -> DataFrame:
     """RFM segmentation census: users scored 1-5 on purchase recency,
     frequency, and monetary value, then counted per (r, f, m) cell —
     the classic lifecycle-marketing cube. Scale shape: ONE two-phase
@@ -3360,9 +3362,13 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     inputs), and the final census is a second small fold. Honest scale
     bound: exact quintile ASSIGNMENT is inherently a global rank, so
     each ntile is a single-task sort of the USER table — fine to ~1e8
-    users; past that the documented swap is approx_percentile cutpoint
-    scoring (only the scorer changes, the census is untouched — the
-    q_dq_profile exact-distinct/HLL precedent). Recency is exact integer
+    users; past that pass approx_cutpoints=True: percentile_approx
+    quintile cutpoints (constant-size t-digest shuffle, no global
+    sort), broadcast once, score by comparison — only the scorer
+    changes, the census is untouched (the q_dq_profile exact/HLL
+    precedent; parity-tested cell-for-cell on tie-free fixtures and
+    plan-checked sort-free, tests/test_scale_modes.py). The
+    registered/oracled form stays exact ntile. Recency is exact integer
     days (floor micros div); revenue doubles round once at each edge
     on identically-summed operands; every ntile order is total via the
     user_id tie-break (row-position assignment would otherwise bucket
@@ -3398,18 +3404,53 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = u.select(
-        "monetary",
-        F.ntile(5)
-        .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
-        .alias("r_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
-        .alias("f_score"),
-        F.ntile(5)
-        .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
-        .alias("m_score"),
-    )
+    if approx_cutpoints:
+        # The 100 TB scorer: one global agg computes the 4 quintile
+        # cutpoints per dimension (t-digest partials — constant-size
+        # shuffle, NO global sort), broadcast as a 1-row frame; each
+        # user scores by comparing against the cutpoint arrays.
+        # percentile_approx(k/5) lands on the LAST member of ntile
+        # bucket k (verified: n=10 -> [2,4,6,8], n=15 -> [3,6,9,12]),
+        # so on tie-free inputs with n % 5 == 0 the assignment matches
+        # ntile EXACTLY (tests/test_scale_modes.py); with heavy value
+        # ties the buckets become value-consistent (all tied users
+        # share a score) instead of ntile's equal-size tie-splitting —
+        # the correct trade at 1e9 users, where a single-task global
+        # sort per dimension is the thing being removed.
+        acc = 10000
+        qs = [x / 5.0 for x in (1, 2, 3, 4)]
+        cut = F.broadcast(
+            u.agg(
+                F.percentile_approx("recency_days", qs, acc).alias("rc"),
+                F.percentile_approx("frequency", qs, acc).alias("fc"),
+                F.percentile_approx("monetary", qs, acc).alias("mc"),
+            )
+        )
+
+        def below(cuts: str, v: str):
+            return F.size(
+                F.filter(F.col(cuts), lambda x: x < F.col(v))
+            ).cast("int")
+
+        scored = u.crossJoin(cut).select(
+            "monetary",
+            (F.lit(1) + below("rc", "recency_days")).alias("r_score"),
+            (F.lit(5) - below("fc", "frequency")).alias("f_score"),
+            (F.lit(5) - below("mc", "monetary")).alias("m_score"),
+        )
+    else:
+        scored = u.select(
+            "monetary",
+            F.ntile(5)
+            .over(W.orderBy(F.asc("recency_days"), F.asc("user_id")))
+            .alias("r_score"),
+            F.ntile(5)
+            .over(W.orderBy(F.desc("frequency"), F.asc("user_id")))
+            .alias("f_score"),
+            F.ntile(5)
+            .over(W.orderBy(F.desc("monetary"), F.asc("user_id")))
+            .alias("m_score"),
+        )
     return scored.groupBy("r_score", "f_score", "m_score").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
         F.round(F.sum("monetary"), 2).alias("segment_value"),

@@ -66,22 +66,29 @@ _ORACLE_DQ_PROFILE = _profile_oracle()
 
 
 @register("q_dq_profile", oracle=_ORACLE_DQ_PROFILE, tier="X")
-def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dq_profile(
+    spark: SparkSession, sf_dir: str, approx_distinct: bool = False
+) -> DataFrame:
     """One-pass column profile of `orders` — per column: row count, null
-    count, exact distinct count, min/max (rendered as strings). This is
-    the source-vs-clone diffing report behind the reference's fidelity
+    count, distinct count, min/max (rendered as strings). This is the
+    source-vs-clone diffing report behind the reference's fidelity
     counts (clone_databases.sh:643): profile both sides, diff the rows.
     Shape: ONE scan; Spark plans the multi-column COUNT(DISTINCT) via
     Expand (k=5 replicas of each row, one per distinct column) feeding a
     two-phase aggregate — the expansion happens map-side BEFORE the
     exchange, so the shuffle carries only partial states keyed by
-    (gid, value), never 5x the raw rows. At 100 TB you would typically
-    swap the exact distincts for approx_count_distinct (HLL partials, no
-    Expand) — kept exact here because the profile's job is equality
-    diffing and the oracle gate needs exact. The 1-row-per-column
-    reshape after the agg is driver-sized (inline over a 5-element
-    array)."""
+    (gid, value), never 5x the raw rows. Expand is still a 5x blow-up
+    of the SCAN volume, so at 100 TB pass approx_distinct=True: the
+    distincts become approx_count_distinct (HLL partials — NO Expand,
+    one plain two-phase agg, shuffle carries 5 constant-size sketches;
+    the default rsd is 5%). The registered/oracled form stays exact
+    because the profile's job is equality diffing and the oracle gate
+    needs exact; the HLL mode is parity-tested against it within HLL
+    tolerance and plan-checked Expand-free
+    (tests/test_scale_modes.py). The 1-row-per-column reshape after the
+    agg is driver-sized (inline over a 5-element array)."""
     o = load(spark, sf_dir, "orders")
+    n_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c, kind in _PROFILE_COLS:
         col = F.col(c)
@@ -93,7 +100,7 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx = F.max(col).cast("string")
         aggs += [
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"null_{c}"),
-            F.count_distinct(col).alias(f"dist_{c}"),
+            n_distinct(col).alias(f"dist_{c}"),
             mn.alias(f"min_{c}"),
             mx.alias(f"max_{c}"),
         ]
