@@ -211,10 +211,63 @@ N_PERM = 64
 LSH_ROWS = 2  # rows per band
 N_BANDS = N_PERM // LSH_ROWS
 
+# Engine-portable hash family (the q_text_fingerprint precedent, round
+# 10: re-based from xxhash64 so the DuckDB oracle can replay the exact
+# candidate generation and q_dedup_minhash graduates from rows-only to
+# a full hash oracle). All arithmetic stays strictly inside int64:
+# every operand is < MH_MOD (~2^30), so products are < 2^60 and the
+# 3-term shingle combine is < 2^62.
+#
+# - word hash: polynomial over the word's first 8 codepoints
+#   (positional powers of MH_BASE mod MH_MOD; codepoint 0 for
+#   positions past the end — ascii('') is 0 on BOTH engines, so short
+#   words hash exactly and >8-char words truncate: an acceptable,
+#   deterministic coarsening for near-dup candidate generation).
+# - shingle hash: the 3 word hashes combined with powers of MH_BASE^8
+#   — exactly the polynomial hash of the zero-padded 24-char
+#   concatenation.
+# - permutation i: the classic LCG family (a_i * h + b_i) mod MH_MOD,
+#   a_i/b_i fixed powers of two odd constants mod the prime (never 0).
+# - band key: m_{2b} * 2^31 + m_{2b+1} — both minima < 2^30, so the
+#   pairing is COLLISION-FREE and needs no hash at all.
+MH_MOD = 1_000_000_007
+MH_BASE = 131
+MH_WORD_POWS = [pow(MH_BASE, j, MH_MOD) for j in range(8)]
+MH_X1 = pow(MH_BASE, 8, MH_MOD)
+MH_X2 = pow(MH_BASE, 16, MH_MOD)
+MH_A = [pow(1_103_515_245, i + 1, MH_MOD) for i in range(N_PERM)]
+MH_B = [pow(10_007, i + 1, MH_MOD) for i in range(N_PERM)]
+
+
+def _word_hash_sql(word_sql: str) -> str:
+    """SQL text of the 8-codepoint polynomial word hash — one string
+    used verbatim by BOTH the Spark expression builder and the DuckDB
+    oracle generator (ascii() and out-of-range substring agree on the
+    two engines: 0 and '')."""
+    terms = " + ".join(
+        f"CAST(ascii(substring({word_sql}, {j + 1}, 1)) AS BIGINT)"
+        f" * {MH_WORD_POWS[j]}"
+        for j in range(8)
+    )
+    return f"(({terms}) % {MH_MOD})"
+
+
+def shingle_hash_sql(shingle_sql: str, split_fn: str = "split_part") -> str:
+    """SQL text hashing a 3-word shingle string: word-split via
+    `split_part(s, ' ', k)` (identical semantics in Spark and DuckDB),
+    each word polynomial-hashed, combined positionally."""
+    w = [f"{split_fn}({shingle_sql}, ' ', {k})" for k in (1, 2, 3)]
+    return (
+        f"(({_word_hash_sql(w[0])} * {MH_X2}"
+        f" + {_word_hash_sql(w[1])} * {MH_X1}"
+        f" + {_word_hash_sql(w[2])}) % {MH_MOD})"
+    )
+
 
 def minhash_signatures(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """64-perm MinHash signature per doc. Each 'permutation' is
-    xxhash64(shingle, seed_i); the signature is the per-seed minimum.
+    (a_i * h(shingle) + b_i) mod MH_MOD over the portable polynomial
+    shingle hash; the signature is the per-permutation minimum.
 
     Computed by exploding shingles to rows and taking 64 plain `min`
     aggregates over codegen'd xxhash64 columns — NOT via nested
@@ -247,19 +300,24 @@ def _shingle_sets(docs: DataFrame, n: int, text_col: str) -> DataFrame:
 
 def _minhash_min_columns(sh: DataFrame) -> DataFrame:
     """(doc_id, m0..m63) — one codegen'd min-hash column per permutation.
-    The shingle string is hashed ONCE to a long; the 64 'permutations'
-    re-mix that 8-byte long (xxhash64(h, seed)), not the string bytes —
-    string hashing is the dominant cost and doesn't need repeating."""
+    The shingle string is hashed ONCE to a long (the portable
+    polynomial family above — plain fixed-term column arithmetic, so
+    it stays in whole-stage codegen exactly like q_text_fingerprint's
+    gram hash; a per-char HOF fold would run interpreted, the measured
+    9x pathology); the 64 'permutations' re-mix that long with LCG
+    constants, not the string bytes — string hashing is the dominant
+    cost and doesn't need repeating."""
     tok = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "h", F.xxhash64("s")
+        "h", F.expr(shingle_hash_sql("s"))
     )
     # The 64 aggregate columns are built as ONE SQL-text expression per
     # column batch instead of 64 Column-API constructions: each F.min/
-    # F.xxhash64/alias chain is ~4 py4j round trips, and the loop costed
+    # alias chain is ~4 py4j round trips, and the loop costed
     # ~0.5s of DRIVER time per query build (measured; execution is
     # unchanged — identical analyzed plan either way).
     agg_exprs = [
-        F.expr(f"min(xxhash64(h, {i})) AS m{i}") for i in range(N_PERM)
+        F.expr(f"min((h * {MH_A[i]} + {MH_B[i]}) % {MH_MOD}) AS m{i}")
+        for i in range(N_PERM)
     ]
     return tok.groupBy("doc_id").agg(*agg_exprs)
 
@@ -284,8 +342,11 @@ def minhash_lsh_pairs(
     mins = _minhash_min_columns(sh)
     # Band directly off the min columns — the shingle arrays never enter
     # the banding/join branch of the plan.
+    # Band key = m_{2b} * 2^31 + m_{2b+1}: both minima < MH_MOD < 2^31,
+    # so the pairing is collision-free int64 arithmetic — portable to
+    # the oracle, and cheaper than hashing.
     band_terms = ", ".join(
-        "xxhash64(" + ", ".join(f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)) + ")"
+        f"(m{b * LSH_ROWS} * 2147483648L + m{b * LSH_ROWS + 1})"
         for b in range(N_BANDS)
     )
     bands = F.expr(f"array({band_terms})")  # one parse, not 96 py4j calls

@@ -1,11 +1,14 @@
 """§2.11 LLM-data-pipeline operators — registry entries + oracles.
 
 Oracle policy: operators whose output embeds engine-specific hashes
-(MinHash/SimHash signatures use xxhash64, which DuckDB lacks) are
-rows-only here and verified against ground truth in tests/test_llm.py
+(SimHash signatures use xxhash64, which DuckDB lacks) are rows-only
+here and verified against ground truth in tests/test_llm.py
 (recall/precision vs the exact operator). Everything hash-free gets a
 full DuckDB oracle, including the fingerprint operator, whose rolling
-hash is explicit int64 arithmetic reproduced identically in SQL.
+hash is explicit int64 arithmetic reproduced identically in SQL — and,
+since round 10, MinHash+LSH, whose signature family was re-based onto
+the same portable polynomial/LCG arithmetic so the oracle replays
+candidate generation exactly.
 """
 
 from __future__ import annotations
@@ -134,10 +137,81 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.char_ngram_jaccard_pairs(docs, threshold=0.6)
 
 
-@register("q_dedup_minhash", oracle=None, tier="X")
+def _minhash_oracle() -> str:
+    """DuckDB replay of the FULL MinHash+LSH pipeline — shingles,
+    portable polynomial shingle hashes, 64 LCG permutation minima,
+    collision-free band pairing, band self-join, exact-Jaccard verify.
+    Expressible since round 10's re-base of the signature family off
+    xxhash64 (llm/dedup.py MH_* constants; shingle_hash_sql is the ONE
+    generator both engines' hash text comes from, so they cannot
+    drift)."""
+    sh_hash = dedup.shingle_hash_sql("s")
+    ms = ", ".join(
+        "list_min(list_transform(hs, h -> "
+        f"(h * {dedup.MH_A[i]} + {dedup.MH_B[i]}) % {dedup.MH_MOD}))"
+        for i in range(dedup.N_PERM)
+    )
+    bands = ", ".join(
+        f"(ms[{dedup.LSH_ROWS * b + 1}] * 2147483648"
+        f" + ms[{dedup.LSH_ROWS * b + 2}])"
+        for b in range(dedup.N_BANDS)
+    )
+    vals = ", ".join(f"({b + 1})" for b in range(dedup.N_BANDS))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+hashed AS (
+  SELECT doc_id, shingles,
+         list_transform(shingles, s -> {sh_hash}) AS hs
+  FROM sh
+),
+m AS (
+  SELECT doc_id, [{ms}] AS ms FROM hashed
+),
+banded AS (
+  SELECT doc_id, bnd.b AS band_id, ([{bands}])[bnd.b] AS band_key
+  FROM m CROSS JOIN (VALUES {vals}) AS bnd(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band_id = y.band_id AND x.band_key = y.band_key
+   AND x.doc_id < y.doc_id
+),
+p AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::BIGINT AS i,
+         (len(sa.shingles) + len(sb.shingles)
+          - len(list_intersect(sa.shingles, sb.shingles)))::BIGINT AS u
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b,
+       ((20000*i + u) // (2*u)) / 10000.0 AS jaccard
+FROM p WHERE i::DOUBLE / u >= 0.4
+"""
+
+
+_ORACLE_DEDUP_MINHASH = _minhash_oracle()
+
+
+@register("q_dedup_minhash", oracle=_ORACLE_DEDUP_MINHASH, tier="X")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: signatures use xxhash64;
-    recall/precision vs q_dedup_fuzzy asserted in tests/test_llm.py)."""
+    """MinHash+LSH near-dup pairs — full hash oracle since round 10:
+    the signature family is the engine-portable polynomial/LCG one
+    (llm/dedup.py), so DuckDB replays candidate generation EXACTLY and
+    the driver hash-compares ids + exact Jaccard. Recall/precision vs
+    q_dedup_fuzzy ground truth stay asserted in tests/test_llm.py (the
+    quality layer — an oracle proves both engines agree, not that the
+    sketch finds the dups)."""
     return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
