@@ -310,15 +310,18 @@ def user_ewma_stream(events: DataFrame) -> DataFrame:
     batches; production fronting needs the watermark/reorder stage,
     same caveat as every sequence-sensitive stateful op. State is two
     scalars per user: bounded by key cardinality, not stream length.
-    NULL user_id/value/ts rows are dropped HERE, matching the batch
-    twin's filter — a NULL value reaching pandas becomes NaN and
-    (acc + NaN)/2 poisons the keyed state forever (r8 self-review)."""
+    NULL user_id/value/ts/event_id rows are dropped HERE, matching the
+    batch twin's filter — a NULL value reaching pandas becomes NaN and
+    (acc + NaN)/2 poisons the keyed state forever (r8 self-review);
+    NULL event_id joined the filter in r10 when the batch twin dropped
+    it (engines disagree on NULL tiebreaker placement)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = events.filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
     )
 
     def update(key, pdfs, state):
@@ -479,14 +482,16 @@ def user_holt_stream(events: DataFrame) -> DataFrame:
     to the batch answer (tests/test_streaming.py), with the same
     in-order-batches caveat as user_ewma_stream. State is three scalars
     per user — bounded by key cardinality, not stream length. NULL
-    user_id/value/ts rows are dropped HERE, matching the batch twin's
-    filter (a NaN reaching the fold would poison the state forever)."""
+    user_id/value/ts/event_id rows are dropped HERE, matching the batch
+    twin's filter (a NaN reaching the fold would poison the state
+    forever; the event_id term mirrors the r10 batch-twin change)."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     events = events.filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
         & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
     )
 
     def update(key, pdfs, state):

@@ -576,3 +576,95 @@ def test_stateful_running_distinct_stream_equals_batch_twin(spark, tmp_path):
         for r in specs()["q_win_running_distinct"].builder(spark, SF).collect()
     }
     assert got == want
+
+
+def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
+    """The production failure mode of stateful streaming: the query is
+    STOPPED after batch 1, a brand-new query is started from the SAME
+    checkpoint directory, and batch 2 drains through the restarted
+    query. The restored keyed state must carry batch-1 folds into
+    batch-2 emissions, so the final per-user EWMA is still BIT-EQUAL to
+    the q_ts_ewma batch answer over the full input. Memory sink cannot
+    recover from a checkpoint in update mode, so the harness sinks via
+    foreachBatch into an append-parquet log (the fault-tolerant shape
+    production uses); the file SOURCE's processed-file log lives in the
+    same checkpoint, so the restarted query replays NOTHING — only the
+    restored state plus the new file."""
+    src_dir = str(tmp_path / "cks_src")
+    out_dir = str(tmp_path / "cks_out")
+    ckpt = str(tmp_path / "cks_ckpt")
+    os.makedirs(src_dir)
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+
+    def as_raw(df):
+        return df.withColumn("ts", F.unix_micros("ts") * 1000)
+
+    from database_cloner_spark.streaming.source import EVENTS_SCHEMA
+
+    def start_query():
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .format("parquet")
+            .load(src_dir + "/*")
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        return (
+            ops.user_ewma_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # run 1: batch 1 only, then KILL the query
+    as_raw(half1).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b1.parquet")
+    )
+    q1 = start_query()
+    q1.processAllAvailable()
+    q1.stop()
+
+    # run 2: new file lands while the query is down; restart from the
+    # same checkpoint with a NEW query object
+    as_raw(half2).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src_dir, "b2.parquet")
+    )
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+
+    final = {}
+    for r in spark.read.parquet(out_dir).collect():
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.ewma)
+    from database_cloner_spark.registry import specs
+
+    want = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in specs()["q_ts_ewma"].builder(spark, SF).collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        assert final[uid] == w, (uid, final[uid], w)  # bit-equality
+
+    # Prove the restart actually RESTORED state rather than refolding
+    # everything: some user must span both halves, and its batch-2
+    # emission count must exceed what batch 2 alone contributed.
+    h2_counts = {
+        r.user_id: r.cnt
+        for r in half2.filter(
+            F.col("user_id").isNotNull()
+            & F.col("value").isNotNull()
+            & F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+        ).groupBy("user_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    spanning = [
+        uid for uid, (n, _) in final.items()
+        if uid in h2_counts and n > h2_counts[uid]
+    ]
+    assert spanning, "fixture must have users spanning the restart"
