@@ -82,22 +82,42 @@ def main() -> None:
     # ONE broken key must cost one `errors` entry, not the whole artifact:
     # r5's never-executed bloom commit crashed the sweep and zeroed
     # BENCH_r05.json (rc 1, parsed null) — the gating figure lost again.
+    #
+    # Multi-PASS series (VERDICT r9 #8): the shared box swings ±25%
+    # run-to-run, and round 9's quiet-band adjudication lived in
+    # BASELINE.md prose (three hand-run artifacts, min taken by eye).
+    # The harness now runs the whole headline block N times (default 3;
+    # SPARK_GRAFT_HEADLINE_PASSES overrides) and records `series` = each
+    # pass's total (per-query best-of-3 within the pass), so the quiet
+    # band is machine-readable in the artifact itself. The gating
+    # `value`/`queries` stay what they always were — per-query minima —
+    # now taken across all passes.
     errors: dict[str, str] = {}
     timings: dict[str, float] = {}
-    for name in names:
-        builder = registry[name].builder
-        best = float("inf")
-        try:
-            for _ in range(3):
-                t0 = time.perf_counter()
-                df = builder(spark, sf_dir)
-                # Force full execution without driver-side row transfer.
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-        except Exception as exc:  # noqa: BLE001 — record, keep benching
-            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            continue
-        timings[name] = round(best, 4)
+    series: list[float] = []
+    n_passes = int(os.environ.get("SPARK_GRAFT_HEADLINE_PASSES", "3"))
+    for _pass in range(max(1, n_passes)):
+        pass_timings: dict[str, float] = {}
+        for name in names:
+            if name in errors:
+                continue
+            builder = registry[name].builder
+            best = float("inf")
+            try:
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    df = builder(spark, sf_dir)
+                    # Force full execution without driver-side row transfer.
+                    df.write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record, keep benching
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                continue
+            pass_timings[name] = best
+            prev = timings.get(name, float("inf"))
+            timings[name] = round(min(prev, best), 4)
+        if len(pass_timings) == len(names):
+            series.append(round(sum(pass_timings.values()), 4))
 
     # A broken headline key must POISON the gate figure, not shrink its
     # denominator: summing 17 of 18 keys reads as an improvement against
@@ -317,6 +337,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "series": series,
                 "sf": sf,
                 "all_keys_total_sec": sweep_total,
                 "all_keys_n": sweep_n,
