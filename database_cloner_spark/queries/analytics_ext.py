@@ -3535,3 +3535,82 @@ def q_events_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_dau_ppm",
         "stickiness_ppm",
     )
+
+
+# Top user-journey trigrams: the 20 most common 3-step event-type paths
+# across all users, with exact floor-ppm share of all observed paths —
+# the sequence-mining census behind funnel design (q_funnel assumes the
+# path; this key DISCOVERS which paths exist) and the first artifact a
+# bot-traffic audit reads (scripted clients walk near-deterministic
+# trigrams). Sequence order pins ties by (ts, event_id), NULL
+# event_ids filtered on both engines (the q_events_markov posture).
+_ORACLE_EVENTS_PATHS = """
+WITH s AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type IS NOT NULL AND event_id IS NOT NULL
+),
+p AS (
+  SELECT lag(event_type, 2) OVER w AS step1,
+         lag(event_type, 1) OVER w AS step2,
+         event_type AS step3
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT step1, step2, step3, COUNT(*) AS n
+  FROM p WHERE step1 IS NOT NULL
+  GROUP BY step1, step2, step3
+),
+t AS (SELECT SUM(n) AS total FROM c)
+SELECT step1, step2, step3,
+       CAST(n AS BIGINT) AS n_paths,
+       CAST((n * 1000000) // total AS BIGINT) AS share_ppm
+FROM c CROSS JOIN t
+ORDER BY n DESC, step1, step2, step3
+LIMIT 20
+"""
+
+
+@register("q_events_paths", oracle=_ORACLE_EVENTS_PATHS, tier="X")
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step user-journey paths with exact floor-ppm share —
+    q_events_markov's first-order transitions widened to trigrams (the
+    census that DISCOVERS funnel paths instead of assuming them).
+    Shape: ONE user_id shuffle feeds both lag windows (high-cardinality
+    key, raw-row windows allowed per the windows-tier rule); the path
+    count is a two-phase aggregate whose exchange carries <= |types|^3
+    states; the total is a 1-row broadcast over that count table; the
+    final top-20 plans TakeOrderedAndProject over count-table-sized
+    input — per-partition heaps of 20, no global sort materializes.
+    All-integer ppm arithmetic; the (n desc, path asc) order is total,
+    so the LIMIT is deterministic cross-engine."""
+    s = load(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = s.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    ).filter(F.col("step1").isNotNull())
+    c = p.groupBy("step1", "step2", "step3").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "step1",
+            "step2",
+            "step3",
+            F.col("n").cast("long").alias("n_paths"),
+            F.expr("(n * 1000000L) div total").cast("long").alias("share_ppm"),
+        )
+        .orderBy(
+            F.desc("n_paths"), F.asc("step1"), F.asc("step2"), F.asc("step3")
+        )
+        .limit(20)
+    )

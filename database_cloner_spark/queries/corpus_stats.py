@@ -567,3 +567,80 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", "n_chars_vis", "n_words", "n_sentences", ari.alias("ari")
     )
+
+
+# Per-source text-encoding health audit: how many documents carry raw
+# ASCII control characters (anything below 0x20 except tab/LF/CR — the
+# signature of binary garbage or charset-mangled ingest) or the Unicode
+# replacement character U+FFFD (the decoder already SAW broken bytes
+# and papered over them), plus the total control-char volume and an
+# exact floor-ppm affected-doc rate. The feed gate a crawl pipeline
+# reads per source before admitting a batch — mojibake clusters by
+# upstream, so per-source rates localize the broken crawler.
+_CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+_REPL_CHAR = "�"
+
+_ORACLE_ENCODING_AUDIT = f"""
+WITH d AS (
+  SELECT source,
+         COALESCE(text, '') AS t
+  FROM documents
+),
+m AS (
+  SELECT source,
+         length(t) - length(regexp_replace(t, '{_CTRL_RE}', '', 'g'))
+           AS n_ctrl,
+         CASE WHEN strpos(t, chr(65533)) > 0 THEN 1 ELSE 0 END AS has_repl
+  FROM d
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       CAST(COALESCE(SUM(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_ctrl_docs,
+       CAST(COALESCE(SUM(has_repl), 0) AS BIGINT) AS n_repl_docs,
+       CAST(COALESCE(SUM(n_ctrl), 0) AS BIGINT) AS n_ctrl_chars,
+       CAST((SUM(CASE WHEN n_ctrl > 0 OR has_repl = 1 THEN 1 ELSE 0 END)
+             * 1000000) // COUNT(*) AS BIGINT) AS affected_ppm
+FROM m GROUP BY source
+"""
+
+
+@register("q_text_encoding_audit", oracle=_ORACLE_ENCODING_AUDIT, tier="X")
+def q_text_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health census: documents carrying raw
+    control characters (below 0x20 minus tab/LF/CR) or U+FFFD
+    replacement characters, total control-char volume, exact floor-ppm
+    affected rate. Shape: ONE scan, per-row char counting in codegen
+    (length minus length-after-regexp_replace — both engines count
+    CHARACTERS), then a two-phase aggregate whose exchange carries one
+    partial row per source (source cardinality, tiny). Zero joins.
+    length()/strpos() are codepoint-based on BOTH engines, so CJK and
+    emoji never skew the counts (adversarial-docs suite)."""
+    d = load(spark, sf_dir, "documents").select(
+        "source", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    n_ctrl = F.length("t") - F.length(
+        F.regexp_replace("t", _CTRL_RE, "")
+    )
+    has_repl = F.when(
+        F.instr(F.col("t"), _REPL_CHAR) > 0, F.lit(1)
+    ).otherwise(F.lit(0))
+    m = d.select(
+        "source", n_ctrl.alias("n_ctrl"), has_repl.alias("has_repl")
+    )
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_ctrl") > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_ctrl_docs"),
+        F.coalesce(F.sum("has_repl"), F.lit(0)).cast("long").alias(
+            "n_repl_docs"
+        ),
+        F.coalesce(F.sum("n_ctrl"), F.lit(0)).cast("long").alias(
+            "n_ctrl_chars"
+        ),
+        F.expr(
+            "(sum(CASE WHEN n_ctrl > 0 OR has_repl = 1 THEN 1 ELSE 0 END)"
+            " * 1000000L) div count(1)"
+        ).cast("long").alias("affected_ppm"),
+    )

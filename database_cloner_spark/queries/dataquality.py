@@ -842,3 +842,81 @@ def q_dq_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_null, null_ppm, n_degenerate)"
         )
     )
+
+
+# Full-row duplicate census: per table, how many physical rows are
+# byte-identical copies of another row — the double-ingest / re-run
+# detector (an at-least-once loader that replayed a batch shows up
+# here before any key-based check fires, because surrogate keys make
+# q_dq_uniqueness blind to replays of keyless staging tables). Row
+# identity is the COMPLETE column tuple under grouping (null-safe)
+# equality — identical on both engines.
+_DUP_ROWS_TABLES = [
+    ("orders", ["o_orderkey", "o_custkey", "o_orderstatus",
+                "o_totalprice", "o_orderdate", "o_orderpriority"]),
+    ("customer", ["c_custkey", "c_name", "c_nationkey",
+                  "c_acctbal", "c_mktsegment"]),
+    ("supplier", ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]),
+]
+
+
+def _dup_rows_oracle() -> str:
+    parts = []
+    for tbl, cols in _DUP_ROWS_TABLES:
+        tup = ", ".join(cols)
+        parts.append(f"""
+SELECT '{tbl}' AS table_name,
+       COUNT(*)::BIGINT AS n_rows,
+       COUNT(DISTINCT ({tup}))::BIGINT AS n_distinct_rows,
+       (COUNT(*) - COUNT(DISTINCT ({tup})))::BIGINT AS n_dup_rows,
+       CAST(CASE WHEN COUNT(*) > 0
+                 THEN ((COUNT(*) - COUNT(DISTINCT ({tup}))) * 1000000)
+                      // COUNT(*)
+                 ELSE 0 END AS BIGINT) AS dup_ppm
+FROM {tbl}""")
+    return "\nUNION ALL\n".join(parts)
+
+
+_ORACLE_DQ_DUP_ROWS = _dup_rows_oracle()
+
+
+@register("q_dq_dup_rows", oracle=_ORACLE_DQ_DUP_ROWS, tier="X")
+def q_dq_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-row duplicate census over the relational namespace
+    (orders/customer/supplier): physical row count, distinct full-row
+    count, duplicate surplus, exact floor-ppm duplicate rate. Shape
+    per table: ONE scan into a single COUNT(DISTINCT struct(*)) — one
+    distinct column, so NO Expand (unlike q_dq_profile's 5-way): the
+    partial aggregate dedups full rows map-side and the exchange
+    carries one row per DISTINCT tuple, the same narrowing every exact
+    dedup here relies on. The 3-row union is driver-sized. At 100 TB
+    swap the struct for xxhash64(struct) first (8-byte partials,
+    collision-audited) — the q_dedup_exact key discipline."""
+    outs = []
+    for tbl, cols in _DUP_ROWS_TABLES:
+        t = load(spark, sf_dir, tbl)
+        row = F.struct(*[F.col(c) for c in cols])
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(row).cast("long").alias("n_distinct_rows"),
+            ).select(
+                F.lit(tbl).alias("table_name"),
+                "n_rows",
+                "n_distinct_rows",
+                (F.col("n_rows") - F.col("n_distinct_rows"))
+                .cast("long")
+                .alias("n_dup_rows"),
+                F.when(
+                    F.col("n_rows") > 0,
+                    F.expr(
+                        "((n_rows - n_distinct_rows) * 1000000L)"
+                        " div n_rows"
+                    ),
+                ).otherwise(F.lit(0)).cast("long").alias("dup_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -203,6 +203,41 @@ FROM p WHERE i::DOUBLE / u >= 0.4
 _ORACLE_DEDUP_MINHASH = _minhash_oracle()
 
 
+_ORACLE_DEDUP_MINHASH_CLUSTER = f"""
+WITH RECURSIVE pairs AS (
+{_ORACLE_DEDUP_MINHASH}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+FROM walk GROUP BY src
+"""
+
+
+@register(
+    "q_dedup_minhash_cluster", oracle=_ORACLE_DEDUP_MINHASH_CLUSTER, tier="X"
+)
+def q_dedup_minhash_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end billion-doc dedup path in one key: MinHash+LSH
+    candidate pairs (sketch-bounded, never corpus²) -> exact-Jaccard
+    verify -> large-star/small-star connected components (O(log² n)
+    rounds on any topology). keep doc_id == cluster_id is the survivor
+    rule a trainer applies. Oracled end to end since round 10's
+    portable-hash re-base: the DuckDB side replays the LSH pipeline and
+    closes the pair graph with a recursive CTE — both engines must
+    agree on every doc's component."""
+    prs = dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
+    return dedup.connected_components_star(prs)
+
+
 @register("q_dedup_minhash", oracle=_ORACLE_DEDUP_MINHASH, tier="X")
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs — full hash oracle since round 10:
@@ -1328,4 +1363,93 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+# Int8 symmetric quantization audit over the embedding corpus: per
+# vector, the per-tensor scale (max|x|/127) and the worst-case absolute
+# reconstruction error of round-to-nearest int8 — the 4x-compression
+# dry run an ANN pipeline does before switching its vector store to
+# int8 (PQ's 64x cousin at the other end of the recall/size curve; see
+# q_sim_pq_topk). Every step is deterministic IEEE arithmetic evaluated
+# identically on both engines: cast-to-double, one correctly-rounded
+# divide for the scale, round-half-up via floor(v/scale + 1/2) (exact —
+# no banker's-rounding divergence), multiply-subtract-abs for the
+# error, and FLOOR fixed-point (1e9) at the output edge, never ROUND on
+# a computed double. Degenerate vectors (empty, all-zero) emit NULL
+# scale/error rather than dividing by zero — the CASE short-circuits on
+# both engines.
+_ORACLE_EMB_QUANTIZE = """
+WITH x AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+m AS (
+  SELECT vec_id, v, len(v)::BIGINT AS n_dims,
+         CASE WHEN len(v) > 0 THEN list_max(list_transform(v, e -> abs(e)))
+         END AS mx
+  FROM x
+),
+s AS (
+  SELECT vec_id, v, n_dims,
+         CASE WHEN mx > 0 THEN mx / 127.0 END AS scale
+  FROM m
+)
+SELECT vec_id, n_dims,
+       CAST(FLOOR(scale * 1000000000) AS BIGINT) AS scale_fp,
+       CASE WHEN scale IS NOT NULL THEN
+         CAST(FLOOR(list_max(list_transform(v,
+              e -> abs(e - FLOOR(e / scale + 0.5) * scale)))
+              * 1000000000) AS BIGINT)
+       END AS max_err_fp
+FROM s
+"""
+
+
+@register("q_emb_quantize", oracle=_ORACLE_EMB_QUANTIZE, tier="X")
+def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 symmetric-quantization audit: per-tensor scale
+    (max|x|/127) and worst-case absolute reconstruction error under
+    round-to-nearest — the compression dry run before an ANN store
+    flips to int8. Shape: pure map-side column math over ONE scan —
+    JVM higher-order functions (transform/array_max), no shuffle, no
+    join, no Python; at 100 TB this is the embarrassingly-parallel
+    scoring pass. Round-half-up is floor(v/scale + 1/2) (exact IEEE,
+    engine-agnostic — never half-even library rounding); outputs are
+    FLOOR 1e-9 fixed point so no computed double meets ROUND. Empty or
+    all-zero vectors yield NULL scale/error (guarded CASE — ANSI-safe,
+    no zero divide)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    x = F.expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    m = e.select(
+        "vec_id",
+        x.alias("v"),
+        F.size(x).cast("long").alias("n_dims"),
+    ).select(
+        "vec_id",
+        "v",
+        "n_dims",
+        F.when(
+            F.col("n_dims") > 0,
+            F.expr("array_max(transform(v, e -> abs(e)))"),
+        ).alias("mx"),
+    )
+    s = m.select(
+        "vec_id",
+        "v",
+        "n_dims",
+        F.when(F.col("mx") > 0, F.col("mx") / F.lit(127.0)).alias("scale"),
+    )
+    err = F.expr(
+        "array_max(transform(v,"
+        " e -> abs(e - FLOOR(e / scale + 0.5D) * scale)))"
+    )
+    return s.select(
+        "vec_id",
+        "n_dims",
+        F.floor(F.col("scale") * F.lit(1000000000.0)).cast("long").alias(
+            "scale_fp"
+        ),
+        F.when(F.col("scale").isNotNull(), F.floor(err * F.lit(1000000000.0)))
+        .cast("long")
+        .alias("max_err_fp"),
     )

@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "q_events_cooccurrence",     # 1-row session-count frame (N)
     "q_dq_referential",          # four 1-row totals x 1-row orphan-agg folds
     "q_events_rfm",              # 1-row corpus max-timestamp frame (recency anchor)
+    "q_events_paths",            # 1-row path-total frame (ppm denominator)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -1027,3 +1028,58 @@ def test_dau_mau_distinct_counts_partial_aggregate(spark):
     assert "partial_count" in plan or "HashAggregate" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_events_paths_topk_and_reused_count(spark):
+    """q_events_paths: the top-20 must plan TakeOrderedAndProject (no
+    global sort of the path table), and the ppm-total branch must ride
+    a ReusedExchange of the path-count exchange — recomputing the
+    window+count pipeline for a 1-row SUM would double the key's
+    data-sized work. Reuse is an execution-time decision under AQE, so
+    this guard EXECUTES and reads the final adaptive plan (the
+    test_q18 pattern)."""
+    plan = _plan(spark, "q_events_paths")
+    assert "TakeOrderedAndProject" in plan, plan
+    df = all_queries()["q_events_paths"](spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_encoding_audit_single_scan_no_join(spark):
+    """q_text_encoding_audit is scan + one two-phase agg: exactly one
+    hash exchange (source partials), no join of any kind."""
+    plan = _plan(spark, "q_text_encoding_audit")
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_dup_rows_no_expand_single_distinct(spark):
+    """q_dq_dup_rows: one COUNT(DISTINCT struct) per table must NOT
+    plan Expand (that is the q_dq_profile multi-distinct cost this key
+    deliberately avoids), and no raw column may appear as an Exchange
+    key — the exchange carries distinct full-row tuples from the
+    partial aggregate."""
+    plan = _plan(spark, "q_dq_dup_rows")
+    assert "Expand" not in plan, plan
+
+
+def test_emb_quantize_zero_shuffle_map_only(spark):
+    """q_emb_quantize is the embarrassingly-parallel scoring pass: no
+    Exchange of ANY kind, no join, no window — pure map-side math."""
+    plan = _plan(spark, "q_emb_quantize")
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_minhash_cluster_bands_never_shuffle_text(spark):
+    """q_dedup_minhash_cluster: the component loop and band join must
+    shuffle bare ids/labels — no Exchange may be keyed on text or
+    shingle columns (the corpus rides the signature/verify branch
+    once)."""
+    import re as _re
+
+    plan = _plan(spark, "q_dedup_minhash_cluster")
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "text" not in keys and " sh#" not in keys, keys
