@@ -14,8 +14,8 @@ Five escalating strategies, each with its 100 TB story:
   sets, banding turns near-dup search into an equi-join on
   (band_id, band_hash) — the only formulation that scales to billions
   of docs. Candidates are verified with exact Jaccard.
-- SimHash: one 64-bit signature per doc; near-dups = hamming <= k,
-  found by pigeonhole banding (4x16-bit chunks).
+- SimHash: one 60-bit portable signature per doc; near-dups =
+  hamming <= k, found by pigeonhole banding (4x15-bit chunks).
 - embedding cosine: semantic near-dup over the embeddings table.
 """
 
@@ -239,17 +239,22 @@ MH_A = [pow(1_103_515_245, i + 1, MH_MOD) for i in range(N_PERM)]
 MH_B = [pow(10_007, i + 1, MH_MOD) for i in range(N_PERM)]
 
 
-def _word_hash_sql(word_sql: str) -> str:
+def _word_hash_sql(
+    word_sql: str,
+    pows: list[int] | None = None,
+    mod: int = MH_MOD,
+) -> str:
     """SQL text of the 8-codepoint polynomial word hash — one string
     used verbatim by BOTH the Spark expression builder and the DuckDB
     oracle generator (ascii() and out-of-range substring agree on the
     two engines: 0 and '')."""
+    pows = MH_WORD_POWS if pows is None else pows
     terms = " + ".join(
         f"CAST(ascii(substring({word_sql}, {j + 1}, 1)) AS BIGINT)"
-        f" * {MH_WORD_POWS[j]}"
+        f" * {pows[j]}"
         for j in range(8)
     )
-    return f"(({terms}) % {MH_MOD})"
+    return f"(({terms}) % {mod})"
 
 
 def shingle_hash_sql(shingle_sql: str, split_fn: str = "split_part") -> str:
@@ -426,15 +431,39 @@ def minhash_lsh_pairs(
 
 # --- SimHash ---------------------------------------------------------------
 
+# Portable 60-bit SimHash (round 10, following the MinHash re-base):
+# the per-token hash is two independent 30-bit polynomial hashes
+# (different base AND different prime) composed arithmetically as
+# h = th2 * 2^30 + th1 < 2^60 — strictly positive int64, so neither
+# engine ever touches the sign bit (the 64-bit form's 1<<63 raises in
+# DuckDB and wraps in Spark), and the DuckDB oracle can replay the
+# signature bit-for-bit. 60 bits / hamming <= 3 pigeonholes into
+# 4 x 15-bit chunks.
+SH_BITS = 60
+SH_MOD2 = 999_999_937
+SH_BASE2 = 137
+SH_WORD_POWS2 = [pow(SH_BASE2, j, SH_MOD2) for j in range(8)]
+SH_CHUNK_BITS = SH_BITS // 4
+SH_CHUNK_MASK = (1 << SH_CHUNK_BITS) - 1
+
+
+def token_hash_sql(tok_sql: str) -> str:
+    """SQL text of the 60-bit portable token hash, shared verbatim by
+    the Spark builder and the DuckDB oracle."""
+    th1 = _word_hash_sql(tok_sql)
+    th2 = _word_hash_sql(tok_sql, SH_WORD_POWS2, SH_MOD2)
+    return f"({th2} * 1073741824 + {th1})"
+
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit SimHash per doc: per-token xxhash64, each bit votes +-1
-    weighted by occurrence; sign of the vote is the signature bit.
-    Implemented as 64 conditional-sum aggregates after an explode —
-    partial aggregation keeps the shuffle at 64 longs per doc."""
+    """60-bit SimHash per doc: per-token portable polynomial hash, each
+    bit votes +-1 weighted by occurrence; sign of the vote is the
+    signature bit. Implemented as 60 conditional-sum aggregates after
+    an explode — partial aggregation keeps the shuffle at 60 longs per
+    doc."""
     tok = spread(docs.select("doc_id", F.col(text_col))).select(
         "doc_id", F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", F.expr(token_hash_sql("tok")))
     # SQL-text expression batches (one parse per column / one for the
     # whole fold) instead of ~600 Column-API py4j round trips — same
     # analyzed plan, ~2s less driver time per build (cf. the identical
@@ -443,14 +472,14 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.expr(
             f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
         )
-        for b in range(64)
+        for b in range(SH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*votes)
     sig = F.expr(
         " | ".join(
             f"(CASE WHEN v{b} > 0 THEN shiftleft(CAST(1 AS BIGINT), {b}) "
             f"ELSE CAST(0 AS BIGINT) END)"
-            for b in range(64)
+            for b in range(SH_BITS)
         )
     )
     return agg.select("doc_id", sig.alias("simhash"))
@@ -458,7 +487,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= k via pigeonhole banding:
-    split the 64-bit signature into 4 x 16-bit chunks; any pair within
+    split the 60-bit signature into 4 x 15-bit chunks; any pair within
     hamming 3 must agree on >= 1 chunk, so candidates come from an
     equi-join on (chunk_idx, chunk_value)."""
     sigs = simhash(docs, text_col)
@@ -466,7 +495,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
     # the Python level, not with a sequence lambda.
     chunks = F.array(
         *[
-            F.shiftright(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("simhash"), i * SH_CHUNK_BITS).bitwiseAND(
+                F.lit(SH_CHUNK_MASK)
+            )
             for i in range(4)
         ]
     )
@@ -492,7 +523,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
-        cand.withColumn("hamming", hamming)
+        cand.withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -250,10 +250,64 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(load(spark, sf_dir, "documents"))
 
 
-@register("q_dedup_simhash", oracle=None, tier="X")
+def _simhash_oracle() -> str:
+    """DuckDB replay of the SimHash pipeline — portable 60-bit token
+    hashes, 60 bit-vote sums, signature assembly, 4x15-bit pigeonhole
+    self-join, bit_count(xor) hamming verify. Expressible since round
+    10's re-base off xxhash64 (llm/dedup.py token_hash_sql is the ONE
+    generator both engines' hash text comes from)."""
+    h = dedup.token_hash_sql("w")
+    votes = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(dedup.SH_BITS)
+    )
+    sig = " | ".join(
+        f"(CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(dedup.SH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+),
+h AS (SELECT doc_id, {h} AS h FROM toks),
+v AS (
+  SELECT doc_id,
+         {votes}
+  FROM h GROUP BY doc_id
+),
+sig AS (SELECT doc_id, ({sig}) AS simhash FROM v),
+chunked AS (
+  SELECT doc_id, simhash, c.c AS chunk_idx,
+         (simhash >> ({dedup.SH_CHUNK_BITS} * c.c)) & {dedup.SH_CHUNK_MASK}
+           AS chunk_val
+  FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(c)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sig_a, b.simhash AS sig_b
+  FROM chunked a JOIN chunked b
+    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
+
+
+_ORACLE_DEDUP_SIMHASH = _simhash_oracle()
+
+
+@register("q_dedup_simhash", oracle=_ORACLE_DEDUP_SIMHASH, tier="X")
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming <= 3 (rows-only; properties
-    asserted in tests)."""
+    """SimHash near-dup pairs at hamming <= 3 — full hash oracle since
+    round 10: the 60-bit signature rides the portable polynomial hash
+    family (llm/dedup.py), so DuckDB replays bit votes, signatures and
+    pigeonhole candidates EXACTLY. Property tests stay as the quality
+    layer."""
     return dedup.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
