@@ -3614,3 +3614,204 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+# Monthly growth accounting: every active user classified per month as
+# new (first month ever), retained (active the previous calendar
+# month), or resurrected (active before, but not last month), plus the
+# forward churn count (active now, absent next calendar month — the
+# corpus' last month churns everyone, the standard growth-accounting
+# edge). The product-health decomposition behind every "MAU grew —
+# but from WHERE" question; complements q_events_dau_mau (how much
+# activity) and q_retention_cohort (fixed-cohort decay) with flows.
+_ORACLE_EVENTS_LIFECYCLE = """
+WITH am AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+seq AS (
+  SELECT user_id, m,
+         lag(m)  OVER (PARTITION BY user_id ORDER BY m) AS prev_m,
+         lead(m) OVER (PARTITION BY user_id ORDER BY m) AS next_m
+  FROM am
+)
+SELECT CAST(m AS VARCHAR) AS month,
+       COUNT(*)::BIGINT AS n_active,
+       CAST(SUM(CASE WHEN prev_m IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN prev_m = m - INTERVAL 1 MONTH THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_retained,
+       CAST(SUM(CASE WHEN prev_m IS NOT NULL
+                      AND prev_m < m - INTERVAL 1 MONTH THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(SUM(CASE WHEN next_m IS NULL
+                      OR next_m > m + INTERVAL 1 MONTH THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_churn_next
+FROM seq GROUP BY m
+"""
+
+
+@register("q_events_lifecycle", oracle=_ORACLE_EVENTS_LIFECYCLE, tier="X")
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting: per calendar month, active users
+    split into new / retained / resurrected, plus forward churn (the
+    month's actives missing next month). Shape: the (user, month)
+    distinct collapses events two-phase (map-side dedup — a user's
+    events cluster in time); lag+lead share ONE user_id window sort
+    over the month-grain table (rows = user-months, far below events);
+    the census fold's exchange carries one row per month. Calendar
+    arithmetic (add_months / INTERVAL 1 MONTH) is exact and identical
+    cross-engine; all outputs are integers."""
+    am = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id", F.date_trunc("month", "ts").cast("date").alias("m")
+        )
+        .distinct()
+    )
+    w = W.partitionBy("user_id").orderBy("m")
+    seq = am.select(
+        "m",
+        F.lag("m").over(w).alias("prev_m"),
+        F.lead("m").over(w).alias("next_m"),
+    )
+    return seq.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active"),
+        F.sum(F.when(F.col("prev_m").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+        F.sum(
+            F.when(F.col("prev_m") == F.add_months(F.col("m"), -1), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_m").isNotNull()
+                & (F.col("prev_m") < F.add_months(F.col("m"), -1)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_m").isNull()
+                | (F.col("next_m") > F.add_months(F.col("m"), 1)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_churn_next"),
+    ).select(
+        F.col("m").cast("string").alias("month"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "n_churn_next",
+    )
+
+
+# Revenue-concentration (Pareto) audit over purchase value: how many
+# top users cover 50/80/90% of total revenue, and the exact top-decile
+# revenue share — the "whale census" a monetization review reads
+# before trusting any average. ALL-integer: per-event cents floored
+# once (FLOOR(v*100) — per-event, so no association-order drift), user
+# sums and cumulative sums exact BIGINT, threshold compares as cross-
+# multiplication (cum*10 >= total*8), share as floor ppm.
+_ORACLE_EVENTS_PARETO = """
+WITH p AS (
+  SELECT user_id,
+         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type = 'purchase'
+),
+u AS (
+  SELECT user_id, SUM(cents) AS cents FROM p GROUP BY user_id
+),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, user_id) AS rk,
+         SUM(cents) OVER (ORDER BY cents DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER () AS n,
+         SUM(cents) OVER () AS total
+  FROM u
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+       CAST(MAX(total) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN cum * 2 < total * 1 THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS users_p50,
+       CAST(SUM(CASE WHEN cum * 10 < total * 8 THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS users_p80,
+       CAST(SUM(CASE WHEN cum * 10 < total * 9 THEN 1 ELSE 0 END) + 1
+            AS BIGINT) AS users_p90,
+       CAST((SUM(CASE WHEN rk <= (n + 9) // 10 THEN cents ELSE 0 END)
+             * 1000000) // MAX(total) AS BIGINT) AS top_decile_ppm
+FROM r
+"""
+
+
+@register("q_events_pareto", oracle=_ORACLE_EVENTS_PARETO, tier="X")
+def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: users covering 50/80/90% of
+    purchase revenue and the top-decile share. Shape: purchases
+    collapse to a USER-level cents table first (two-phase, exchange
+    carries users); the rank/cumulative windows ride that aggregated
+    table in ONE global sort (the q_events_rfm scale posture — fine to
+    ~1e8 users; past that, approx_percentile cutpoints on cents give
+    the same census within sketch error); the final fold is one row.
+    Integer-exact end to end: cents floored per EVENT (never on a
+    summed double), cross-multiplied thresholds, floor-ppm share."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    u = p.groupBy("user_id").agg(F.sum("cents").alias("cents"))
+    order = W.orderBy(F.desc("cents"), F.asc("user_id"))
+    r = u.select(
+        "cents",
+        F.row_number().over(order).alias("rk"),
+        F.sum("cents")
+        .over(order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.count(F.lit(1)).over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+        F.sum("cents").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.max("total").cast("long").alias("total_cents"),
+        (F.sum(F.when(F.col("cum") * 2 < F.col("total"), 1).otherwise(0)) + 1)
+        .cast("long")
+        .alias("users_p50"),
+        (
+            F.sum(
+                F.when(F.col("cum") * 10 < F.col("total") * 8, 1).otherwise(0)
+            )
+            + 1
+        ).cast("long").alias("users_p80"),
+        (
+            F.sum(
+                F.when(F.col("cum") * 10 < F.col("total") * 9, 1).otherwise(0)
+            )
+            + 1
+        ).cast("long").alias("users_p90"),
+        F.expr(
+            "(sum(CASE WHEN rk <= (n + 9) div 10 THEN cents ELSE 0 END)"
+            " * 1000000L) div max(total)"
+        ).cast("long").alias("top_decile_ppm"),
+    )

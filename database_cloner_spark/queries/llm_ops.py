@@ -1507,3 +1507,59 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_err_fp"),
     )
+
+
+# Truncation-duplicate census: documents whose NORMALIZED text shares
+# the same first-64-char prefix. A re-crawled page cut off mid-body, a
+# connection-dropped fetch, or a max-length-truncated export produces
+# docs that exact dedup misses (different lengths) and shingle dedup
+# may miss (the tail is gone) but prefix grouping catches — the
+# CommonCrawl-style truncation pathology. Groups also report how many
+# DISTINCT full texts they contain: 1 means plain exact copies, >1
+# means true truncation variants worth a manual look.
+_PREFIX_LEN = 64
+
+_ORACLE_DEDUP_PREFIX = f"""
+WITH n AS (
+  SELECT doc_id, {normalized_sql()} AS nt FROM documents
+),
+p AS (
+  SELECT doc_id, nt, nt[1:{_PREFIX_LEN}] AS pfx
+  FROM n WHERE len(nt) >= {_PREFIX_LEN}
+)
+SELECT MIN(doc_id) AS rep_doc_id,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT nt)::BIGINT AS n_distinct_texts
+FROM p GROUP BY pfx HAVING COUNT(*) >= 2
+"""
+
+
+@register("q_dedup_prefix", oracle=_ORACLE_DEDUP_PREFIX, tier="X")
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate census: normalized-prefix (64 chars)
+    groups holding >= 2 docs, with the distinct-full-text count that
+    separates plain copies from genuine truncation variants. Shape:
+    ONE scan, normalize+substring in codegen, one two-phase groupBy on
+    the prefix — the exchange carries one partial row per distinct
+    prefix with (min id, count, distinct-text state); output is
+    collision-group-sized. At 100 TB swap the 64-char shuffle key for
+    xxhash64(prefix) with the q_dedup_exact second-fingerprint
+    collision audit — 8-byte exchange, same census."""
+    from database_cloner_spark.llm.textprep import normalized
+
+    n = load(spark, sf_dir, "documents").select(
+        "doc_id", normalized(F.col("text")).alias("nt")
+    )
+    p = n.filter(F.length("nt") >= _PREFIX_LEN).select(
+        "doc_id", "nt", F.substring("nt", 1, _PREFIX_LEN).alias("pfx")
+    )
+    return (
+        p.groupBy("pfx")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("nt").cast("long").alias("n_distinct_texts"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select("rep_doc_id", "n_docs", "n_distinct_texts")
+    )

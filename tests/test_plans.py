@@ -1083,3 +1083,37 @@ def test_minhash_cluster_bands_never_shuffle_text(spark):
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         keys = m.group(1)
         assert "text" not in keys and " sh#" not in keys, keys
+
+
+def test_lifecycle_windows_ride_month_grain(spark):
+    """q_events_lifecycle: the lag/lead window must consume the
+    (user, month) DISTINCT — an aggregate deeper than the window —
+    never raw events, and the distinct must partial-aggregate
+    map-side."""
+    plan = _plan(spark, "q_events_lifecycle")
+    assert "windowspecdefinition" in plan, plan
+    head = plan.index("windowspecdefinition")
+    assert (
+        "HashAggregate" in plan[head:] or "SortAggregate" in plan[head:]
+    ), plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_pareto_windows_ride_user_cents_table(spark):
+    """q_events_pareto: the global rank/cumulative windows must consume
+    the already-aggregated user cents table (HashAggregate deeper than
+    the window — the q_events_rfm posture), with the purchase filter
+    pushed to the scan."""
+    plan = _plan(spark, "q_events_pareto")
+    head = plan.index("windowspecdefinition")
+    assert "HashAggregate" in plan[head:], plan
+    assert "purchase" in plan, plan  # pushed filter visible at the scan
+
+
+def test_dedup_prefix_single_groupby_no_join(spark):
+    """q_dedup_prefix: one scan into one two-phase groupBy — no join,
+    and the count_distinct(nt) state combines map-side (partial_ before
+    the exchange)."""
+    plan = _plan(spark, "q_dedup_prefix")
+    assert "Join" not in plan, plan
+    assert "partial" in plan.lower(), plan
