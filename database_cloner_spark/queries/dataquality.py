@@ -920,3 +920,98 @@ def q_dq_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# Header-vs-lines reconciliation: orders.o_totalprice against the
+# lineitem-derived total SUM(extendedprice * (1-discount) * (1+tax)).
+# The cross-TABLE consistency check a clone/ingest verification runs
+# after the per-table fingerprints pass: two individually-perfect
+# copies can still disagree with each other (partial re-ingest, a
+# header recomputed after lines changed). This fixture's generator
+# does NOT maintain the TPC-H identity, which is exactly the realistic
+# reading: the key is a DRIFT census (how many, how far), not an
+# assertion. All comparisons in integer cents, floored per ROW (one
+# double product per line — no summed-double rounding anywhere).
+_ORACLE_DQ_RECONCILE = """
+WITH li AS (
+  SELECT l_orderkey,
+         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 100) AS BIGINT)) AS derived_cents
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderstatus AS status,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         li.derived_cents
+  FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+)
+SELECT status,
+       COUNT(*)::BIGINT AS n_orders,
+       CAST(COALESCE(SUM(CASE WHEN derived_cents IS NULL
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_no_lines,
+       CAST(COALESCE(SUM(CASE WHEN derived_cents IS NOT NULL
+                               AND abs(header_cents - derived_cents) <= 1
+                               THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_reconciled,
+       CAST(COALESCE(MAX(CASE WHEN derived_cents IS NOT NULL
+                               THEN abs(header_cents - derived_cents) END), 0)
+            AS BIGINT) AS max_abs_delta_cents,
+       CAST(COALESCE(SUM(CASE WHEN derived_cents IS NOT NULL
+                               THEN abs(header_cents - derived_cents) END), 0)
+            AS BIGINT) AS total_abs_delta_cents
+FROM j GROUP BY status
+"""
+
+
+@register("q_dq_reconcile", oracle=_ORACLE_DQ_RECONCILE, tier="X")
+def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table header-vs-lines reconciliation: per order status,
+    how many orders' o_totalprice agrees (within one cent) with the
+    lineitem-derived total, how many have no lines at all, and the
+    worst/summed drift in cents. Shape: lineitem collapses two-phase
+    to an orderkey-cents table (exchange carries one row per order,
+    never line rows); the header join is key-partitioned on both
+    sides (AQE may broadcast the smaller at runtime); the census fold
+    is |status|-sized. Integer cents floored per ROW — the one double
+    product each line contributes is computed identically on both
+    engines, so no summed-double ever meets a rounding boundary."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.col("l_extendedprice")
+                * (F.lit(1.0) - F.col("l_discount"))
+                * (F.lit(1.0) + F.col("l_tax"))
+                * 100
+            ).cast("long").alias("line_cents"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sum("line_cents").alias("derived_cents"))
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
+        "status", "header_cents", "derived_cents"
+    )
+    delta = F.abs(F.col("header_cents") - F.col("derived_cents"))
+    has = F.col("derived_cents").isNotNull()
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.coalesce(F.sum(F.when(~has, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_no_lines"),
+        F.coalesce(
+            F.sum(F.when(has & (delta <= 1), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("n_reconciled"),
+        F.coalesce(F.max(F.when(has, delta)), F.lit(0))
+        .cast("long")
+        .alias("max_abs_delta_cents"),
+        F.coalesce(F.sum(F.when(has, delta)), F.lit(0))
+        .cast("long")
+        .alias("total_abs_delta_cents"),
+    )

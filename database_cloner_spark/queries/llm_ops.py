@@ -1563,3 +1563,67 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select("rep_doc_id", "n_docs", "n_distinct_texts")
     )
+
+
+# Binary-payload exact dedup by content hash over a doubled asset
+# table (at-least-once media re-ingest, the q_dedup_exact posture for
+# OPAQUE payloads): per media type, physical assets, distinct payload
+# digests, duplicate surplus + ppm. The multimodal tier's storage-
+# dedup primitive — identical bytes are identical media regardless of
+# filename/id, and the 16-byte digest is the shuffle key, never the
+# payload (content-addressable-store discipline).
+_ORACLE_DEDUP_ASSET = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         (['image','audio','video'])[(doc_id % 3) + 1] AS media_type,
+         text
+  FROM documents
+),
+doubled AS (
+  SELECT asset_id, media_type, text FROM assets
+  UNION ALL
+  SELECT asset_id + 1000000, media_type, text FROM assets
+),
+h AS (SELECT media_type, md5(text) AS digest FROM doubled)
+SELECT media_type,
+       COUNT(*)::BIGINT AS n_assets,
+       COUNT(DISTINCT digest)::BIGINT AS n_distinct_payloads,
+       (COUNT(*) - COUNT(DISTINCT digest))::BIGINT AS n_dup_assets,
+       CAST(((COUNT(*) - COUNT(DISTINCT digest)) * 1000000) // COUNT(*)
+            AS BIGINT) AS dup_ppm
+FROM h GROUP BY media_type
+"""
+
+
+@register("q_dedup_asset", oracle=_ORACLE_DEDUP_ASSET, tier="X")
+def q_dedup_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup census for opaque binary assets over a
+    doubled ingest (simulating media re-crawl): per media type,
+    physical assets vs distinct MD5 payload digests. Shape: digest
+    computed map-side over the payload BYTES (Spark md5(binary) ==
+    DuckDB md5(utf8 varchar) — verified byte-identical), then ONE
+    two-phase groupBy(media_type) whose distinct-digest state carries
+    32-char digests, never payloads; exchange is media-type-sized. At
+    100 TB this is the content-addressable-store census: payloads stay
+    in place, only digests move."""
+    assets = assets_from_documents(
+        load(spark, sf_dir, "documents")
+    ).select("asset_id", "media_type", "payload")
+    doubled = assets.unionByName(
+        assets.select(
+            (F.col("asset_id") + 1000000).alias("asset_id"),
+            "media_type",
+            "payload",
+        )
+    )
+    h = doubled.select("media_type", F.md5("payload").alias("digest"))
+    return h.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.count_distinct("digest").cast("long").alias("n_distinct_payloads"),
+        (F.count(F.lit(1)) - F.count_distinct("digest"))
+        .cast("long")
+        .alias("n_dup_assets"),
+        F.expr(
+            "((count(1) - count(DISTINCT digest)) * 1000000L) div count(1)"
+        ).cast("long").alias("dup_ppm"),
+    )

@@ -1117,3 +1117,25 @@ def test_dedup_prefix_single_groupby_no_join(spark):
     plan = _plan(spark, "q_dedup_prefix")
     assert "Join" not in plan, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_reconcile_lines_collapse_before_join(spark):
+    """q_dq_reconcile: lineitem must collapse to the orderkey-cents
+    table BEFORE the header join (a partial aggregate deeper than the
+    join), and the final census is |status|-sized — never a join of
+    raw line rows against headers."""
+    plan = _plan(spark, "q_dq_reconcile")
+    assert "partial_sum" in plan, plan
+    head = plan.index("Join")
+    assert "HashAggregate" in plan[head:], plan
+
+
+def test_dedup_asset_shuffles_digests_not_payloads(spark):
+    """q_dedup_asset: no Exchange may be keyed on (or carry) the
+    payload column — the digest is the only thing that moves."""
+    import re as _re
+
+    plan = _plan(spark, "q_dedup_asset")
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "payload" not in m.group(1), m.group(1)
+    assert "Join" not in plan, plan
