@@ -3815,3 +3815,100 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000L) div max(total)"
         ).cast("long").alias("top_decile_ppm"),
     )
+
+
+# Cohort lifetime value: users grouped by FIRST-purchase month, then
+# per (cohort, month-age) the buyer count, period revenue, and the
+# running cumulative revenue — the LTV curve a monetization model is
+# fit against, and the composite q_retention_cohort (presence decay)
+# upgrades to dollars. ALL integer: per-event cents flooring (the
+# q_events_pareto discipline), month ages as exact calendar diffs,
+# cumulative sums over the cohort-cardinality census table.
+_ORACLE_EVENTS_LTV = """
+WITH p AS (
+  SELECT user_id,
+         CAST(date_trunc('month', ts) AS DATE) AS m,
+         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS cents
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    AND event_type = 'purchase'
+),
+um AS (
+  SELECT user_id, m, SUM(cents) AS cents FROM p GROUP BY user_id, m
+),
+c AS (
+  SELECT user_id, m, cents,
+         MIN(m) OVER (PARTITION BY user_id) AS cohort_m
+  FROM um
+),
+census AS (
+  SELECT cohort_m, datediff('month', cohort_m, m) AS age_months,
+         COUNT(*) AS n_buyers, SUM(cents) AS revenue_cents
+  FROM c GROUP BY cohort_m, datediff('month', cohort_m, m)
+)
+SELECT CAST(cohort_m AS VARCHAR) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       CAST(n_buyers AS BIGINT) AS n_buyers,
+       CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(SUM(revenue_cents) OVER (PARTITION BY cohort_m
+                                     ORDER BY age_months
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_revenue_cents
+FROM census
+"""
+
+
+@register("q_events_ltv", oracle=_ORACLE_EVENTS_LTV, tier="X")
+def q_events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: per first-purchase-month cohort and month age,
+    buyers, period revenue, and cumulative revenue — q_retention_cohort
+    upgraded from presence to dollars. Shape: purchases collapse
+    two-phase to a (user, month) cents table; the cohort anchor is a
+    per-user window MIN on that table (the same single user_id
+    exchange); the census fold's exchange carries (cohort, age) rows,
+    and the cumulative window rides the cohort-cardinality census —
+    calendar-bounded, never user-sized. Integer cents floored per
+    EVENT; exact month diffs; no doubles anywhere."""
+    p = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .select(
+            "user_id",
+            F.date_trunc("month", "ts").cast("date").alias("m"),
+            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    um = p.groupBy("user_id", "m").agg(F.sum("cents").alias("cents"))
+    c = um.select(
+        "m",
+        "cents",
+        F.min("m").over(W.partitionBy("user_id")).alias("cohort_m"),
+    )
+    age = (
+        (F.year("m") - F.year("cohort_m")) * 12
+        + (F.month("m") - F.month("cohort_m"))
+    ).cast("long")
+    census = c.groupBy("cohort_m", age.alias("age_months")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+        F.sum("cents").cast("long").alias("revenue_cents"),
+    )
+    wcum = (
+        W.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return census.select(
+        F.col("cohort_m").cast("string").alias("cohort_month"),
+        "age_months",
+        "n_buyers",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wcum).cast("long").alias(
+            "cum_revenue_cents"
+        ),
+    )

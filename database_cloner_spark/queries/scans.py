@@ -12,6 +12,8 @@ stay inside whole-stage codegen — no Python in the hot path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -232,4 +234,69 @@ def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_retailprice").alias("min_price"),
             F.max("p_retailprice").alias("max_price"),
         )
+    )
+
+
+# --- q_scan_text: raw line-oriented text scan (conf/log files, CS:62) ------
+
+# The reference's remaining at-rest format: plain text lines — conf
+# files it `source`s (CS:62), password/log files it greps back in
+# (CS:447,:556). spark.read.text is the splittable line reader; the
+# export is Spark-written text (one file per partition at scale), the
+# parse is codegen split + try_cast, and the oracle recomputes the
+# lines from the source table.
+# The oracle replays the ROUND-TRIP (build line, split line), not the
+# source columns: concat_ws skips NULL fields, so a NULL n_name shifts
+# the remaining fields left — the parse's documented short-record
+# behavior (the q_scan_delim contract), identical on both engines.
+_ORACLE_SCAN_TEXT = """
+WITH l AS (
+  SELECT concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name,
+                   CAST(n_regionkey AS VARCHAR)) AS line
+  FROM nation
+),
+s AS (
+  SELECT string_split(line, '|') AS ts, length(line)::BIGINT AS line_len
+  FROM l
+)
+SELECT TRY_CAST(ts[1] AS BIGINT) AS n_nationkey,
+       ts[2] AS n_name,
+       TRY_CAST(ts[3] AS BIGINT) AS n_regionkey,
+       line_len
+FROM s
+"""
+
+
+@register("q_scan_text", oracle=_ORACLE_SCAN_TEXT, tier="C")
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a line-oriented TEXT export (the conf/log-file format the
+    reference sources and greps, clone_databases.sh:62,:447,:556) back
+    into typed fields. The export is written ONCE per namespace content
+    (sources/export_cache.py) by a distributed spark text write; the
+    read is spark.read.text — splittable, so one huge log file
+    parallelizes by byte range; the '|' parse is codegen split with
+    try_cast (a malformed line degrades to NULL fields, never kills
+    the scan under ANSI)."""
+    from database_cloner_spark.sources.export_cache import cached_export
+
+    def build(out: str) -> None:
+        nat = load(spark, sf_dir, "nation")
+        line = F.concat_ws(
+            "|",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        )
+        nat.select(line.alias("value")).write.mode("overwrite").text(out)
+
+    path = cached_export(
+        "dcs_nation_text", os.path.join(sf_dir, "nation.parquet"), build
+    )
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), r"\|")
+    return lines.select(
+        F.get(parts, 0).try_cast("bigint").alias("n_nationkey"),
+        F.get(parts, 1).alias("n_name"),
+        F.get(parts, 2).try_cast("bigint").alias("n_regionkey"),
+        F.length("value").cast("long").alias("line_len"),
     )

@@ -1139,3 +1139,22 @@ def test_dedup_asset_shuffles_digests_not_payloads(spark):
     for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "payload" not in m.group(1), m.group(1)
     assert "Join" not in plan, plan
+
+
+def test_ltv_windows_ride_aggregated_tables(spark):
+    """q_events_ltv: the cohort-anchor window consumes the (user,
+    month) aggregate and the cumulative window consumes the census —
+    an aggregate must sit deeper than the FIRST window in the plan,
+    and the purchase filter reaches the scan."""
+    plan = _plan(spark, "q_events_ltv")
+    head = plan.index("windowspecdefinition")
+    assert "HashAggregate" in plan[head:], plan
+    assert "purchase" in plan, plan
+
+
+def test_scan_text_is_line_source_map_only(spark):
+    """q_scan_text: a text-source scan into codegen parse — no
+    Exchange, no join; the scan node must be the Text file source."""
+    plan = _plan(spark, "q_scan_text")
+    assert "Exchange" not in plan, plan
+    assert "text" in plan.lower(), plan
