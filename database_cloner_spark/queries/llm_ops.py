@@ -394,10 +394,78 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.brute_force_topk(embs, similarity.probe_vector(embs))
 
 
-@register("q_sim_ivf_topk", oracle=None, tier="X")
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine fragment, byte-identical in behavior to
+    functions/vector.cosine: ordered double fold (list_inner_product),
+    NULL on empty vectors (len guard) and on zero norms (DuckDB x/0.0
+    is NULL, Spark try_divide is NULL) — the q_dedup_embedding parity
+    class."""
+    lip = "list_inner_product"
+    return (
+        f"CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN NULL "
+        f"ELSE {lip}({a}::DOUBLE[], {b}::DOUBLE[]) "
+        f"/ (sqrt({lip}({a}::DOUBLE[], {a}::DOUBLE[])) "
+        f"* sqrt({lip}({b}::DOUBLE[], {b}::DOUBLE[]))) END"
+    )
+
+
+# Full IVF replay: the seeded centroids, the probe's nprobe cell
+# ranking, every vector's nearest-centroid assignment, and the exact
+# in-cell top-k are ALL deterministic given the engine's fold-order
+# cosine, so the whole scale path is oracle-checkable (round 10 —
+# upgraded from rows-only; the kmeans variant stays rows-only because
+# Lloyd means average floats). DESC ordering places NULL cosines last
+# on BOTH engines (Spark desc / DuckDB default), so zero/empty vectors
+# never crack the top-k while real scores exist.
+# AS MATERIALIZED on every FILTERED list-carrying CTE: DuckDB v1.0's
+# list_inner_product validates the UNDERLYING vector behind a filter's
+# selection, so a NULL-embedding row elsewhere in the chunk raises
+# "argument can not contain NULL values" even when never selected;
+# materializing flattens the selection first (found by the adversarial
+# embeddings fixture's NULL row).
+_ORACLE_SIM_IVF = f"""
+WITH probe AS MATERIALIZED (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+),
+cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM embeddings WHERE vec_id < 16
+),
+cell_rank AS (
+  SELECT cell_id
+  FROM cents CROSS JOIN probe
+  ORDER BY {_cos_sql("centroid", "p")} DESC, cell_id
+  LIMIT 4
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql("e.embedding", "c.centroid")} DESC, c.cell_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding FROM assigned
+  WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM cell_rank)
+),
+scored AS (
+  SELECT vec_id, {_cos_sql("embedding", "p")} AS c
+  FROM cand CROSS JOIN probe
+)
+SELECT vec_id, ROUND(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+@register("q_sim_ivf_topk", oracle=_ORACLE_SIM_IVF, tier="X")
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-10 (nprobe=4 of 16 cells) — the scale path; recall vs
-    brute force asserted in tests/test_llm.py."""
+    """IVF top-10 (nprobe=4 of 16 seeded cells) — the scale path.
+    Fully oracled since round 10: seeding, cell routing, assignment
+    and in-cell scoring are all deterministic fold-order arithmetic,
+    so DuckDB replays the ENTIRE inverted-file search (the kmeans
+    variant stays rows-only — Lloyd means average floats). Recall vs
+    brute force stays asserted in tests/test_llm.py."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embs, similarity.probe_vector(embs))
 

@@ -45,10 +45,12 @@ def test_rows_only_inventory():
     # q_text_langid graduated to a full two-phase oracle in round 5;
     # q_dedup_minhash and q_dedup_simhash graduated in round 10
     # (portable-hash re-base)
-    assert len(_ROWS_ONLY) >= 9, _ROWS_ONLY
+    # ... and q_sim_ivf_topk too (seeded IVF is a deterministic replay)
+    assert len(_ROWS_ONLY) >= 8, _ROWS_ONLY
     assert "q_dedup_minhash" not in _ROWS_ONLY
     assert "q_dedup_simhash" not in _ROWS_ONLY
-    assert "q_sim_ivf_topk" in _ROWS_ONLY and "q_pack_bins" in _ROWS_ONLY
+    assert "q_sim_ivf_topk" not in _ROWS_ONLY
+    assert "q_sim_pq_topk" in _ROWS_ONLY and "q_pack_bins" in _ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
