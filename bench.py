@@ -230,6 +230,41 @@ def main() -> None:
                     f"inverted: {t_small}s @sf{small_lbl} vs "
                     f"{t_big}s @sf{big_lbl}"
                 )
+        # Retest-before-alarming (r10): a flag must SURVIVE a fresh
+        # best-of-2 re-measurement of both sides. The sweeps run each
+        # key once cold per sf, so a box hiccup during one key's two
+        # runs fabricates an "inverted" flag (observed: q_sample_split
+        # 0.82s@sf0.01 in-sweep vs 0.28-0.37s warm — no inversion); a
+        # real plan flip reproduces, noise doesn't.
+        def _best2(name: str, d: str) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[name].builder(spark, d).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        big_dir, small_dir = (
+            (sf_dir, second_sf_dir)
+            if dir_bytes(sf_dir) >= dir_bytes(second_sf_dir)
+            else (second_sf_dir, sf_dir)
+        )
+        for name in list(scale_flags):
+            try:
+                t_big = round(_best2(name, big_dir), 4)
+                t_small = round(_best2(name, small_dir), 4)
+            except Exception:  # noqa: BLE001 — keep the original flag
+                continue
+            superlinear = t_big > 1.0 and t_big > 12 * max(t_small, 0.05)
+            inverted = t_small > t_big + 0.5 and t_small > 1.5 * t_big
+            if not (superlinear or inverted):
+                del scale_flags[name]
+            else:
+                scale_flags[name] += (
+                    f" (retest: {t_small}s small / {t_big}s big)"
+                )
     # headline keys contribute their (best-of-3) headline timing
     sweep_total = round(sum(sweep.values()) + sum(timings.values()), 4)
     sweep_n = len(sweep) + len(timings)
