@@ -197,7 +197,12 @@ def language_id(docs: DataFrame, profile_size: int = 40) -> DataFrame:
     )
     w = W.partitionBy("lang").orderBy(F.desc("n"), F.asc("tg"))
     profiles = (
-        tri.groupBy("lang", "tg")
+        # NULL-labeled docs cannot TRAIN a profile (no language to
+        # learn) — and a NULL profile_lang would hit the asc tie-break
+        # where Spark sorts it FIRST and DuckDB LAST (r10 adversarial
+        # docs sweep). Unlabeled docs are still classified below.
+        tri.filter(F.col("lang").isNotNull())
+        .groupBy("lang", "tg")
         .agg(F.count("*").alias("n"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= profile_size)

@@ -588,7 +588,12 @@ WITH tri AS (
   )
 ),
 counts AS (
-  SELECT lang, tg, COUNT(*) AS n FROM tri GROUP BY lang, tg
+  -- NULL-labeled docs cannot TRAIN a profile (no language to learn);
+  -- they are still classified against the real profiles below. Also
+  -- keeps the best-pick tie-break NULL-free: Spark ASC puts a NULL
+  -- profile_lang first, DuckDB last (r10 adversarial docs sweep).
+  SELECT lang, tg, COUNT(*) AS n FROM tri
+  WHERE lang IS NOT NULL GROUP BY lang, tg
 ),
 profiles AS (
   SELECT lang AS profile_lang, tg

@@ -58,6 +58,13 @@ _NASTY_DOCS = [
     # NULL text: real crawls contain them; every operator must degrade
     # to NULL/0/absent identically on both engines, never crash
     (23, None, "en", "src11"),
+    # NULL lang / NULL source: grouping keys go NULL in real feeds
+    # (missing metadata); GROUP BY must bucket them null-safely and
+    # window PARTITION BYs must not crash or split the NULL group
+    # differently across engines (r10 — the events-tier NULL-tiebreak
+    # sweep's analogue for the documents tier)
+    (24, "null lang doc with ordinary words here", None, "src12"),
+    (25, "null source doc with ordinary words here", "en", None),
 ]
 
 _EXEMPT: dict[str, str] = {
