@@ -913,3 +913,67 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("b")).cast("long").alias("n_distinct_users"),
         F.count(F.lit(1)).cast("long").alias("n_chunks"),
     )
+
+
+# 2-D skyline (Pareto frontier) over parts: the cheapest-for-its-size
+# set — a part is ON the skyline iff no other part is both cheaper
+# (or equal-priced) and strictly larger. The classic multi-criteria
+# shortlist (price down, size up) a sourcing query wants; the naive
+# NOT EXISTS is an all-pairs anti-join, the engine form is the
+# sort-and-cummax sweep: order by (price asc, size desc, key asc) and
+# keep rows whose size strictly exceeds the running max BEFORE them —
+# O(n log n), one pass.
+_ORACLE_AGG_SKYLINE = """
+WITH r AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MAX(p_size) OVER (ORDER BY p_retailprice ASC, p_size DESC,
+                                    p_partkey ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS best_before
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT p_partkey, ROUND(p_retailprice, 2) AS price,
+       CAST(p_size AS BIGINT) AS size
+FROM r
+WHERE best_before IS NULL OR p_size > best_before
+"""
+
+
+@register("q_agg_skyline", oracle=_ORACLE_AGG_SKYLINE, tier="X")
+def q_agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline over parts (minimize price, maximize size): the
+    Pareto frontier via ONE sorted sweep — running MAX(size) over all
+    strictly-better-or-equal-priced predecessors; a row survives iff
+    it beats that max. O(n log n) vs the naive all-pairs NOT EXISTS;
+    the (price, size desc, key) order is total so equal-price ties
+    resolve identically cross-engine (the larger of an equal-price
+    pair survives, the smaller is dominated). Honest scale bound: a
+    global-order window is a single-task sort — for 2-D skylines at
+    1e9+ rows, pre-filter with a coarse grid (only cells on the grid's
+    own frontier can contain skyline points) and sweep the survivors;
+    the sweep itself is the right final pass either way. NULL price/
+    size rows are not comparable and are excluded on both engines."""
+    from pyspark.sql import Window as W
+
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    )
+    w = (
+        W.orderBy(
+            F.asc("p_retailprice"), F.desc("p_size"), F.asc("p_partkey")
+        ).rowsBetween(W.unboundedPreceding, -1)
+    )
+    r = p.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.max("p_size").over(w).alias("best_before"),
+    )
+    return r.filter(
+        F.col("best_before").isNull() | (F.col("p_size") > F.col("best_before"))
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )

@@ -3912,3 +3912,46 @@ def q_events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_revenue_cents"
         ),
     )
+
+
+# Weekly activity heatmap: event counts and distinct actives per
+# (day-of-week, hour-of-day) cell — the seasonality fingerprint every
+# ops dashboard opens with, and the input a traffic-shaping scheduler
+# bins by. DOW convention pinned cross-engine: Spark dayofweek() is
+# 1=Sunday..7, DuckDB's is 0=Sunday..6, so the engine subtracts 1 —
+# calendar-true for ALL dates (epoch-arithmetic mod tricks break on
+# pre-1970 timestamps where integer div/mod semantics differ).
+_ORACLE_EVENTS_DOW_HOUR = """
+SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("q_events_dow_hour", oracle=_ORACLE_EVENTS_DOW_HOUR, tier="X")
+def q_events_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap (event count +
+    distinct actives per cell). Shape: ONE scan into one two-phase
+    aggregate — the 168-cell domain bounds the exchange; the distinct-
+    user state dedups (cell, user) map-side because a user's events
+    cluster in time. UTC session pins hour() identically; dow is
+    Spark dayofweek()-1 == DuckDB dayofweek() (0=Sunday), exact on any
+    calendar date. NULL-user rows still count as events; NULL ts rows
+    have no cell and are excluded on both engines."""
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    return (
+        e.select(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hour"),
+            "user_id",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )

@@ -1700,3 +1700,67 @@ def q_dedup_asset(spark: SparkSession, sf_dir: str) -> DataFrame:
             "((count(1) - count(DISTINCT digest)) * 1000000L) div count(1)"
         ).cast("long").alias("dup_ppm"),
     )
+
+
+# Code-vs-prose detection: per document, integer ppm rates of the
+# symbols that separate source code from natural text (braces/
+# semicolons/equals, underscore_identifiers, indented lines are absent
+# in the flat fixture so the signal set is char-class based), plus the
+# verdict at the classic threshold — the corpus-composition filter a
+# pre-training mix applies before language ID even runs (code is
+# "mis-IDed" as English otherwise). Pure integer arithmetic: counts
+# via length-difference after regexp_replace, ppm floor division.
+_ORACLE_CODE_DETECT = """
+WITH m AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         (length(text) - length(regexp_replace(text, '[{}();=\\[\\]<>]', '', 'g')))::BIGINT AS n_code_chars,
+         (length(text) - length(regexp_replace(text, '_', '', 'g')))::BIGINT AS n_underscores
+  FROM documents WHERE text IS NOT NULL AND length(text) > 0
+)
+SELECT doc_id, n_chars,
+       CAST((n_code_chars * 1000000) // n_chars AS BIGINT) AS code_char_ppm,
+       CAST((n_underscores * 1000000) // n_chars AS BIGINT)
+         AS underscore_ppm,
+       (n_code_chars * 1000000) // n_chars >= 20000 AS looks_like_code
+FROM m
+"""
+
+
+@register("q_text_code_detect", oracle=_ORACLE_CODE_DETECT, tier="X")
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector: per doc, code-symbol and underscore
+    character rates (exact floor ppm) and the >= 2% code-char verdict —
+    the corpus-composition filter a pre-training mix runs before
+    language ID (code otherwise pollutes the 'en' bucket). Shape: pure
+    map-side codegen (length minus post-regexp_replace length — the
+    q_text_encoding_audit counting idiom), ZERO shuffles, per-row
+    output. Empty/NULL docs are excluded on both engines (no rate to
+    compute)."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    n_chars = F.length("text").cast("long")
+    n_code = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{}();=\[\]<>]", ""))
+    ).cast("long")
+    n_us = (
+        F.length("text") - F.length(F.regexp_replace("text", "_", ""))
+    ).cast("long")
+    m = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_code.alias("n_code_chars"),
+        n_us.alias("n_underscores"),
+    )
+    code_ppm = F.expr("(n_code_chars * 1000000L) div n_chars")
+    return m.select(
+        "doc_id",
+        "n_chars",
+        code_ppm.cast("long").alias("code_char_ppm"),
+        F.expr("(n_underscores * 1000000L) div n_chars")
+        .cast("long")
+        .alias("underscore_ppm"),
+        (code_ppm >= 20000).alias("looks_like_code"),
+    )

@@ -339,7 +339,13 @@ LOW_CARD_COLS = {
 # by construction but NOT via an aggregate visible below them in the
 # same plan fragment (e.g. built from a driver-side frame or a
 # span-bounded generated grid). Keep empty unless an audit note says why.
-LOWCARD_WINDOW_ALLOWED: dict[str, str] = {}
+LOWCARD_WINDOW_ALLOWED: dict[str, str] = {
+    # The sorted sweep IS the skyline algorithm (running MAX over
+    # better-priced predecessors); its input is the raw part table
+    # (dimension-scale), and the documented 1e9+ path grid-prefilters
+    # to frontier-candidate cells before this exact final sweep.
+    "q_agg_skyline": "single-sweep Pareto frontier over the part dim",
+}
 
 
 def _window_partition_sets(plan: str) -> list[tuple]:
@@ -1158,3 +1164,27 @@ def test_scan_text_is_line_source_map_only(spark):
     plan = _plan(spark, "q_scan_text")
     assert "Exchange" not in plan, plan
     assert "text" in plan.lower(), plan
+
+
+def test_skyline_single_sweep_no_join(spark):
+    """q_agg_skyline: ONE global sorted sweep (a window, an aggregate
+    nowhere needed below it is fine — the input is the raw part table,
+    admitted because the sweep IS the algorithm), and critically NO
+    join: the naive NOT EXISTS anti-join is the shape this key exists
+    to avoid."""
+    plan = _plan(spark, "q_agg_skyline")
+    assert "Join" not in plan, plan
+    assert "windowspecdefinition" in plan, plan
+
+
+def test_code_detect_map_only(spark):
+    plan = _plan(spark, "q_text_code_detect")
+    assert "Exchange" not in plan, plan
+
+
+def test_dow_hour_partial_distinct(spark):
+    """q_events_dow_hour: the distinct-user count must partial-
+    aggregate map-side; the exchange is 168-cell bounded."""
+    plan = _plan(spark, "q_events_dow_hour")
+    assert "partial" in plan.lower(), plan
+    assert "Join" not in plan, plan
