@@ -1221,7 +1221,7 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TTEST = f"""
 WITH pts AS (
   SELECT event_type, CAST(FLOOR(value * 10000) AS BIGINT) AS y
-  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL AND isfinite(value)
 ),
 g AS (
   SELECT event_type, COUNT(*) AS n, SUM(y) AS s,
@@ -1269,6 +1269,7 @@ def q_stats_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     this value scale (ANSI raises loudly beyond)."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        & ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
     )
     y = F.floor(F.col("value") * 10000).cast(_DEC)
     g = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
@@ -1326,6 +1327,7 @@ WITH pts AS (
   SELECT user_id, CAST(FLOOR(value * 10000) AS BIGINT) AS y, ts, event_id
   FROM events
   WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    AND isfinite(value)
 ),
 pairs AS (
   SELECT user_id,
@@ -1375,6 +1377,7 @@ def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
+        & ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
         & F.col("ts").isNotNull()
     )
     y = F.floor(F.col("value") * 10000).cast(_DEC)
@@ -1693,6 +1696,7 @@ WITH pts AS (
          CAST(FLOOR(value * 100) AS BIGINT) AS y
   FROM events
   WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+    AND isfinite(value)
 ),
 w AS (
   SELECT event_id, user_id,
@@ -1736,6 +1740,7 @@ def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").filter(
         F.col("user_id").isNotNull()
         & F.col("value").isNotNull()
+        & ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
         & F.col("ts").isNotNull()
     )
     x = (F.unix_micros(F.col("ts")) / F.lit(1000000)).cast("long") - F.lit(
@@ -1792,7 +1797,7 @@ def q_win_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_MOMENTS = f"""
 WITH pts AS (
   SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS y
-  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL AND isfinite(value)
 ),
 g AS (
   SELECT event_type, COUNT(*) AS n,
@@ -1836,6 +1841,7 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides."""
     ev = load(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        & ~F.isnan("value") & (F.abs("value") < F.lit(float("inf")))
     )
     y = F.floor(F.col("value") * 100).cast(_DEC)
     g = ev.select("event_type", y.alias("y")).groupBy("event_type").agg(
@@ -3719,7 +3725,10 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_EVENTS_PARETO = """
 WITH p AS (
   SELECT user_id,
-         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS cents
+         CASE WHEN NOT isnan(COALESCE(value, 0.0))
+                 AND abs(COALESCE(value, 0.0)) <= 1e15
+            THEN CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT)
+            ELSE 0 END AS cents
   FROM events
   WHERE user_id IS NOT NULL AND event_type = 'purchase'
 ),
@@ -3768,9 +3777,19 @@ def q_events_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "user_id",
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
-            .cast("long")
-            .alias("cents"),
+            # Finite-and-bounded guard BEFORE floor: a NaN/Infinity
+            # value degrades to zero cents instead of poisoning sums —
+            # and the guard must come FIRST because Spark's floor(double)
+            # RETURNS LONG and silently saturates at +-Long.MAX on
+            # non-finite input (a later try_cast never sees the double;
+            # measured: floor(inf) = 9223372036854775807, which then
+            # overflows the first downstream addition under ANSI).
+            F.expr(
+                "CASE WHEN NOT isnan(coalesce(value, 0.0))"
+                " AND abs(coalesce(value, 0.0)) <= 1e15"
+                " THEN floor(coalesce(value, 0.0) * 100)"
+                " ELSE 0L END"
+            ).alias("cents"),
         )
     )
     u = p.groupBy("user_id").agg(F.sum("cents").alias("cents"))
@@ -3828,7 +3847,10 @@ _ORACLE_EVENTS_LTV = """
 WITH p AS (
   SELECT user_id,
          CAST(date_trunc('month', ts) AS DATE) AS m,
-         CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT) AS cents
+         CASE WHEN NOT isnan(COALESCE(value, 0.0))
+                 AND abs(COALESCE(value, 0.0)) <= 1e15
+            THEN CAST(FLOOR(COALESCE(value, 0.0) * 100) AS BIGINT)
+            ELSE 0 END AS cents
   FROM events
   WHERE user_id IS NOT NULL AND ts IS NOT NULL
     AND event_type = 'purchase'
@@ -3879,9 +3901,19 @@ def q_events_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.date_trunc("month", "ts").cast("date").alias("m"),
-            F.floor(F.coalesce(F.col("value"), F.lit(0.0)) * 100)
-            .cast("long")
-            .alias("cents"),
+            # Finite-and-bounded guard BEFORE floor: a NaN/Infinity
+            # value degrades to zero cents instead of poisoning sums —
+            # and the guard must come FIRST because Spark's floor(double)
+            # RETURNS LONG and silently saturates at +-Long.MAX on
+            # non-finite input (a later try_cast never sees the double;
+            # measured: floor(inf) = 9223372036854775807, which then
+            # overflows the first downstream addition under ANSI).
+            F.expr(
+                "CASE WHEN NOT isnan(coalesce(value, 0.0))"
+                " AND abs(coalesce(value, 0.0)) <= 1e15"
+                " THEN floor(coalesce(value, 0.0) * 100)"
+                " ELSE 0L END"
+            ).alias("cents"),
         )
     )
     um = p.groupBy("user_id", "m").agg(F.sum("cents").alias("cents"))

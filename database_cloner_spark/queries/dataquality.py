@@ -935,13 +935,20 @@ def q_dq_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_DQ_RECONCILE = """
 WITH li AS (
   SELECT l_orderkey,
-         SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                        * 100) AS BIGINT)) AS derived_cents
+         SUM(CASE WHEN NOT isnan(COALESCE(l_extendedprice, 0.0))
+                     AND abs(COALESCE(l_extendedprice, 0.0)) <= 1e15
+                THEN CAST(FLOOR(COALESCE(l_extendedprice, 0.0)
+                                * (1 - COALESCE(l_discount, 0.0))
+                                * (1 + COALESCE(l_tax, 0.0)) * 100) AS BIGINT)
+                ELSE 0 END) AS derived_cents
   FROM lineitem GROUP BY l_orderkey
 ),
 j AS (
   SELECT o.o_orderstatus AS status,
-         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+         CASE WHEN NOT isnan(COALESCE(o.o_totalprice, 0.0))
+                   AND abs(COALESCE(o.o_totalprice, 0.0)) <= 1e15
+              THEN CAST(FLOOR(o.o_totalprice * 100) AS BIGINT)
+         END AS header_cents,
          li.derived_cents
   FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
 )
@@ -980,12 +987,16 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .select(
             "l_orderkey",
-            F.floor(
-                F.col("l_extendedprice")
-                * (F.lit(1.0) - F.col("l_discount"))
-                * (F.lit(1.0) + F.col("l_tax"))
-                * 100
-            ).cast("long").alias("line_cents"),
+            # same floor-saturation guard as q_events_pareto (Spark
+            # floor(double) returns a SATURATING long on non-finite)
+            F.expr(
+                "CASE WHEN NOT isnan(coalesce(l_extendedprice, 0.0))"
+                " AND abs(coalesce(l_extendedprice, 0.0)) <= 1e15"
+                " THEN floor(coalesce(l_extendedprice, 0.0)"
+                " * (1 - coalesce(l_discount, 0.0))"
+                " * (1 + coalesce(l_tax, 0.0)) * 100)"
+                " ELSE 0L END"
+            ).alias("line_cents"),
         )
         .groupBy("l_orderkey")
         .agg(F.sum("line_cents").alias("derived_cents"))
@@ -993,7 +1004,11 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.col("o_orderstatus").alias("status"),
-        F.floor(F.col("o_totalprice") * 100).cast("long").alias("header_cents"),
+        F.expr(
+            "CASE WHEN NOT isnan(coalesce(o_totalprice, 0.0))"
+            " AND abs(coalesce(o_totalprice, 0.0)) <= 1e15"
+            " THEN floor(o_totalprice * 100) END"
+        ).alias("header_cents"),
     )
     j = o.join(li, o.o_orderkey == li.l_orderkey, "left").select(
         "status", "header_cents", "derived_cents"

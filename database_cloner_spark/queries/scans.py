@@ -113,12 +113,19 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = events_document_export(spark, sf_dir)
     docs = load_json(spark, path)
+    # try_cast on `value`: Spark's JSON writer renders non-finite
+    # doubles as the STRINGS "NaN"/"Infinity", which flips the inferred
+    # column to string for the whole collection — the schema-drift case
+    # this key exists to survive. try_cast restores doubles (incl. NaN/
+    # Infinity, which compare > 10 identically on both engines) and
+    # degrades true garbage to NULL instead of dying under ANSI.
+    v = F.col("value").try_cast("double")
     return docs.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.min(F.col("meta.k")).alias("min_k"),
         F.max(F.col("meta.k")).alias("max_k"),
         F.min(F.col("meta.user_id")).alias("min_user"),
-        F.sum(F.when(F.col("value") > 10, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(v > 10, 1).otherwise(0)).alias("n_high"),
     )
 
 

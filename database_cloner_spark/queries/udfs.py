@@ -93,6 +93,7 @@ SELECT event_id, event_type,
        ROUND((value - AVG(value) OVER (PARTITION BY event_type))
              / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS value_z
 FROM events
+WHERE value IS NOT NULL AND isfinite(value)
 """
 
 
@@ -114,7 +115,20 @@ def q_pandas_udf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    # Finite values only, filtered JVM-side BEFORE the Arrow boundary:
+    # one NaN/Infinity value poisons the whole group's mean/std in
+    # pandas AND blows DuckDB's STDDEV_SAMP out of range — non-finite
+    # rows have no defined z-score and are dropped on both engines
+    # (adversarial events fixture, r10).
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .filter(
+            F.col("value").isNotNull()
+            & ~F.isnan("value")
+            & (F.abs("value") < F.lit(float("inf")))
+        )
+    )
     return ev.groupBy("event_type").applyInPandas(
         normalize, schema="event_id long, event_type string, value_z double"
     )

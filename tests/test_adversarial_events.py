@@ -87,6 +87,13 @@ _NASTY_EVENTS = [
     (None, _ts("2024-01-06T00:00:00"), 11, "click", 1.0, '{"k": 1}'),
     (30, _ts("2024-01-06T00:00:00"), 11, "purchase", 55.5, '{"k": 2}'),
     (31, _ts("2024-01-06T00:30:00"), 11, "view", 2.0, '{"k": 3}'),
+    # NaN / Infinity values (a broken upstream aggregation or a
+    # divide-by-zero feature): both engines order NaN greatest and
+    # propagate it through SUM/AVG identically, but under ANSI a plain
+    # CAST/FLOOR-to-long on one NaN row KILLS a whole job — every
+    # money/cents path must try_-degrade instead (r10).
+    (32, _ts("2024-01-07T00:00:00"), 12, "purchase", float("nan"), "{}"),
+    (33, _ts("2024-01-07T00:01:00"), 12, "purchase", float("inf"), "{}"),
 ]
 
 _EXEMPT: dict[str, str] = {
