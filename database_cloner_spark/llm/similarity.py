@@ -43,8 +43,16 @@ def brute_force_topk(embs: DataFrame, probe: DataFrame, k: int = 10) -> DataFram
 
 
 def seed_centroids(embs: DataFrame, n_cells: int = 16) -> DataFrame:
-    """Deterministic seeding: the first n_cells vectors as centroids."""
-    return embs.filter(F.col("vec_id") < n_cells).select(
+    """Deterministic seeding: the first n_cells vectors as centroids.
+    Non-finite vectors are excluded — a NaN centroid scores NaN against
+    EVERY vector, and since NaN orders greatest on both engines it
+    would win every assignment tie-break and collapse the index into
+    one garbage cell (r10 NaN sweep)."""
+    finite = F.expr(
+        "NOT exists(embedding,"
+        " v -> isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE))"
+    )
+    return embs.filter((F.col("vec_id") < n_cells) & finite).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
     )
 

@@ -424,10 +424,16 @@ def q_freq_sketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash-checkable. The degenerate hi == lo case (single distinct value,
 # the adversarial-twin shape) routes everything to bin 0 BEFORE any
 # division, avoiding the 0/0 NaN that an ANSI int cast would throw on.
+# isfinite on BOTH the bounds and the binned scan: one NaN price makes
+# hi = NaN (NaN is the MAX on both engines) and the bin expression
+# NaN-poisons — DuckDB then errors casting NaN to INT while Spark's
+# floor saturates (pitfall 12). A [min, max] with non-finite endpoints
+# is meaningless; non-finite rows simply have no bin.
 _ORACLE_HISTOGRAM = """
 WITH b AS (
   SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
-  FROM lineitem WHERE l_extendedprice IS NOT NULL
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
 )
 SELECT
   CAST(CASE WHEN hi > lo
@@ -435,7 +441,7 @@ SELECT
             ELSE 0 END AS BIGINT) AS bin,
   COUNT(*) AS n
 FROM lineitem, b
-WHERE l_extendedprice IS NOT NULL
+WHERE l_extendedprice IS NOT NULL AND isfinite(l_extendedprice)
 GROUP BY 1
 """
 
@@ -452,6 +458,8 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram convention expects."""
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_extendedprice").isNotNull()
+        & ~F.isnan("l_extendedprice")
+        & (F.abs("l_extendedprice") < F.lit(float("inf")))
     )
     bounds = li.agg(
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")

@@ -428,8 +428,13 @@ WITH probe AS MATERIALIZED (
   SELECT embedding AS p FROM embeddings WHERE vec_id = 0
 ),
 cents AS MATERIALIZED (
+  -- non-finite vectors can't seed (NaN scores NaN vs everything and
+  -- NaN orders greatest both engines — it would win every tie-break)
   SELECT vec_id AS cell_id, embedding AS centroid
-  FROM embeddings WHERE vec_id < 16
+  FROM embeddings
+  WHERE vec_id < 16
+    AND len(list_filter(embedding,
+                        v -> isnan(v) OR NOT isfinite(v))) = 0
 ),
 cell_rank AS (
   SELECT cell_id
@@ -1517,8 +1522,11 @@ m AS (
   FROM x
 ),
 s AS (
+  -- isfinite guard: NaN > 0 is TRUE on both engines (NaN orders
+  -- greatest), so an unguarded CASE would compute a NaN scale whose
+  -- floor SATURATES in Spark (pitfall 12) and errors in DuckDB
   SELECT vec_id, v, n_dims,
-         CASE WHEN mx > 0 THEN mx / 127.0 END AS scale
+         CASE WHEN mx > 0 AND isfinite(mx) THEN mx / 127.0 END AS scale
   FROM m
 )
 SELECT vec_id, n_dims,
@@ -1564,7 +1572,14 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "v",
         "n_dims",
-        F.when(F.col("mx") > 0, F.col("mx") / F.lit(127.0)).alias("scale"),
+        # NaN > 0 is TRUE on both engines — guard finiteness explicitly
+        # or a NaN/inf element poisons scale and the floor saturates
+        F.when(
+            (F.col("mx") > 0)
+            & ~F.isnan("mx")
+            & (F.col("mx") < F.lit(float("inf"))),
+            F.col("mx") / F.lit(127.0),
+        ).alias("scale"),
     )
     err = F.expr(
         "array_max(transform(v,"

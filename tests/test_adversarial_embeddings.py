@@ -47,6 +47,12 @@ _NASTY_VECS = [
     # duplicate vec_id on the non-probe side
     (9, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 5),
     (9, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 5),
+    # NaN / Infinity ELEMENTS (a broken upstream encoder): dot/norm
+    # folds NaN-poison identically on both engines (NaN cosine), and
+    # NaN ordering is pinned (greatest, both) — these rows must never
+    # crash a scorer or silently diverge (r10 NaN sweep)
+    (10, [1.0, float("nan"), 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 6),
+    (11, [1.0, 2.0, float("inf"), 4.0, 5.0, 6.0, 7.0, 8.0], 6),
 ]
 
 _EXEMPT: dict[str, str] = {

@@ -150,42 +150,49 @@ def write_fixture(d: str) -> None:
         {
             "l_orderkey": (
                 [100, 100, 100, 101, 101, 102, 103, 104, 105, 106, 107, 108,
-                 999, 100, 105, 105],
+                 999, 100, 105, 105, 106],
                 i64,
             ),
-            "l_partkey": ([1, 2, 3, 1, None, 4, 5, 6, 1, 2, 3, 4, 5, 1, 1, 1], i64),
-            "l_suppkey": ([1, 2, 3, 4, 1, None, 2, 3, 4, 1, 2, 3, 4, 1, 4, 4], i64),
+            "l_partkey": ([1, 2, 3, 1, None, 4, 5, 6, 1, 2, 3, 4, 5, 1, 1, 1,
+                           2], i64),
+            "l_suppkey": ([1, 2, 3, 4, 1, None, 2, 3, 4, 1, 2, 3, 4, 1, 4, 4,
+                           1], i64),
             # duplicate linenumbers within an order + two fully-dup rows
-            "l_linenumber": ([1, 2, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2], i32),
+            "l_linenumber": ([1, 2, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2,
+                              2], i32),
+            # last row: NaN price / inf quantity (broken upstream math)
+            # — every money/stat path must degrade, never die or
+            # diverge (the r10 NaN sweep, relational tier)
             "l_quantity": (
                 [1.0, 2.0, 50.0, -3.0, 0.0, None, 7.0, 100.0, 5.0, 6.0, 1.0,
-                 2.0, 4.0, 1.0, 5.0, 5.0],
+                 2.0, 4.0, 1.0, 5.0, 5.0, float("inf")],
                 f64,
             ),
             "l_extendedprice": (
                 [10.25, 20.5, 512.75, -30.0, 0.0, 100.25, None, 1000000.0,
-                 50.5, 60.25, 10.0, 20.0, 40.0, 10.25, 50.5, 50.5],
+                 50.5, 60.25, 10.0, 20.0, 40.0, 10.25, 50.5, 50.5,
+                 float("nan")],
                 f64,
             ),
             # dyadic discounts/taxes: products stay exactly representable
             "l_discount": (
                 [0.0, 0.25, 0.5, 0.25, 0.0, 0.25, 0.5, None, 0.25, 0.0,
-                 0.25, 0.5, 0.0, 0.0, 0.25, 0.25],
+                 0.25, 0.5, 0.0, 0.0, 0.25, 0.25, 0.25],
                 f64,
             ),
             "l_tax": (
                 [0.0, 0.25, 0.0, 0.5, 0.25, 0.0, 0.25, 0.5, None, 0.25,
-                 0.0, 0.25, 0.5, 0.0, 0.25, 0.25],
+                 0.0, 0.25, 0.5, 0.0, 0.25, 0.25, 0.0],
                 f64,
             ),
             "l_returnflag": (
                 ["N", "R", "A", "N", "", "R", "N", "A", "N", "R", "N", "A",
-                 "N", "N", "R", "R"],
+                 "N", "N", "R", "R", "R"],
                 s,
             ),
             "l_linestatus": (
                 ["O", "F", "O", "F", "O", "", "F", "O", "F", "O", "F", "O",
-                 "F", "O", "F", "F"],
+                 "F", "O", "F", "F", "O"],
                 s,
             ),
             # straddle the q1 literal 1998-09-02; one NULL shipdate
@@ -207,6 +214,7 @@ def write_fixture(d: str) -> None:
                     _ts("1998-09-01T00:00:00"),
                     _ts("1996-06-15T12:00:00"),
                     _ts("1996-06-15T12:00:00"),
+                    _ts("1996-07-01T00:00:00"),
                 ],
                 ts,
             ),
