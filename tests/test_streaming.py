@@ -399,12 +399,19 @@ def test_streaming_total_on_nasty_events(spark, tmp_path):
     name = _run_to_memory(
         ops.tumbling_counts(stream), f"n_{_uuid.uuid4().hex[:8]}"
     )
+
+    # The nasty fixture's NaN purchase values make some sum_value NaN
+    # on BOTH sides (r10 NaN sweep) — stringify so NaN compares equal
+    # (Python nan != nan would fail an otherwise identical pair).
+    def norm(v):
+        return repr(v)
+
     got = {
-        (r.window_start, r.event_type): (r.n, r.sum_value)
+        (r.window_start, r.event_type): (r.n, norm(r.sum_value))
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
     want = {
-        (r.window_start, r.event_type): (r.n, r.sum_value)
+        (r.window_start, r.event_type): (r.n, norm(r.sum_value))
         for r in ops.tumbling_counts(load(spark, d, "events")).collect()
     }
     assert got == want and got
