@@ -12,9 +12,14 @@ Two implementations of the same semantics:
   primitive-array folds.
 - Arrow-batched pandas scoring (cosine_topk_pandas): the throughput
   path. Each Arrow batch becomes one numpy matrix-vector product
-  (BLAS), ~dim-independent per-row overhead. Float summation order
-  differs from the HOF form, so results are rounded at the edge and
-  verified against the exact form with tolerance, not hashed.
+  (BLAS), ~dim-independent per-row overhead. Since round 10 the
+  scoring runs on an exact integer grid (elements quantized to
+  floor(x * 2^20 + 0.5), clamped to ±2^23), so every dot-product term
+  is an integer < 2^46 and every partial sum an integer < 2^53 —
+  EXACT in float64 under ANY summation order, BLAS included. That
+  makes the result bit-deterministic and DuckDB-replayable: the key
+  carries a full hash oracle (quantization error in the cosine is
+  ~2^-20·√dim, far inside the 4-decimal edge rounding).
 """
 
 from __future__ import annotations
@@ -50,6 +55,15 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+# Quantization grid for the pandas scoring path. Q_SCALE fixes ~6
+# significant decimal digits per element; Q_CLAMP bounds |q| <= 2^23 so
+# a 64-dim dot product stays < 64 * 2^46 = 2^52 — every partial sum an
+# exact float64 integer, hence BLAS-order-independent and bit-identical
+# to DuckDB's list_inner_product replay.
+Q_SCALE = float(1 << 20)
+Q_CLAMP = float(1 << 23)
+
+
 def cosine_topk_pandas(
     embs: DataFrame, probe: list[float], k: int = 10, vec_col: str = "embedding"
 ) -> DataFrame:
@@ -58,26 +72,40 @@ def cosine_topk_pandas(
     TakeOrderedAndProject. The probe travels as a closure constant —
     at 100 TB this is the batch-scoring fast path; for many probes at
     once, stack them into a matrix and this becomes a tall-skinny GEMM
-    per batch."""
+    per batch.
+
+    Scoring runs on the exact integer grid (Q_SCALE/Q_CLAMP above):
+    q(x) = clamp(floor(x·2^20 + 0.5), ±2^23), cosine =
+    qdot / (sqrt(qnorm_a)·sqrt(qnorm_p)). All three sums are exact
+    integers in float64 under any accumulation order, sqrt and divide
+    are single correctly-rounded IEEE ops — so the result is
+    bit-deterministic across numpy, the JVM, and the DuckDB oracle.
+    Vectors containing a non-finite element score NULL (the r10
+    finite-filter posture; NaN survives floor/clip in numpy but DuckDB's
+    LEAST/GREATEST would swallow it, so both sides gate explicitly)."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     p = np.asarray(probe, dtype=np.float64)
-    p_unit = p / np.linalg.norm(p)
+    if p.size and np.isfinite(p).all():
+        qp = np.clip(np.floor(p * Q_SCALE + 0.5), -Q_CLAMP, Q_CLAMP)
+        p_norm = np.sqrt((qp * qp).sum())
+    else:
+        qp, p_norm = None, 0.0
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # Unscorable vectors (NULL, probe-dim mismatch, zero norm)
-            # get a NULL cosine — the SAME rows the exact HOF path
-            # produces via try_divide. Dropping them instead would make
-            # the two paths return different row counts whenever fewer
-            # than k scorable vectors exist (ADVICE r4): NULL-cosine
-            # rows still fill the LIMIT k, ranked last by
-            # desc-nulls-last + vec_id. np.stack needs a uniform shape,
-            # so scorables are scored as a sub-matrix and scattered
-            # back; one ragged batch must not kill the job
+            # Unscorable vectors (NULL, probe-dim mismatch, zero norm,
+            # non-finite element) get a NULL cosine — the SAME rows the
+            # exact HOF path produces via try_divide. Dropping them
+            # instead would make the two paths return different row
+            # counts whenever fewer than k scorable vectors exist
+            # (ADVICE r4): NULL-cosine rows still fill the LIMIT k,
+            # ranked last by desc-nulls-last + vec_id. np.stack needs a
+            # uniform shape, so scorables are scored as a sub-matrix and
+            # scattered back; one ragged batch must not kill the job
             # (tests/test_adversarial_rows_only.py).
             vecs = pdf[vec_col].to_numpy()
             cos = np.full(len(pdf), np.nan)
@@ -86,15 +114,22 @@ def cosine_topk_pandas(
                 for i, v in enumerate(vecs)
                 if v is not None and len(v) == p.size
             ]
-            if idx:
+            if idx and qp is not None and p_norm > 0:
                 m = np.stack([np.asarray(vecs[i]) for i in idx]).astype(
                     np.float64
                 )
-                norms = np.linalg.norm(m, axis=1)
+                qm = np.clip(np.floor(m * Q_SCALE + 0.5), -Q_CLAMP, Q_CLAMP)
+                norms = np.sqrt((qm * qm).sum(axis=1))
                 sub = np.full(len(idx), np.nan)
-                scorable = norms > 0
-                sub[scorable] = (m[scorable] @ p_unit) / norms[scorable]
+                scorable = (norms > 0) & np.isfinite(m).all(axis=1)
+                sub[scorable] = (qm[scorable] @ qp) / (
+                    norms[scorable] * p_norm
+                )
                 cos[idx] = sub
+            # floor(c·10^4 + 0.5)/10^4, not np.round: half-up on both
+            # engines (np.round is half-even, DuckDB ROUND differs on
+            # doubles) — the repo's standard edge-rounding discipline.
+            cos = np.floor(cos * 10000.0 + 0.5) / 10000.0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -102,7 +137,7 @@ def cosine_topk_pandas(
                     # float64 NaN would arrive as Spark NaN, which sorts
                     # ABOVE every number in desc order — the opposite of
                     # the exact path's NULL-last ranking.
-                    "cosine": pd.array(np.round(cos, 4), dtype="Float64"),
+                    "cosine": pd.array(cos, dtype="Float64"),
                 }
             )
 

@@ -600,10 +600,14 @@ def embedding_neardup_bucketed(
       fold work onto one core. Pinning the partitioning makes the cell
       the parallel unit (at 100 TB, n_cells is the scale knob and is
       >> cores, so this is also the right cluster shape)."""
-    cents = (
-        embs.filter(F.col("vec_id") < n_cells)
-        .select(F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid"))
-    )
+    # Seeded centroids shared with the IVF search path — includes its
+    # non-finite exclusion: a NaN centroid scores NaN vs EVERY vector
+    # and NaN sorts greatest on both engines, so it would win all
+    # nprobe assignment slots and collapse the cells into one n² bucket
+    # (r10 NaN sweep posture, llm/similarity.seed_centroids).
+    from database_cloner_spark.llm.similarity import seed_centroids
+
+    cents = seed_centroids(embs, n_cells)
     from database_cloner_spark.functions.vector import cosine as _cos
 
     scored = embs.crossJoin(F.broadcast(cents)).select(
@@ -612,7 +616,15 @@ def embedding_neardup_bucketed(
         "cell_id",
         _cos(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    # partition by (vec_id, embedding), not vec_id alone: a duplicated
+    # vec_id carrying two DIFFERENT vectors must rank each vector's
+    # cells independently — one mixed window would pick 3 of the 2×16
+    # combos by partition arrival order (nondeterministic under a hash
+    # oracle). vec_id is near-unique at scale, so the partition count
+    # and shuffle shape are unchanged.
+    w = W.partitionBy("vec_id", "embedding").orderBy(
+        F.desc("sim"), F.asc("cell_id")
+    )
     nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
@@ -640,9 +652,16 @@ def embedding_neardup_bucketed(
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine", 4).alias("cosine"),
+            "cosine",
         )
-        .dropDuplicates(["vec_a", "vec_b"])
+        # max(), not dropDuplicates: multi-assignment re-derives the
+        # SAME cosine in every shared cell, but a duplicated vec_id
+        # (two different vectors under one id) makes first-row-wins
+        # nondeterministic — max is deterministic, which is what lets
+        # this key carry a full hash oracle (r10 upgrade). Same shuffle
+        # shape as dropDuplicates (one hash aggregate on the pair key).
+        .groupBy("vec_a", "vec_b")
+        .agg(F.round(F.max("cosine"), 4).alias("cosine"))
     )
 
 

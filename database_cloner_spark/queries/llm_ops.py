@@ -348,18 +348,61 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_pairs(embs)
 
 
-@register("q_dedup_embedding_bucketed", oracle=None, tier="X")
-def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed embedding near-dup — the scale path (within-cell
-    pairs only; rows-only here, recall vs exact asserted in tests)."""
-    return dedup.embedding_neardup_bucketed(load(spark, sf_dir, "embeddings"))
+# q_dedup_embedding_bucketed is registered further down, after _cos_sql
+# is in scope (its r10 oracle replays the seeded-cell assignment).
 
 
-@register("q_sim_topk_pandas", oracle=None, tier="X")
+# Quantized-grid replay of the pandas scoring path (functions/vector.py
+# Q_SCALE/Q_CLAMP): elements quantized to clamp(floor(x*2^20+0.5), ±2^23)
+# make every dot-product partial sum an exact float64 integer — the
+# cosine is bit-identical across numpy BLAS, any fold order, and this
+# SQL, so the key carries a FULL hash oracle (upgraded from rows-only in
+# round 10). Non-finite elements gate to NULL explicitly on both sides
+# (numpy NaN survives floor/clip, DuckDB LEAST/GREATEST would swallow
+# it). CASE guards keep DuckDB's list_inner_product away from the
+# empty-array length mismatch (same posture as _ORACLE_SIM_TOPK); the
+# final edge rounding is the repo's half-up FLOOR(c*1e4+0.5)/1e4 on both
+# engines.
+_ORACLE_SIM_TOPK_PANDAS = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> GREATEST(LEAST(
+             FLOOR(x::DOUBLE * 1048576.0 + 0.5), 8388608.0), -8388608.0)) AS qe,
+         len(embedding) AS d,
+         COALESCE(list_aggregate(list_transform(embedding,
+             x -> isnan(x::DOUBLE) OR NOT isfinite(x::DOUBLE)),
+           'bool_or'), FALSE) AS bad
+  FROM embeddings
+),
+probe AS MATERIALIZED (
+  SELECT qe AS p, d AS pd, bad AS pbad FROM q WHERE vec_id = 0
+),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN bad OR pbad OR d = 0 OR pd = 0 OR d <> pd THEN NULL
+              ELSE list_inner_product(qe, p)
+                   / (sqrt(list_inner_product(qe, qe))
+                      * sqrt(list_inner_product(p, p))) END AS c
+  FROM q, probe
+)
+SELECT vec_id, FLOOR(c * 10000.0 + 0.5) / 10000.0 AS cosine
+FROM scored
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("q_sim_topk_pandas", oracle=_ORACLE_SIM_TOPK_PANDAS, tier="X")
 def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched numpy cosine top-10 (throughput path; equality with
-    the exact JVM form asserted in tests, rows-only at the driver since
-    BLAS summation order differs in the last ulp)."""
+    """Arrow-batched numpy cosine top-10 (throughput path). Full hash
+    oracle since round 10: scoring runs on the exact integer grid
+    (functions/vector.py Q_SCALE), so the BLAS matvec is bit-exact under
+    any summation order and DuckDB replays it verbatim. Near-equality
+    with the exact JVM form stays asserted in tests/test_llm.py
+    (quantization error ~2^-20, tolerance 1e-4). One documented
+    divergence from q_sim_topk: vectors with non-finite ELEMENTS score
+    NULL here (ranked last) where the exact fold yields NaN (ranked
+    first on both engines)."""
     from database_cloner_spark.functions.vector import cosine_topk_pandas
 
     embs = load(spark, sf_dir, "embeddings")
@@ -429,7 +472,7 @@ WITH probe AS MATERIALIZED (
 ),
 cents AS MATERIALIZED (
   -- non-finite vectors can't seed (NaN scores NaN vs everything and
-  -- NaN orders greatest both engines — it would win every tie-break)
+  -- NaN sorts greatest both engines — it would win every tie-break)
   SELECT vec_id AS cell_id, embedding AS centroid
   FROM embeddings
   WHERE vec_id < 16
@@ -473,6 +516,59 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force stays asserted in tests/test_llm.py."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(embs, similarity.probe_vector(embs))
+
+
+# Full replay of the bucketed near-dup scale path (llm/dedup.py
+# embedding_neardup_bucketed, defaults n_cells=16 / nprobe=3 /
+# threshold=0.35): seeded finite centroids, every vector multi-assigned
+# to its 3 nearest cells (sim DESC, cell_id tie-break — NaN sims sort
+# greatest on BOTH engines, NULL sims last), pairs compared only within
+# a shared cell, deterministic max() per pair (multi-assignment
+# re-derives the same cosine; a duplicated vec_id resolves to the max).
+# Same MATERIALIZED discipline as _ORACLE_SIM_IVF (filtered
+# list-carrying CTEs).
+_ORACLE_DEDUP_EMB_BUCKETED = f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM embeddings
+  WHERE vec_id < 16
+    AND len(list_filter(embedding,
+                        v -> isnan(v) OR NOT isfinite(v))) = 0
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, embedding
+       , cell_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id, e.embedding
+             ORDER BY {_cos_sql("e.embedding", "c.centroid")} DESC, c.cell_id
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn <= 3
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_cos_sql("a.embedding", "b.embedding")} AS c
+  FROM assigned a JOIN assigned b
+    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(MAX(c), 4) AS cosine
+FROM pairs WHERE c >= 0.35
+GROUP BY vec_a, vec_b
+"""
+
+
+@register(
+    "q_dedup_embedding_bucketed", oracle=_ORACLE_DEDUP_EMB_BUCKETED, tier="X"
+)
+def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed embedding near-dup — the scale path (within-cell
+    pairs only). Full hash oracle since round 10: seeded finite
+    centroids + fold-order cosines make assignment and scoring
+    deterministic, so DuckDB replays the whole bucketed search; recall
+    vs the exact all-pairs form stays asserted in tests/test_llm.py."""
+    return dedup.embedding_neardup_bucketed(load(spark, sf_dir, "embeddings"))
 
 
 @register("q_sim_ivf_kmeans_topk", oracle=None, tier="X")
@@ -1522,7 +1618,7 @@ m AS (
   FROM x
 ),
 s AS (
-  -- isfinite guard: NaN > 0 is TRUE on both engines (NaN orders
+  -- isfinite guard: NaN > 0 is TRUE on both engines (NaN sorts
   -- greatest), so an unguarded CASE would compute a NaN scale whose
   -- floor SATURATES in Spark (pitfall 12) and errors in DuckDB
   SELECT vec_id, v, n_dims,

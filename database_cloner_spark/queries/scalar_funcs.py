@@ -322,24 +322,64 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_rand_string", oracle=None, tier="C")
+# Portable per-char mixer for q_rand_string (MINSTD multiplier over the
+# Mersenne prime 2^31-1): t_i = (key mod P + i·C1) mod P, h_i =
+# (t_i · 48271) mod P, char = charset[h_i mod 62]. Every intermediate is
+# < 2^47, so the SAME bigint arithmetic runs overflow-free under ANSI in
+# Spark and replays verbatim in DuckDB — the r10 portable-hash-family
+# precedent (MinHash/SimHash) applied to the charset picks, upgrading
+# the key from rows-only to a full hash oracle. xxhash64 (the previous
+# mixer) has no DuckDB twin.
+_RS_P = 2147483647
+_RS_C1 = 1013904223
+_RS_C2 = 48271
+_RS_CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _rand_string_oracle() -> str:
+    chars = " || ".join(
+        f"SUBSTRING('{_RS_CHARSET}', CAST("
+        f"(((((n_nationkey::BIGINT % {_RS_P}) + {_RS_P}) % {_RS_P} + {i * _RS_C1})"
+        f" % {_RS_P} * {_RS_C2}) % {_RS_P}) % 62 + 1 AS INT), 1)"
+        for i in range(16)
+    )
+    return f"""
+SELECT 'clone_' || n_name AS target_db,
+       {chars} AS password
+FROM nation
+"""
+
+
+_ORACLE_RAND_STRING = _rand_string_oracle()
+
+
+@register("q_rand_string", oracle=_ORACLE_RAND_STRING, tier="C")
 def q_rand_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random 16-char alnum string per row (clone_databases.sh:256-261:
-    /dev/urandom | tr -dc 'A-Za-z0-9' | head -c 16) as a PURE JVM
-    expression: each character is charset[xxhash64(key, i) % 62].
+    """Random-looking 16-char alnum string per row (clone_databases.sh:
+    256-261: /dev/urandom | tr -dc 'A-Za-z0-9' | head -c 16) as a PURE
+    JVM expression over the portable MINSTD mixer (constants above).
     Hash-keyed instead of rand() so re-runs and task retries produce
     identical rows at any partitioning (a determinism requirement the
-    reference can't meet); rows-only at the driver, length/charset/
-    determinism asserted in tests/test_udfs.py. Contrast q_udf_password:
-    same semantics through the Python-UDF surface."""
-    charset = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    reference can't meet); full DuckDB hash oracle since round 10.
+    Length/charset/determinism stay asserted in tests/test_udfs.py.
+    NOT a CSPRNG — the clone pipeline's real provisioning passwords come
+    from secrets (pipeline/principals.py); contrast q_udf_password:
+    the same reference semantics through the Python-UDF surface."""
     nat = load(spark, sf_dir, "nation")
+    # bigint BEFORE any arithmetic: n_nationkey is int32 and the mixer's
+    # products exceed 2^31 (ANSI would throw ARITHMETIC_OVERFLOW).
+    key = F.pmod(F.col("n_nationkey").cast("bigint"), F.lit(_RS_P))
     chars = [
         F.substring(
-            F.lit(charset),
-            (F.pmod(F.xxhash64(F.col("n_nationkey"), F.lit(i)), F.lit(62)) + 1).cast(
-                "int"
-            ),
+            F.lit(_RS_CHARSET),
+            (
+                F.pmod(
+                    F.pmod(key + F.lit(i * _RS_C1), F.lit(_RS_P)) * _RS_C2,
+                    F.lit(_RS_P),
+                )
+                % 62
+                + 1
+            ).cast("int"),
             1,
         )
         for i in range(16)

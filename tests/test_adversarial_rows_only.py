@@ -43,13 +43,21 @@ _ROWS_ONLY = sorted(k for k, s in specs().items() if s.oracle is None)
 
 def test_rows_only_inventory():
     # q_text_langid graduated to a full two-phase oracle in round 5;
-    # q_dedup_minhash and q_dedup_simhash graduated in round 10
-    # (portable-hash re-base)
-    # ... and q_sim_ivf_topk too (seeded IVF is a deterministic replay)
-    assert len(_ROWS_ONLY) >= 8, _ROWS_ONLY
+    # q_dedup_minhash / q_dedup_simhash / q_sim_ivf_topk graduated in
+    # round 10 (portable-hash re-base; seeded IVF deterministic
+    # replay), then q_sim_topk_pandas (exact integer-grid scoring),
+    # q_dedup_embedding_bucketed (seeded cells + deterministic max)
+    # and q_rand_string (portable MINSTD mixer) later the same round.
+    # What remains is irreducible: Lloyd float means (kmeans/PQ),
+    # sequential greedy bin state, path-parameterized binary scans,
+    # and the deliberate Python-UDF password surface.
+    assert len(_ROWS_ONLY) >= 6, _ROWS_ONLY
     assert "q_dedup_minhash" not in _ROWS_ONLY
     assert "q_dedup_simhash" not in _ROWS_ONLY
     assert "q_sim_ivf_topk" not in _ROWS_ONLY
+    assert "q_sim_topk_pandas" not in _ROWS_ONLY
+    assert "q_dedup_embedding_bucketed" not in _ROWS_ONLY
+    assert "q_rand_string" not in _ROWS_ONLY
     assert "q_sim_pq_topk" in _ROWS_ONLY and "q_pack_bins" in _ROWS_ONLY
 
 
