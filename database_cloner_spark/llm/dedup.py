@@ -84,6 +84,35 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # --- exact shingle Jaccard -------------------------------------------------
 
 
+def _pair_intersections(
+    exploded: DataFrame, max_df: int | None
+) -> DataFrame:
+    """(doc_a, doc_b, na, nb, inter) for every pair sharing >= 1 key —
+    the shared reducer stage of the Jaccard and containment ops (see
+    _jaccard_pairs_from_exploded for the shape rationale and the max_df
+    skew-cap semantics)."""
+    lists = (
+        exploded.groupBy("__key")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "__n"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    if max_df is not None:
+        lists = lists.filter(F.size("ds") <= max_df)
+    pairs = lists.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x.doc_id AS doc_a, x.__n AS na, "
+                "y.doc_id AS doc_b, y.__n AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+    return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
+        F.count("*").alias("inter")
+    )
+
+
 def _jaccard_pairs_from_exploded(
     exploded: DataFrame, threshold: float, max_df: int | None
 ) -> DataFrame:
@@ -111,26 +140,7 @@ def _jaccard_pairs_from_exploded(
     the cap is REQUIRED, not optional: an uncapped posting list must
     fit in one reducer's memory, exactly the k² blow-up the cap exists
     to bound."""
-    lists = (
-        exploded.groupBy("__key")
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "__n"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    if max_df is not None:
-        lists = lists.filter(F.size("ds") <= max_df)
-    pairs = lists.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (x, i) -> "
-                "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                "y -> struct(x.doc_id AS doc_a, x.__n AS na, "
-                "y.doc_id AS doc_b, y.__n AS nb))))"
-            )
-        ).alias("p")
-    ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
-    inter = pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
-        F.count("*").alias("inter")
-    )
+    inter = _pair_intersections(exploded, max_df)
     union = F.col("na") + F.col("nb") - F.col("inter")
     # filter on the raw ratio (identical int operands -> identical double
     # on both engines); OUTPUT via integer-exact rounding (round4_ratio)
@@ -160,6 +170,46 @@ def shingle_jaccard_pairs(
         "doc_id", F.col("n_sh").alias("__n"), F.explode("sh").alias("__key")
     )
     return _jaccard_pairs_from_exploded(exploded, threshold, max_shingle_df)
+
+
+def shingle_containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = 3,
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: C(A→B) = |S_A ∩ S_B| / |S_A|.
+    Containment catches doc-INSIDE-doc duplication — quotes,
+    truncated re-crawls, boilerplate-wrapped reposts — where a small
+    doc sits verbatim inside a much larger one: Jaccard divides by the
+    UNION, so a 100-shingle doc fully contained in a 10k-shingle doc
+    scores J ≈ 0.01 (invisible) but C = 1.0. Pairs where either
+    direction clears `threshold` are emitted with both directions'
+    scores, so the consumer can tell containment (one high) from
+    near-identity (both high).
+
+    Same inverted-index skeleton + max_df skew cap as
+    shingle_jaccard_pairs (one posting-list shuffle, one pair-count
+    shuffle, no cross product); the filter compares raw integer-ratio
+    doubles and the OUTPUT rounds via integer arithmetic
+    (round4_ratio), the cross-engine tie discipline."""
+    sh = _shingle_sets(docs, n, text_col).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select(
+        "doc_id", F.col("n_sh").alias("__n"), F.explode("sh").alias("__key")
+    )
+    inter = _pair_intersections(exploded, max_shingle_df)
+    from database_cloner_spark.llm.text import round4_ratio
+
+    keep = F.greatest(
+        F.col("inter") / F.col("na"), F.col("inter") / F.col("nb")
+    ) >= threshold
+    return inter.filter(keep).select(
+        "doc_a",
+        "doc_b",
+        round4_ratio(F.col("inter"), F.col("na")).alias("cont_a"),
+        round4_ratio(F.col("inter"), F.col("nb")).alias("cont_b"),
+    )
 
 
 # --- character n-gram Jaccard ---------------------------------------------

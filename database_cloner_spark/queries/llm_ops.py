@@ -96,6 +96,49 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Asymmetric containment C(A→B) = |S_A ∩ S_B| / |S_A|: the doc-inside-
+# doc detector Jaccard dilutes (a small doc fully quoted inside a large
+# one scores J ≈ |S_A|/|S_B| but C = 1.0). Oracle brute-forces the same
+# definition pairwise; the engine's inverted-index df-cap (10k) exceeds
+# any oracle-scale document frequency, so results are provably equal.
+_ORACLE_DEDUP_CONTAINMENT = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+)
+,
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles))::BIGINT AS i,
+         len(a.shingles)::BIGINT AS na,
+         len(b.shingles)::BIGINT AS nb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       ((20000*i + na) // (2*na)) / 10000.0 AS cont_a,
+       ((20000*i + nb) // (2*nb)) / 10000.0 AS cont_b
+FROM pairs WHERE GREATEST(i::DOUBLE / na, i::DOUBLE / nb) >= 0.6
+"""
+
+
+@register("q_dedup_containment", oracle=_ORACLE_DEDUP_CONTAINMENT, tier="X")
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-inside-doc pairs by asymmetric 3-word-shingle containment
+    (either direction >= 0.6), both directions' scores emitted so
+    consumers separate quotation/truncation (one high) from
+    near-identity (both high). Same inverted-index + df-cap plan
+    family as q_dedup_fuzzy — one posting-list shuffle, one pair-count
+    shuffle, no cross product."""
+    return dedup.shingle_containment_pairs(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
+
+
 # Char grams have a tiny vocabulary => every pair shares grams, so the
 # brute-force pair space is dense; like the embedding baseline this entry
 # is explicitly input-capped, with the df-cap + MinHash-over-grams as the

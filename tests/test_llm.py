@@ -359,6 +359,55 @@ def test_shingle_df_cap(spark, sf_dir):
     assert dedup.shingle_jaccard_pairs(docs, max_shingle_df=1).count() == 0
 
 
+def test_containment_detects_doc_inside_doc_jaccard_misses(spark):
+    """The containment op's reason to exist: a small doc fully quoted
+    inside a much larger one scores containment 1.0 in the contained
+    direction while its Jaccard (~ small/large) stays far below any
+    useful near-dup threshold."""
+    quoted = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} w{i + 1} pad{i}" for i in range(0, 120, 2))
+    rows = [
+        (0, quoted),
+        (1, f"{filler} {quoted} {filler} extra tail tokens here"),
+        (2, "totally unrelated text about completely different things"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {
+        (r.doc_a, r.doc_b): (r.cont_a, r.cont_b)
+        for r in dedup.shingle_containment_pairs(docs, threshold=0.6).collect()
+    }
+    assert (0, 1) in cont and cont[(0, 1)][0] == 1.0, cont
+    assert cont[(0, 1)][1] < 0.6
+    assert all(2 not in pair for pair in cont)
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.shingle_jaccard_pairs(docs, threshold=0.4).collect()
+    }
+    assert (0, 1) not in jac  # symmetric Jaccard dilutes the quote
+
+
+def test_containment_df_cap_and_fixture_pairs(spark, sf_dir):
+    """Fixture truncation-dups surface as containment ~1.0 pairs; the
+    generous df cap changes nothing (same guarantee as
+    test_shingle_df_cap) and a cap of 1 drops every pair."""
+    docs = load(spark, sf_dir, "documents")
+    uncapped = {
+        (r.doc_a, r.doc_b, r.cont_a, r.cont_b)
+        for r in dedup.shingle_containment_pairs(docs).collect()
+    }
+    assert uncapped, "corpus should contain planted containment dups"
+    capped = {
+        (r.doc_a, r.doc_b, r.cont_a, r.cont_b)
+        for r in dedup.shingle_containment_pairs(
+            docs, max_shingle_df=10_000
+        ).collect()
+    }
+    assert capped == uncapped
+    assert (
+        dedup.shingle_containment_pairs(docs, max_shingle_df=1).count() == 0
+    )
+
+
 def test_shingles_short_docs_yield_empty_not_crash(spark):
     """ADVICE r1: inputs with fewer than n tokens must produce an empty
     shingle array, not INVALID_PARAMETER_VALUE.START."""
