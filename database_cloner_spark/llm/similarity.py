@@ -42,6 +42,40 @@ def brute_force_topk(embs: DataFrame, probe: DataFrame, k: int = 10) -> DataFram
     )
 
 
+def multi_probe_topk(
+    embs: DataFrame, n_probes: int = 8, k: int = 5
+) -> DataFrame:
+    """Batch ANN: exact cosine top-k for EACH of the first `n_probes`
+    vectors in ONE corpus pass — the query-batching shape that
+    amortizes the scan when many probes arrive together (dedup lookup
+    batches, eval-set retrieval). The probe set broadcasts (n_probes
+    rows); scoring is a map-side JVM fold per (vector, probe); the
+    per-probe ranking is row_number over probe_id filtered to k, which
+    plans as WindowGroupLimit — per-partition top-k heaps shuffle at
+    most k·n_map_partitions rows per probe, never the scored corpus.
+    At 100 TB with p probes this is one scan + a k·p-row result; the
+    alternative (p separate brute_force_topk jobs) is p scans."""
+    probes = embs.filter(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe")
+    )
+    scored = embs.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        _cosine(F.col("embedding"), F.col("probe")).alias("cosine"),
+    )
+    w = W.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round("cosine", 4).alias("cosine"),
+            "rn",
+        )
+    )
+
+
 def seed_centroids(embs: DataFrame, n_cells: int = 16) -> DataFrame:
     """Deterministic seeding: the first n_cells vectors as centroids.
     Non-finite vectors are excluded — a NaN centroid scores NaN against

@@ -495,6 +495,43 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+# Batch-probe replay: same fold-order cosine as _ORACLE_SIM_TOPK, one
+# window per probe. NULL cosines (zero/empty/NULL vectors OR probes —
+# probe ids < 8 include the adversarial fixture's NULL/zero/empty rows)
+# rank last under DESC on both engines; full ties (duplicate vec_id
+# with identical NULL scores) emit identical row SETS either way, so
+# the order-insensitive hash is stable.
+_ORACLE_SIM_TOPK_MULTI = f"""
+WITH probes AS MATERIALIZED (
+  SELECT vec_id AS probe_id, embedding AS p FROM embeddings
+  WHERE vec_id < 8
+),
+scored AS (
+  SELECT pr.probe_id, e.vec_id, {_cos_sql("e.embedding", "pr.p")} AS c
+  FROM embeddings e CROSS JOIN probes pr
+),
+ranked AS (
+  SELECT probe_id, vec_id, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY probe_id ORDER BY c DESC, vec_id
+         ) AS rn
+  FROM scored
+)
+SELECT probe_id, vec_id, ROUND(c, 4) AS cosine, rn
+FROM ranked WHERE rn <= 5
+"""
+
+
+@register("q_sim_topk_multi", oracle=_ORACLE_SIM_TOPK_MULTI, tier="X")
+def q_sim_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: exact top-5 for each of the first 8 probe vectors in
+    ONE corpus pass — broadcast probe batch, map-side scoring, and a
+    per-probe WindowGroupLimit rank (k·n_map_partitions shuffle rows
+    per probe, never the scored corpus). The query-batching shape that
+    replaces p separate scans with one at 100 TB."""
+    return similarity.multi_probe_topk(load(spark, sf_dir, "embeddings"))
+
+
 # Full IVF replay: the seeded centroids, the probe's nprobe cell
 # ranking, every vector's nearest-centroid assignment, and the exact
 # in-cell top-k are ALL deterministic given the engine's fold-order

@@ -135,6 +135,29 @@ def test_pandas_cosine_topk_matches_exact(spark):
         assert abs(f.cosine - e.cosine) <= 1e-4
 
 
+def test_multi_probe_topk_matches_single_probe(spark):
+    """Each probe's slice of the batched op must equal the dedicated
+    single-probe brute force — same vec_ids, same cosines (identical
+    fold-order expression, only the ranking operator differs)."""
+    embs = load(spark, SF, "embeddings")
+    multi = similarity.multi_probe_topk(embs, n_probes=3, k=5).collect()
+    for pid in range(3):
+        got = [
+            (r.vec_id, r.cosine)
+            for r in sorted(
+                (r for r in multi if r.probe_id == pid),
+                key=lambda r: r.rn,
+            )
+        ]
+        want = [
+            (r.vec_id, r.cosine)
+            for r in similarity.brute_force_topk(
+                embs, similarity.probe_vector(embs, probe_id=pid), k=5
+            ).collect()
+        ]
+        assert got == want, (pid, got, want)
+
+
 def test_ivf_recall_vs_brute_force(spark):
     embs = load(spark, SF, "embeddings")
     probe = similarity.probe_vector(embs)

@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "q_dedup_embedding",         # capped brute-force baseline (EMB_BRUTE_CAP)
     "q_dedup_embedding_bucketed",  # 1-row centroid-seed frame
     "q_sim_topk",                # 1-row probe vector
+    "q_sim_topk_multi",          # 8-row probe batch (domain-bounded)
     "q_sim_ivf_topk",            # 1-row probe vector
     "q_sim_ivf_kmeans_topk",     # 1-row probe vector + 16-row centroid table
     "q_sample_mixture",          # 1-row min-source-count frame
