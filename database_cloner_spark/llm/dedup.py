@@ -820,6 +820,51 @@ def _canonical_edges(df: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     )
 
 
+def canonical_survivors(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: instead
+    of the min-doc_id survivor q_dedup_apply keeps, pick each
+    component's HIGHEST-quality member (quality_scores' rational score;
+    ties break to the lowest doc_id) — the curation policy that keeps
+    the cleanest copy of a re-crawled page, not the first-crawled one.
+
+    Plan: pair gen + connected components as in q_dedup_cluster, an
+    equi-join onto the per-doc quality score, then ONE window pass per
+    cluster computing the rank and the member count together (both
+    specs share the cluster_id partitioning, so Catalyst plans one
+    Exchange + one sort). cluster_id is high-cardinality (≈ one per
+    dup group), so groups stay task-sized at 100 TB. NULL qualities
+    are pinned desc_nulls_last to match DuckDB's DESC default (the r9
+    NULL-ordering divergence class)."""
+    from database_cloner_spark.llm.text import quality_scores
+
+    prs = shingle_jaccard_pairs(
+        docs, threshold, n, max_shingle_df=max_shingle_df
+    )
+    cl = connected_components(prs)
+    q = quality_scores(docs).select("doc_id", "quality")
+    j = cl.join(q, "doc_id")
+    w_rank = W.partitionBy("cluster_id").orderBy(
+        F.desc_nulls_last("quality"), F.asc("doc_id")
+    )
+    w_all = W.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("n_members", F.count("*").over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_id"),
+            F.col("quality").alias("survivor_quality"),
+            "n_members",
+        )
+    )
+
+
 def connected_components_star(
     pairs: DataFrame,
     src_col: str = "doc_a",

@@ -1013,6 +1013,82 @@ def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components_star(prs)
 
 
+# Canonical selection = the cluster oracle's walk + the quality oracle's
+# rational score + one ROW_NUMBER per cluster (quality DESC — NULLS LAST
+# is DuckDB's DESC default, matching the engine's pinned
+# desc_nulls_last — tie to lowest doc_id). Docs in the pair graph always
+# carry >= 3 tokens (shingles exist), so the quality divisor n > 0.
+_ORACLE_DEDUP_CANONICAL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(ts[i:i+2], 'string_agg', ' ')
+                        for i in range(1, len(ts) - 1)]) AS shingles
+  FROM toks WHERE len(ts) >= 3
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT w.src, e.dst FROM walk w JOIN edges e ON w.dst = e.src
+),
+cl AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+  FROM walk GROUP BY src
+),
+q AS (
+  SELECT doc_id,
+         ((20000*(n*least(n, 50) + 30*(n-s) + 20*d) + 100*n) // (200*n))
+           / 10000.0 AS quality
+  FROM (
+    SELECT doc_id,
+           len(ts)::BIGINT AS n,
+           len(list_filter(ts, x -> x IN ('the','a','of','and','in')))::BIGINT AS s,
+           len(list_distinct(ts))::BIGINT AS d
+    FROM toks
+  ) m
+),
+ranked AS (
+  SELECT cl.cluster_id, cl.doc_id, q.quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY cl.cluster_id
+           ORDER BY q.quality DESC, cl.doc_id
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+  FROM cl JOIN q USING (doc_id)
+)
+SELECT cluster_id, doc_id AS survivor_id, quality AS survivor_quality,
+       n_members
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("q_dedup_canonical", oracle=_ORACLE_DEDUP_CANONICAL, tier="X")
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical survivor per near-dup cluster: the
+    highest-quality member (rational quality score, ties to lowest
+    doc_id) plus the member count — the curation policy that keeps the
+    cleanest copy of a re-crawled page rather than q_dedup_apply's
+    first-crawled min-id. One window pass per cluster (rank + count
+    share the cluster_id Exchange)."""
+    return dedup.canonical_survivors(
+        load(spark, sf_dir, "documents"), max_shingle_df=10_000
+    )
+
+
 # CCNet-style boilerplate removal. "Lines" in the flat-token testdata are
 # fixed 8-token segments; a segment present in >= 2 documents is
 # boilerplate and removed everywhere. At sf0.01 that's 153 of 3434

@@ -431,6 +431,26 @@ def test_containment_df_cap_and_fixture_pairs(spark, sf_dir):
     )
 
 
+def test_canonical_survivor_prefers_quality_over_min_id(spark):
+    """The canonical policy must pick the highest-quality cluster
+    member even when a lower doc_id exists: doc 0 and doc 1 are
+    near-dups, doc 1 has the richer vocabulary (higher diversity term
+    in the quality score), so doc 1 survives — the opposite of
+    q_dedup_apply's min-id rule."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, f"{base} {base} {base}"),                # repetitive copy
+        (1, f"{base} iota kappa lambda mu nu xi"),   # diverse near-dup
+        (2, "unrelated text entirely different subject matter here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.cluster_id: (r.survivor_id, r.n_members)
+        for r in dedup.canonical_survivors(docs, threshold=0.3).collect()
+    }
+    assert out == {0: (1, 2)}, out
+
+
 def test_shingles_short_docs_yield_empty_not_crash(spark):
     """ADVICE r1: inputs with fewer than n tokens must produce an empty
     shingle array, not INVALID_PARAMETER_VALUE.START."""
