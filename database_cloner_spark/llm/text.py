@@ -113,10 +113,16 @@ def roundn_ratio(num, den, digits: int = 4):
     per-doc counts at 100 TB (25T tokens ≈ 2.5e13); a consumer beyond
     it should pre-reduce (e.g. average of per-group averages) rather
     than widen to int128, which Spark lacks.
-    Use for every cross-engine-hashed ratio of exact integers."""
+    Use for every cross-engine-hashed ratio of exact integers.
+
+    Total on den = 0/NULL: the CASE guard yields NULL instead of the
+    ANSI `div` DIVIDE_BY_ZERO — exactly DuckDB's `x // 0` → NULL, so
+    oracles need no special-casing (an EMPTY events table drove
+    q_funnel's denominator to 0; tests/test_adversarial_empty.py)."""
     scale = 10 ** digits
-    a = F.lit(2 * scale).cast("long") * num.cast("long") + den.cast("long")
-    q = F.call_function("div", a, 2 * den.cast("long"))
+    d = den.cast("long")
+    a = F.lit(2 * scale).cast("long") * num.cast("long") + d
+    q = F.when(d != 0, F.call_function("div", a, 2 * d))
     return q / F.lit(float(scale))
 
 

@@ -160,8 +160,13 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.05).alias("approx"),
         F.countDistinct("l_orderkey").alias("exact"),
     )
-    ratio = F.col("approx").cast("double") / F.col("exact")
-    return agg.select(((ratio > 0.9) & (ratio < 1.1)).alias("within_tolerance"))
+    # try_divide + vacuous-True coalesce: on an EMPTY table both counts
+    # are 0, the ANSI `/` would throw DIVIDE_BY_ZERO, and the tolerance
+    # guarantee is vacuously met (same posture as the percentile key
+    # below; found by tests/test_adversarial_empty.py).
+    ratio = F.try_divide(F.col("approx").cast("double"), F.col("exact"))
+    ok = (ratio > 0.9) & (ratio < 1.1)
+    return agg.select(F.coalesce(ok, F.lit(True)).alias("within_tolerance"))
 
 
 _ORACLE_ROLLUP = """
@@ -174,7 +179,13 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING COUNT(*) > 0
 """
+# HAVING COUNT(*) > 0 is a no-op on any non-empty input (every grouping
+# has >= 1 contributing row); it pins the oracle to Spark's Expand
+# semantics, which emit NO grand-total row over an EMPTY input where
+# the SQL standard (and DuckDB) produce one
+# (tests/test_adversarial_empty.py).
 
 
 @register("q_agg_rollup", oracle=_ORACLE_ROLLUP, tier="X")
@@ -322,13 +333,20 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "member",
         bloom_contains(F.col("key"), F.col("bloom")).alias("hit"),
     )
+    # coalesce(.., 0): SUM over an EMPTY probe universe is NULL, but the
+    # contract columns are counts (0) and the quality verdict is
+    # vacuously True — matching the oracle's COUNT()/TRUE on an empty
+    # orders table (tests/test_adversarial_empty.py).
+    def _cnt(cond):
+        return F.coalesce(
+            F.sum(F.when(cond, 1).otherwise(0)), F.lit(0).cast("long")
+        )
+
     m = probed.agg(
-        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("n_member_keys"),
-        F.sum(F.when(F.col("member") & ~F.col("hit"), 1).otherwise(0)).alias(
-            "false_negatives"
-        ),
-        F.sum(F.when(~F.col("member") & F.col("hit"), 1).otherwise(0)).alias("__fp"),
-        F.sum(F.when(~F.col("member"), 1).otherwise(0)).alias("__non"),
+        _cnt(F.col("member")).alias("n_member_keys"),
+        _cnt(F.col("member") & ~F.col("hit")).alias("false_negatives"),
+        _cnt(~F.col("member") & F.col("hit")).alias("__fp"),
+        _cnt(~F.col("member")).alias("__non"),
     )
     # try_divide, not `/`: ANSI division only avoids DIVIDE_BY_ZERO here
     # via runtime Or short-circuiting — fragile; engine-wide totality rule

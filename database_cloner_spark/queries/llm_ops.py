@@ -449,8 +449,13 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.functions.vector import cosine_topk_pandas
 
     embs = load(spark, sf_dir, "embeddings")
-    probe = embs.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return cosine_topk_pandas(embs, list(probe))
+    # head() is None on an EMPTY corpus (and the probe row's embedding
+    # can itself be NULL): degrade to an empty probe — every cosine is
+    # NULL and the top-k is empty, matching the oracle's empty probes
+    # CTE (tests/test_adversarial_empty.py).
+    row = embs.filter(F.col("vec_id") == 0).select("embedding").head()
+    probe = list(row[0]) if row is not None and row[0] is not None else []
+    return cosine_topk_pandas(embs, probe)
 
 
 # Same len()=0 guards as _ORACLE_DEDUP_EMBEDDING (NULL cosine for

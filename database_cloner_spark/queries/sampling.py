@@ -164,7 +164,10 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING COUNT(*) > 0
 """
+# HAVING: same empty-input pin as q_agg_rollup's oracle (Spark's Expand
+# emits no groupings over an empty input; no-op otherwise).
 
 
 @register("q_agg_cube", oracle=_ORACLE_CUBE, tier="X")
@@ -188,7 +191,9 @@ SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_extendedprice), 2) AS sum_price
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+HAVING COUNT(*) > 0
 """
+# HAVING: same empty-input pin as q_agg_rollup's oracle.
 
 
 @register("q_agg_grouping_sets", oracle=_ORACLE_GROUPING_SETS, tier="X")

@@ -113,6 +113,18 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = events_document_export(spark, sf_dir)
     docs = load_json(spark, path)
+    if "event_type" not in docs.columns:
+        # Empty collection: there are no documents to infer a schema
+        # FROM (spark.read.json yields zero columns), so fall back to
+        # the export's declared shape — inference stays the primary
+        # path whenever at least one document exists
+        # (tests/test_adversarial_empty.py).
+        docs = load_json(
+            spark,
+            path,
+            schema="event_id bigint, event_type string, value double, "
+            "meta struct<user_id: bigint, k: bigint>",
+        )
     # try_cast on `value`: Spark's JSON writer renders non-finite
     # doubles as the STRINGS "NaN"/"Infinity", which flips the inferred
     # column to string for the whole collection — the schema-drift case

@@ -1,0 +1,62 @@
+"""Empty-input totality + oracle parity, registry-wide.
+
+Zero-row tables with the PRODUCTION schemas are the fresh-namespace /
+empty-source-partition case every 100 TB pipeline eventually feeds an
+operator (a new tenant, a filtered-to-nothing date range, a source that
+produced no files this hour). Contract: no registered key may crash on
+them — driver-side probe lookups degrade to empty results, folds to
+NULL/0 — and every oracled key must STILL hash-match DuckDB, which is
+exactly the class the r9 ADVICE found by hand on q_dq_completeness
+(un-COALESCEd SUM() yields NULL in DuckDB vs 0 in Spark). This suite
+sweeps that class across the whole registry.
+
+The fixture clones each sf0.001 parquet file's arrow schema verbatim
+(events keeps TIMESTAMP(NANOS), embeddings keeps list<float>) and
+writes zero rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+from database_cloner_spark.sources.parquet import TABLES
+from tests.oracle_harness import compare_query
+
+_SRC = "/root/testdata/sf0.001"
+
+_EXEMPT: dict[str, str] = {
+    # (goal state: empty)
+}
+
+
+def write_fixture(d: str) -> None:
+    for t in TABLES:
+        src = os.path.join(_SRC, f"{t}.parquet")
+        schema = pq.read_schema(src)
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_all"))
+    write_fixture(d)
+    return d
+
+
+_KEYS = sorted(specs())
+
+
+@pytest.mark.parametrize("name", _KEYS)
+def test_empty_input_totality_and_parity(spark, empty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
+    spec = specs()[name]
+    if spec.oracle is None:
+        # rows-only keys: totality is the contract (must build and run)
+        spec.builder(spark, empty_dir).count()
+    else:
+        compare_query(spark, name, spec.builder, spec.oracle, empty_dir)
