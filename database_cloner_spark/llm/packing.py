@@ -32,6 +32,25 @@ HASH_MOD = 4294967296  # 2^32
 PACK_NS = 1_000_000  # pack-id namespace stride per shard
 
 
+def _knuth_hash(col):
+    """(doc_id · KNUTH) mod 2^32 for EVERY int64 id. The naive product
+    overflows int64 past |id| ≈ 3.47e9 (Spark ANSI and DuckDB both
+    raise — and hash-derived ids span the full int64 range), so the
+    multiply is split 16/16: with x = pmod(id, 2^32) = a·2^16 + b,
+    K·x mod 2^32 = (K·b + (K·a mod 2^16)·2^16) mod 2^32 — every term
+    ≤ ~1.8e14, far inside int64. Bit-identical to the old direct form
+    for every id where it didn't overflow (same congruence, same
+    range), so fixture hashes and the DuckDB oracle replay are
+    unchanged (tests: extreme-id probe, r10)."""
+    x = F.pmod(col, F.lit(HASH_MOD))
+    a = F.call_function("div", x, F.lit(65536))
+    b = x % 65536
+    return F.pmod(
+        F.lit(KNUTH) * b + F.pmod(F.lit(KNUTH) * a, F.lit(65536)) * 65536,
+        F.lit(HASH_MOD),
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     ctx_len: int = 512,
@@ -41,7 +60,7 @@ def pack_sequences(
     """Assign every doc its (pack_id, offset) in the packed token
     stream: shard-parallel greedy concatenation, deterministic under
     retries (hash order, no monotonically_increasing_id)."""
-    h = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
+    h = _knuth_hash(F.col("doc_id"))
     # standard tokenizer (textprep.tokens), NULL text -> 0 tokens
     n_toks = _n_tokens(F.col(text_col))
     base = docs.select(
@@ -106,7 +125,7 @@ def pack_bins(
 
     import pandas as pd
 
-    h = F.pmod(F.col("doc_id") * F.lit(KNUTH), F.lit(HASH_MOD))
+    h = _knuth_hash(F.col("doc_id"))
     # standard tokenizer (textprep.tokens), NULL text -> 0 tokens
     n_toks = _n_tokens(F.col(text_col))
     base = docs.select(

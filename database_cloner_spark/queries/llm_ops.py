@@ -32,11 +32,17 @@ from database_cloner_spark.sources import load
 _TOKS_SQL = tokens_sql()
 
 
+# The re-crawl copy's synthetic id pmods into [0, 2^62) before the
+# +1000000 shift: a raw `doc_id + 1000000` overflows int64 for ids near
+# Long.MAX (hash-derived ids get there; extreme-id probe, r10).
+# Identical to the old form for every id below 2^62.
 _ORACLE_DEDUP_EXACT = f"""
 WITH doubled AS (
   SELECT doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  SELECT ((doc_id % 4611686018427387904) + 4611686018427387904)
+         % 4611686018427387904 + 1000000 AS doc_id, text
+  FROM documents
 )
 SELECT MIN(doc_id) AS doc_id,
        {normalized_sql()} AS norm_text,
@@ -49,10 +55,14 @@ GROUP BY 2
 @register("q_dedup_exact", oracle=_ORACLE_DEDUP_EXACT, tier="X")
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a doubled corpus (simulating re-crawled docs):
-    one survivor per normalized text, multiplicity 2 everywhere."""
+    one survivor per normalized text, multiplicity 2 everywhere. The
+    copy's synthetic id pmods into [0, 2^62) before the shift so a
+    hash-derived id near Long.MAX cannot overflow the ANSI add
+    (identical to the plain +1000000 for every id below 2^62)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = F.pmod(F.col("doc_id"), F.lit(4611686018427387904)) + 1000000
     doubled = docs.unionByName(
-        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        docs.select(shifted.alias("doc_id"), "text")
     )
     return dedup.exact_dedup(doubled)
 
@@ -1172,13 +1182,25 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Sequence packing: concat-and-chunk into 512-token contexts across 8
 # hash shards. The oracle reproduces the identical multiplicative-hash
 # order and per-shard running sum with SQL window functions.
+# The hash replays packing._knuth_hash's 16/16 split-multiply —
+# (K·x) mod 2^32 without the int64 overflow the direct product hits past
+# |id| ≈ 3.47e9 (hash-derived ids span the full range); bit-identical to
+# the old direct form for every id where that didn't overflow.
 _ORACLE_PACK = f"""
-WITH base AS (
+WITH raw AS (
   SELECT doc_id,
          {n_tokens_sql()} AS n_tokens,
-         (doc_id * 2654435761) % 4294967296 AS h,
-         ((doc_id * 2654435761) % 4294967296) % 8 AS shard
+         ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
   FROM documents
+),
+base AS (
+  SELECT doc_id, n_tokens,
+         (2654435761 * (x % 65536)
+          + (2654435761 * (x // 65536)) % 65536 * 65536) % 4294967296 AS h,
+         ((2654435761 * (x % 65536)
+           + (2654435761 * (x // 65536)) % 65536 * 65536) % 4294967296) % 8
+           AS shard
+  FROM raw
 ),
 runs AS (
   SELECT doc_id, n_tokens, shard,

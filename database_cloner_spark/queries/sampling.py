@@ -413,11 +413,15 @@ _ES_K = 50
 # cross-engine agreement has ~1e16 relative margin against the key gaps
 # at the rank-k boundary (adjacent priorities differ in the 3rd-6th
 # digit on every fixture — pinned in tests/test_sampling.py).
+# ((id % MOD + MOD + seed) % MOD) replays the engine's
+# pmod-before-seed-add (es_sample): overflow-free for every int64 key
+# and positive for negative keys; same value as the old direct form
+# wherever that one was defined.
 _ORACLE_SAMPLE_WEIGHTED = f"""
 SELECT doc_id FROM (
   SELECT doc_id,
-         ln(((((doc_id + {_ES_SEED}) % {_MOD}) * {_KNUTH}) % {_MOD} + 0.5)
-            / {_MOD}) / n_chars AS es_key
+         ln((((doc_id % {_MOD} + {_MOD} + {_ES_SEED}) % {_MOD})
+             * {_KNUTH} % {_MOD} + 0.5) / {_MOD}) / n_chars AS es_key
   FROM documents
   WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0
   ORDER BY es_key DESC, doc_id
@@ -436,7 +440,13 @@ def es_sample(df, key_col: str, weight_col: str, k: int, seed: int = _ES_SEED):
         & F.col(weight_col).isNotNull()
         & (F.col(weight_col) > 0)
     )
-    h = (((F.col(key_col) + F.lit(seed)) % F.lit(_MOD)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    # pmod the key BEFORE the seed add: `key + seed` overflows int64 for
+    # keys near Long.MAX (hash-derived ids get there), and pmod keeps u
+    # in (0,1) for negative keys too (the raw `%` made ln(u) NaN there).
+    # Identical to the old value for every key the old form didn't
+    # overflow/poison (same congruence; extreme-id probe, r10).
+    x = F.pmod(F.pmod(F.col(key_col), F.lit(_MOD)) + F.lit(seed), F.lit(_MOD))
+    h = (x * F.lit(_KNUTH)) % F.lit(_MOD)
     u = (h + F.lit(0.5)) / F.lit(_MOD)
     es_key = F.log(u) / F.col(weight_col)
     return (
