@@ -57,11 +57,16 @@ def cosine(a: Column, b: Column) -> Column:
 
 # Quantization grid for the pandas scoring path. Q_SCALE fixes ~6
 # significant decimal digits per element; Q_CLAMP bounds |q| <= 2^23 so
-# a 64-dim dot product stays < 64 * 2^46 = 2^52 — every partial sum an
+# a dot-product term is < 2^46 and a partial sum over dim <= Q_MAX_DIM
+# = 2^53 / 2^46 = 128 elements stays <= 2^53 — every partial sum an
 # exact float64 integer, hence BLAS-order-independent and bit-identical
-# to DuckDB's list_inner_product replay.
+# to DuckDB's list_inner_product replay. The exactness argument HOLDS
+# ONLY FOR dim <= Q_MAX_DIM (ADVICE r10): cosine_topk_pandas enforces
+# it, so a wider embedding column fails loudly instead of silently
+# reintroducing summation-order nondeterminism.
 Q_SCALE = float(1 << 20)
 Q_CLAMP = float(1 << 23)
+Q_MAX_DIM = 128
 
 
 def cosine_topk_pandas(
@@ -80,6 +85,9 @@ def cosine_topk_pandas(
     integers in float64 under any accumulation order, sqrt and divide
     are single correctly-rounded IEEE ops — so the result is
     bit-deterministic across numpy, the JVM, and the DuckDB oracle.
+    The argument REQUIRES dim <= Q_MAX_DIM (128): beyond that a partial
+    sum can exceed 2^53 and the order-independence claim is void, so a
+    wider probe raises instead of silently degrading (ADVICE r10).
     Vectors containing a non-finite element score NULL (the r10
     finite-filter posture; NaN survives floor/clip in numpy but DuckDB's
     LEAST/GREATEST would swallow it, so both sides gate explicitly)."""
@@ -89,6 +97,13 @@ def cosine_topk_pandas(
     import pandas as pd
 
     p = np.asarray(probe, dtype=np.float64)
+    if p.size > Q_MAX_DIM:
+        raise ValueError(
+            f"cosine_topk_pandas: probe dim {p.size} > Q_MAX_DIM "
+            f"({Q_MAX_DIM}) — the integer-grid exactness bound "
+            "(dim * Q_CLAMP^2 <= 2^53) no longer holds; widen Q_SCALE/"
+            "Q_CLAMP deliberately or use the exact HOF path"
+        )
     if p.size and np.isfinite(p).all():
         qp = np.clip(np.floor(p * Q_SCALE + 0.5), -Q_CLAMP, Q_CLAMP)
         p_norm = np.sqrt((qp * qp).sum())

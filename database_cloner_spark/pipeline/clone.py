@@ -47,7 +47,10 @@ class CloneConfig:
     target_dir: str
     db_prefix: str = "clone_"
     # At-rest format of the SOURCE namespace: 'parquet' (default),
-    # 'orc' (sources/orc.py), or 'jdbc' (sources/jdbc.py — the live-
+    # 'orc' (sources/orc.py), 'mongoexport' (sources/bson.py — one
+    # extended-JSON `<table>.json` collection per table, wrapper types
+    # decoded during the clone; the executable mongodump path,
+    # CS:810,:817-818), or 'jdbc' (sources/jdbc.py — the live-
     # server face, clone_databases.sh:137-190). The clone lands as
     # parquet unless jdbc_target is set — which makes the pipeline the
     # one-pass distributed format converter for neighbour-team ORC
@@ -147,7 +150,9 @@ def _parse_worklist(
             raise ValueError(
                 "source_format='jdbc' requires an explicit tables work list"
             )
-        ext = ".orc" if source_format == "orc" else ".parquet"
+        ext = {"orc": ".orc", "mongoexport": ".json"}.get(
+            source_format, ".parquet"
+        )
         return table_names(source_dir, ext=ext)
     if isinstance(tables, str):
         return [t.strip() for t in tables.split(",") if t.strip()]
@@ -170,6 +175,17 @@ class ClonePipeline:
 
             return load_orc(
                 self.spark, os.path.join(self.cfg.source_dir, f"{table}.orc")
+            )
+        if self.cfg.source_format == "mongoexport":
+            from database_cloner_spark.sources.bson import mongoexport_scan
+
+            # Wrapper types ($oid/$date/$numberLong/$binary) decode IN
+            # the clone pass, so the landed parquet is typed — the
+            # restore half of the reference's mongodump path without a
+            # BSON decoder dependency (CS:817-818).
+            return mongoexport_scan(
+                self.spark,
+                os.path.join(self.cfg.source_dir, f"{table}.json"),
             )
         if self.cfg.source_format == "jdbc":
             if self.cfg.jdbc_source is None:

@@ -428,15 +428,24 @@ WITH q AS (
   FROM embeddings
 ),
 probe AS MATERIALIZED (
-  SELECT qe AS p, d AS pd, bad AS pbad FROM q WHERE vec_id = 0
+  -- At most ONE probe row, picked deterministically: the engine sorts
+  -- duplicate vec_id=0 rows by embedding (asc, NULLS LAST — DuckDB's
+  -- default) and head()s the first. LEFT JOIN below degrades a MISSING
+  -- probe to all-NULL cosines exactly like the engine's empty-probe
+  -- path (ADVICE r10: the old `FROM q, probe` cross join emptied the
+  -- result instead, and a duplicated vec_id=0 fanned it out).
+  SELECT qe AS p, d AS pd, bad AS pbad, TRUE AS has_probe
+  FROM q WHERE vec_id = 0
+  ORDER BY qe LIMIT 1
 ),
 scored AS (
   SELECT vec_id,
-         CASE WHEN bad OR pbad OR d = 0 OR pd = 0 OR d <> pd THEN NULL
+         CASE WHEN has_probe IS NULL OR bad OR pbad
+                   OR d = 0 OR pd = 0 OR d <> pd THEN NULL
               ELSE list_inner_product(qe, p)
                    / (sqrt(list_inner_product(qe, qe))
                       * sqrt(list_inner_product(p, p))) END AS c
-  FROM q, probe
+  FROM q LEFT JOIN probe ON TRUE
 )
 SELECT vec_id, FLOOR(c * 10000.0 + 0.5) / 10000.0 AS cosine
 FROM scored
@@ -459,11 +468,20 @@ def q_sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     from database_cloner_spark.functions.vector import cosine_topk_pandas
 
     embs = load(spark, sf_dir, "embeddings")
-    # head() is None on an EMPTY corpus (and the probe row's embedding
-    # can itself be NULL): degrade to an empty probe — every cosine is
-    # NULL and the top-k is empty, matching the oracle's empty probes
-    # CTE (tests/test_adversarial_empty.py).
-    row = embs.filter(F.col("vec_id") == 0).select("embedding").head()
+    # Probe selection is deterministic even under duplicate vec_id=0
+    # rows: sort by embedding (asc_nulls_last — DuckDB's default null
+    # order) and take the first. head() is None when NO vec_id=0 row
+    # exists (including the empty corpus) and the row's embedding can
+    # itself be NULL: both degrade to an empty probe — every cosine is
+    # NULL, ranked last — which the oracle's LEFT JOIN replays
+    # (ADVICE r10; tests/test_adversarial_empty.py and the no-probe /
+    # dup-probe fixtures in tests/test_adversarial_embeddings.py).
+    row = (
+        embs.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .orderBy(F.asc_nulls_last("embedding"))
+        .head()
+    )
     probe = list(row[0]) if row is not None and row[0] is not None else []
     return cosine_topk_pandas(embs, probe)
 

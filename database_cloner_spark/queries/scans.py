@@ -107,6 +107,7 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     nested fields (`meta.k`, `meta.user_id`) carry the same data as the
     relational original."""
     from database_cloner_spark.sources.json import (
+        EVENTS_DOC_SCHEMA,
         events_document_export,
         load_json,
     )
@@ -116,15 +117,11 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "event_type" not in docs.columns:
         # Empty collection: there are no documents to infer a schema
         # FROM (spark.read.json yields zero columns), so fall back to
-        # the export's declared shape — inference stays the primary
+        # the export's declared shape, shared with the writer module so
+        # it can't drift (ADVICE r10) — inference stays the primary
         # path whenever at least one document exists
         # (tests/test_adversarial_empty.py).
-        docs = load_json(
-            spark,
-            path,
-            schema="event_id bigint, event_type string, value double, "
-            "meta struct<user_id: bigint, k: bigint>",
-        )
+        docs = load_json(spark, path, schema=EVENTS_DOC_SCHEMA)
     # try_cast on `value`: Spark's JSON writer renders non-finite
     # doubles as the STRINGS "NaN"/"Infinity", which flips the inferred
     # column to string for the whole collection — the schema-drift case
@@ -138,6 +135,61 @@ def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("meta.k")).alias("max_k"),
         F.min(F.col("meta.user_id")).alias("min_user"),
         F.sum(F.when(v > 10, 1).otherwise(0)).alias("n_high"),
+    )
+
+
+# --- q_scan_bson_json: mongoexport extended-JSON scan (CS:810,:817-818) ----
+
+# Replays the writer∘decoder round-trip from the parquet original (the
+# q_scan_text oracle discipline): the engine exports orders as
+# extended-JSON wrapper documents and decodes them back through
+# sources/bson.py; values must equal the direct derivations below.
+# - oid: md5 of the decimal orderkey (lowercase hex both engines),
+#   first 24 chars — sign-safe where hex-of-int formatting is not.
+# - placed: $date carries millisecond precision, so the round-trip IS
+#   date_trunc to milliseconds.
+# - total_cents: FLOOR(x*100 + 0.5) half-up cents (repo rounding
+#   discipline), TRY_CAST — absurd magnitudes degrade to NULL.
+# - priority: base64 -> unbase64 of the UTF-8 bytes is the identity.
+_ORACLE_SCAN_BSON = """
+SELECT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 24) AS oid,
+       date_trunc('milliseconds', o_orderdate) AS placed,
+       TRY_CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       o_orderstatus AS status,
+       o_orderpriority AS priority
+FROM orders
+"""
+
+
+@register("q_scan_bson_json", oracle=_ORACLE_SCAN_BSON, tier="C")
+def q_scan_bson_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan a mongoexport extended-JSON collection — the EXECUTABLE
+    mongodump ingestion path (clone_databases.sh:810,:817-818; VERDICT
+    r10 item 2): orders exported once as wrapper documents ($oid /
+    relaxed $date / $numberLong / $binary + a plain scalar), read back
+    through the splittable PERMISSIVE NDJSON scan, wrappers decoded to
+    typed columns by pure codegen expressions (sources/bson.py). Schema
+    inference is the primary path (document-store posture); the shared
+    declared shape covers only the zero-document collection, where
+    inference has nothing to look at."""
+    from database_cloner_spark.sources.bson import (
+        MONGOEXPORT_ORDERS_SCHEMA,
+        mongoexport_scan,
+        orders_mongoexport,
+    )
+
+    path = orders_mongoexport(spark, sf_dir)
+    docs = mongoexport_scan(spark, path)
+    if "status" not in docs.columns:
+        docs = mongoexport_scan(spark, path, schema=MONGOEXPORT_ORDERS_SCHEMA)
+    return docs.select(
+        F.col("_id").alias("oid"),
+        "placed",
+        "total_cents",
+        "status",
+        # BSON binary decodes to bytes; surface the UTF-8 text for the
+        # scalar-only hash gate (and because that's what it is here)
+        F.col("payload").cast("string").alias("priority"),
     )
 
 

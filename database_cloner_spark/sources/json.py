@@ -32,6 +32,16 @@ from pyspark.sql import functions as F
 
 CORRUPT_COL = "_corrupt_record"
 
+# Declared shape of events_document_export's documents — the schema
+# inference discovers this from the data on every non-empty collection;
+# consumers needing a fallback for the ZERO-document case (inference
+# has nothing to look at) must use THIS constant so the fallback can't
+# drift from the writer (ADVICE r10: q_scan_json hardcoded it inline).
+EVENTS_DOC_SCHEMA = (
+    "event_id bigint, event_type string, value double, "
+    "meta struct<user_id: bigint, k: bigint>"
+)
+
 
 def load_json(
     spark: SparkSession,

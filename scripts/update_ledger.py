@@ -12,10 +12,21 @@ verified in and HOW it was verified:
 - ``mode: "rows"``  — no oracle that round; the driver recorded a
   rows-only pass (SURVEY.md marks these keys ✗-oracle by design).
 
+Since round 11 each green entry also carries ``sig``: the content
+signature (registry.sig_of over builder source + oracle SQL) captured
+AT MERGE TIME. Run this script at ROUND START, before editing any
+query code — the code then on disk is exactly what the driver verified
+at the previous round's end, so the captured signature identifies the
+verified source. A key edited later stops matching its ledgered sig
+and the registry rotation re-queues it ahead of unchanged green keys
+(VERDICT r10 item 3). scripts/backfill_ledger_sigs.py reconstructed
+the historical sigs from round-boundary commits once.
+
 The registry orders (a) never-verified keys and (b) keys whose ledger
 entry is rows-only but that NOW carry an oracle (an upgrade that must
-earn a fresh hash row) FIRST, then all green keys oldest-round-first, so
-successive driver rounds rotate true least-recently-verified coverage
+earn a fresh hash row) FIRST, then edited-since-green keys, then all
+untouched green keys oldest-round-first, so successive driver rounds
+rotate true least-recently-verified coverage
 (VERDICT.md round 1 item 2; round 8 "Next round" item 2).
 
 An earlier plain-list ledger format (key names only) also loads: each
@@ -57,6 +68,19 @@ def _round_of(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
+def _current_sig(key: str) -> str | None:
+    """Signature of the key's CURRENT builder+oracle source — valid as
+    the verified-code signature only when this script runs before any
+    round-N+1 edits (the documented round-start convention). None for
+    keys no longer registered (renamed/removed)."""
+    try:
+        from database_cloner_spark.registry import content_sig
+
+        return content_sig(key)
+    except Exception:
+        return None
+
+
 def main(paths: list[str]) -> None:
     # read the module attribute at CALL time (a def-time default would
     # freeze the original path and defeat test monkeypatching)
@@ -82,7 +106,11 @@ def main(paths: list[str]) -> None:
                 continue
             prev = ledger.get(key)
             if prev is None or rnd >= prev["round"]:
-                ledger[key] = {"round": rnd, "mode": mode}
+                entry = {"round": rnd, "mode": mode}
+                sig = _current_sig(key)
+                if sig is not None:
+                    entry["sig"] = sig
+                ledger[key] = entry
     with open(LEDGER, "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=0)
         f.write("\n")

@@ -60,14 +60,14 @@ _EXEMPT: dict[str, str] = {
 }
 
 
-def write_fixture(d: str) -> None:
+def write_fixture(d: str, rows=_NASTY_VECS) -> None:
     table = pa.table(
         {
-            "vec_id": pa.array([r[0] for r in _NASTY_VECS], pa.int64()),
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
             "embedding": pa.array(
-                [r[1] for r in _NASTY_VECS], pa.list_(pa.float32())
+                [r[1] for r in rows], pa.list_(pa.float32())
             ),
-            "label": pa.array([r[2] for r in _NASTY_VECS], pa.int32()),
+            "label": pa.array([r[2] for r in rows], pa.int32()),
         }
     )
     pq.write_table(table, os.path.join(d, "embeddings.parquet"))
@@ -95,3 +95,67 @@ def test_adversarial_parity(spark, nasty_dir, name):
         pytest.skip(_EXEMPT[name])
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)
+
+
+# --- probe-row edge cases (ADVICE r10) --------------------------------------
+# The pandas scorer's probe is fetched driver-side with head(), so a
+# MISSING vec_id=0 row (engine: every cosine NULL, still k rows) and a
+# DUPLICATED vec_id=0 row (engine: deterministic min-embedding pick)
+# exercise engine/oracle agreement paths the main nasty fixture — which
+# has exactly one vec 0 — never reaches.
+
+# vec 0 absent; everything else scorable.
+_NO_PROBE_VECS = [
+    (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (2, [-1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -7.0, -8.0], 1),
+    (3, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 1),
+    (4, [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0], 2),
+]
+
+# vec 0 duplicated with DISTINCT embeddings (grid-separated, so the
+# quantized order matches the raw order) — both engines must pick the
+# lexicographically smallest.
+_DUP_PROBE_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (0, [2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 1),
+    (2, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 1),
+    (3, [0.0] * _DIM, 2),
+]
+
+_PROBE_EDGE_KEYS = ["q_sim_topk", "q_sim_topk_pandas"]
+
+
+@pytest.fixture(scope="module")
+def no_probe_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("no_probe_emb"))
+    write_fixture(d, _NO_PROBE_VECS)
+    return d
+
+
+@pytest.fixture(scope="module")
+def dup_probe_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup_probe_emb"))
+    write_fixture(d, _DUP_PROBE_VECS)
+    return d
+
+
+@pytest.mark.parametrize("name", _PROBE_EDGE_KEYS)
+def test_missing_probe_parity(spark, no_probe_dir, name):
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, no_probe_dir)
+
+
+@pytest.mark.parametrize("name", _PROBE_EDGE_KEYS)
+def test_duplicate_probe_parity(spark, dup_probe_dir, name):
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, dup_probe_dir)
+
+
+def test_missing_probe_engine_shape(spark, no_probe_dir):
+    """Engine contract, independent of the oracle: no probe row ->
+    every cosine NULL, result still fills k (4 corpus rows here)."""
+    rows = specs()["q_sim_topk_pandas"].builder(spark, no_probe_dir).collect()
+    assert len(rows) == 4
+    assert all(r.cosine is None for r in rows)
+    assert [r.vec_id for r in rows] == [1, 2, 3, 4]

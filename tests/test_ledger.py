@@ -100,3 +100,56 @@ def test_registry_migrates_legacy_dict_ledger(monkeypatch, tmp_path):
     monkeypatch.setattr(registry, "_LEDGER_PATH", path)
     green = registry._driver_green()
     assert green == {"q_a": {"round": 0, "mode": "hash"}}
+
+
+# --- content-signature staleness (VERDICT r10 item 3) ------------------------
+
+
+def test_merge_records_content_sig_for_registered_keys(tmp_path, monkeypatch):
+    from database_cloner_spark import registry
+
+    led = _run_merge(
+        tmp_path, monkeypatch, None,
+        [("CORRECTNESS_r11.json",
+          {"q_scan_full": {"hash_match": True},     # real registered key
+           "q_not_registered": {"hash_match": True}})],
+    )
+    assert led["q_scan_full"]["sig"] == registry.content_sig("q_scan_full")
+    assert "sig" not in led["q_not_registered"]
+
+
+def test_rotation_puts_edited_green_keys_ahead_of_unchanged(tmp_path, monkeypatch):
+    """Three green keys, same round: the one whose ledgered sig no
+    longer matches current code (and the one with NO sig — pre-sig
+    ledger era) must both precede the sig-matching key; a never-green
+    key still precedes everything."""
+    from database_cloner_spark import registry
+
+    registry._ensure_loaded()
+    keys = list(registry._REGISTRY)[:4]
+    pending_k, edited_k, sigless_k, fresh_k = keys
+    path = str(tmp_path / "led.json")
+    with open(path, "w") as f:
+        json.dump({
+            edited_k: {"round": 5, "mode": "hash", "sig": "0" * 16},
+            sigless_k: {"round": 5, "mode": "hash"},
+            fresh_k: {"round": 5, "mode": "hash",
+                      "sig": registry.content_sig(fresh_k)},
+        }, f)
+    monkeypatch.setattr(registry, "_LEDGER_PATH", path)
+    order = registry._rotation_order(keys)
+    assert order.index(pending_k) == 0
+    assert order.index(fresh_k) == 3
+    assert {order[1], order[2]} == {edited_k, sigless_k}
+
+
+def test_every_current_ledger_entry_carries_a_sig():
+    """The r11 backfill filled all historical entries; future merges
+    must not regress to sig-less entries for registered keys."""
+    from database_cloner_spark import registry
+
+    green = registry._driver_green()
+    assert green, "ledger unexpectedly empty"
+    missing = [k for k, v in green.items()
+               if "sig" not in v and k in registry.specs()]
+    assert not missing, f"sig-less ledger entries: {missing}"
