@@ -585,23 +585,22 @@ def test_stateful_running_distinct_stream_equals_batch_twin(spark, tmp_path):
     assert got == want
 
 
-def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
-    """The production failure mode of stateful streaming: the query is
-    STOPPED after batch 1, a brand-new query is started from the SAME
-    checkpoint directory, and batch 2 drains through the restarted
-    query. The restored keyed state must carry batch-1 folds into
-    batch-2 emissions, so the final per-user EWMA is still BIT-EQUAL to
-    the q_ts_ewma batch answer over the full input. Memory sink cannot
-    recover from a checkpoint in update mode, so the harness sinks via
-    foreachBatch into an append-parquet log (the fault-tolerant shape
-    production uses); the file SOURCE's processed-file log lives in the
-    same checkpoint, so the restarted query replays NOTHING — only the
-    restored state plus the new file."""
-    src_dir = str(tmp_path / "cks_src")
-    out_dir = str(tmp_path / "cks_out")
-    ckpt = str(tmp_path / "cks_ckpt")
+def _kill_restart_two_batches(spark, tmp_path, prefix, half1, half2, op):
+    """The production failure mode of stateful streaming, as a shared
+    harness (one definition for all four stateful ops — the
+    _drain_two_batches lesson): batch 1 drains, the query is STOPPED, a
+    brand-new query starts from the SAME checkpoint directory, batch 2
+    drains through the restarted query. Returns every emitted row. The
+    restored keyed state must carry batch-1 folds into batch-2
+    emissions. Memory sink cannot recover from a checkpoint in update
+    mode, so the harness sinks via foreachBatch into an append-parquet
+    log (the fault-tolerant shape production uses); the file SOURCE's
+    processed-file log lives in the same checkpoint, so the restarted
+    query replays NOTHING — only the restored state plus the new file."""
+    src_dir = str(tmp_path / f"{prefix}_src")
+    out_dir = str(tmp_path / f"{prefix}_out")
+    ckpt = str(tmp_path / f"{prefix}_ckpt")
     os.makedirs(src_dir)
-    half1, half2 = _ts_median_split(load(spark, SF, "events"))
 
     def as_raw(df):
         return df.withColumn("ts", F.unix_micros("ts") * 1000)
@@ -619,7 +618,7 @@ def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
             batch_df.write.mode("append").parquet(out_dir)
 
         return (
-            ops.user_ewma_stream(stream)
+            op(stream)
             .writeStream.outputMode("update")
             .foreachBatch(sink)
             .option("checkpointLocation", ckpt)
@@ -643,9 +642,19 @@ def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
     q2 = start_query()
     q2.processAllAvailable()
     q2.stop()
+    return spark.read.parquet(out_dir).collect()
+
+
+def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
+    """Kill-and-restart: the final per-user EWMA must still be
+    BIT-EQUAL to the q_ts_ewma batch answer over the full input."""
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "cks", half1, half2, ops.user_ewma_stream
+    )
 
     final = {}
-    for r in spark.read.parquet(out_dir).collect():
+    for r in rows:
         if r.user_id not in final or r.n_events > final[r.user_id][0]:
             final[r.user_id] = (r.n_events, r.ewma)
     from database_cloner_spark.registry import specs
@@ -675,3 +684,73 @@ def test_stateful_ewma_checkpoint_kill_and_restart(spark, tmp_path):
         if uid in h2_counts and n > h2_counts[uid]
     ]
     assert spanning, "fixture must have users spanning the restart"
+
+
+def test_stateful_sessions_checkpoint_kill_and_restart(spark, tmp_path):
+    """Kill-and-restart for the sessionizer (VERDICT r10 item 5): the
+    restored state must keep OPEN sessions alive across the restart —
+    a session straddling the kill point must emit one final row with
+    the full event count, bit-equal to user_sessions_batch."""
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "cksess", half1, half2, ops.user_sessions_stream
+    )
+    final = {}
+    for r in rows:  # latest emission per session: n_events only grows
+        k = (r.user_id, r.session_idx)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.duration_us, r.start_us)
+    want = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.start_us)
+        for r in ops.user_sessions_batch(load(spark, SF, "events")).collect()
+    }
+    assert final == want
+    # the restart must have RESTORED an open session, not restarted
+    # numbering: a session emitted in BOTH runs produces two rows for
+    # one (user, session_idx) key, so total emissions exceed the number
+    # of distinct sessions iff state crossed the kill point
+    assert len(rows) > len(final), "no session spanned the restart"
+
+
+def test_stateful_holt_checkpoint_kill_and_restart(spark, tmp_path):
+    """Kill-and-restart for Holt's linear trend: the restored
+    (level, trend, n) state must continue the coupled recurrence so the
+    final per-user state is BIT-EQUAL to q_ts_holt's batch answer."""
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckholt", half1, half2, ops.user_holt_stream
+    )
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.level, r.trend, r.forecast_1)
+    from database_cloner_spark.registry import specs
+
+    want = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1)
+        for r in specs()["q_ts_holt"].builder(spark, SF).collect()
+    }
+    assert set(final) == set(want)
+    for uid, w in want.items():
+        assert final[uid] == w, (uid, final[uid], w)  # bit-equality
+
+
+def test_stateful_running_distinct_checkpoint_kill_and_restart(spark, tmp_path):
+    """Kill-and-restart for the running-distinct counter: the restored
+    seen-type set must make post-restart events count only NEW types,
+    so the per-event counts match q_win_running_distinct exactly and
+    no event is emitted twice (the file-source log replays nothing)."""
+    half1, half2 = _ts_median_split(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckdist", half1, half2,
+        ops.user_running_distinct_stream,
+    )
+    got = {(r.event_id, r.user_id): r.n_types_seen for r in rows}
+    assert len(got) == len(rows)  # each event emitted exactly once
+    from database_cloner_spark.registry import specs
+
+    want = {
+        (r.event_id, r.user_id): r.n_types_seen
+        for r in specs()["q_win_running_distinct"].builder(spark, SF).collect()
+    }
+    assert got == want
