@@ -311,6 +311,117 @@ def main() -> None:
         clone_sec = 0.0
     clone_rps = round(clone_rows / clone_sec) if clone_sec > 0 else 0
 
+    # Incremental re-sync + streaming-CDC apply throughput (VERDICT r10
+    # item 6): the reference's only refresh is a cron'd full re-clone;
+    # these two figures put the engine's changed-chunk alternatives next
+    # to the full-clone rows/s so the comparison is measured, not prose.
+    # Non-gating; errors recorded like any other key.
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from database_cloner_spark.sources.parquet import load as _load
+
+    resync = {}
+    try:
+        from database_cloner_spark.pipeline import incremental as incr
+
+        li = _load(spark, sf_dir, "lineitem")
+        scratch = tempfile.mkdtemp(prefix="dcs_bench_incr_")
+        try:
+            incr.incremental_clone(spark, li, scratch, "l_orderkey")  # seed
+            # deterministic ~1.5% drift confined to 4 of 256 chunks
+            mutated = li.withColumn(
+                "l_quantity",
+                F.when(
+                    F.pmod(F.xxhash64("l_orderkey"), F.lit(256)) < 4,
+                    F.col("l_quantity") + 1,
+                ).otherwise(F.col("l_quantity")),
+            )
+            n_rows = li.count()
+            t0 = time.perf_counter()
+            rep = incr.incremental_clone(spark, mutated, scratch, "l_orderkey")
+            sec = time.perf_counter() - t0
+            resync = {
+                "resync_table_rows": n_rows,
+                "resync_sec": round(sec, 4),
+                "resync_rows_per_sec": round(n_rows / sec) if sec > 0 else 0,
+                "resync_chunks_changed": rep["changed"],
+                "resync_rows_rewritten": rep["rows_rewritten"],
+            }
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["__incremental_resync__"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    cdc = {}
+    try:
+        from database_cloner_spark.streaming.cdc import apply_cdc_batch
+
+        orders = _load(spark, sf_dir, "orders")
+        scratch = tempfile.mkdtemp(prefix="dcs_bench_cdc_")
+        try:
+            seed = orders.withColumn("op", F.lit("upsert")).withColumn(
+                "seq", F.lit(1).cast("bigint")
+            )
+            tgt = os.path.join(scratch, "t")
+            apply_cdc_batch(seed, tgt, "o_orderkey")  # seed batch, untimed
+            h = F.pmod(F.xxhash64("o_orderkey"), F.lit(100))
+            ups = (
+                orders.filter(h == 0)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 1)
+                .withColumn("op", F.lit("upsert"))
+                .withColumn("seq", F.lit(2).cast("bigint"))
+            )
+            dels = (
+                orders.filter(h == 1)
+                .withColumn("op", F.lit("delete"))
+                .withColumn("seq", F.lit(2).cast("bigint"))
+            )
+            batch = ups.unionByName(dels)
+            n_changes = batch.count()
+            t0 = time.perf_counter()
+            rep = apply_cdc_batch(batch, tgt, "o_orderkey")
+            sec = time.perf_counter() - t0
+            cdc = {
+                "cdc_batch_changes": n_changes,
+                "cdc_batch_sec": round(sec, 4),
+                "cdc_changes_per_sec": round(n_changes / sec)
+                if sec > 0
+                else 0,
+                "cdc_chunks_touched": len(rep["touched"]),
+            }
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
+    except Exception as exc:  # noqa: BLE001
+        errors["__cdc_apply__"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # 100 TB scale-mode figures (VERDICT r10 item 7): the two flags that
+    # swap an exact plan for its scale form now carry measured timings
+    # next to the exact keys' sweep entries, not just plan-shape tests.
+    scale_modes: dict[str, float] = {}
+    for label, fn in (
+        (
+            "q_dq_profile_approx",
+            lambda: registry["q_dq_profile"].builder(
+                spark, sf_dir, approx_distinct=True
+            ),
+        ),
+        (
+            "q_events_rfm_approx",
+            lambda: registry["q_events_rfm"].builder(
+                spark, sf_dir, approx_cutpoints=True
+            ),
+        ),
+    ):
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            scale_modes[label] = round(best, 4)
+        except Exception as exc:  # noqa: BLE001
+            errors[f"__{label}__"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # Full per-key detail (the ~131-key sweep map) goes to a FILE, not
     # stdout: the driver captures only the last 2000 chars of stdout and
     # parses the final JSON line, so the gate figure must ride on a
@@ -355,6 +466,9 @@ def main() -> None:
                 "second_sf_errors": second_errors,
                 "scale_flags": scale_flags,
                 "scale_flags_note": scale_flags_note,
+                "incremental_resync": resync,
+                "cdc_apply": cdc,
+                "scale_modes": scale_modes,
             },
             fh,
             indent=1,
@@ -379,6 +493,8 @@ def main() -> None:
                 "clone_rows": clone_rows,
                 "clone_sec": round(clone_sec, 4),
                 "clone_rows_per_sec": clone_rps,
+                "resync_rows_per_sec": resync.get("resync_rows_per_sec"),
+                "cdc_changes_per_sec": cdc.get("cdc_changes_per_sec"),
                 "n_errors": len(errors),
                 "n_scale_flags": len(scale_flags),
                 "run": run_stamp["seq"],

@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -91,36 +91,59 @@ def seed_centroids(embs: DataFrame, n_cells: int = 16) -> DataFrame:
     )
 
 
+_FINITE_VEC = (
+    "NOT exists(embedding, v -> isnan(v) OR abs(v) = CAST('Infinity' AS DOUBLE))"
+)
+
+
 def kmeans_centroids(
     embs: DataFrame, n_cells: int = 16, iters: int = 2
 ) -> DataFrame:
     """Lloyd's refinement of the seeded centroids, as pure DataFrame ops
     (drop-in for seed_centroids — same (cell_id, centroid) schema).
 
-    Per iteration: assign every vector to its max-cosine centroid
+    Per iteration: assign every member vector to its max-cosine centroid
     (broadcast of n_cells rows against the scan), then recompute each
     centroid as the element-wise mean of its members — posexplode to
-    (cell_id, dim, value), one partial-aggregated avg per (cell, dim),
-    re-assembled in dim order. Shuffle payload per iteration is
-    n_cells × dims partial states, never the vectors themselves. The
-    iteration count is a small driver-side loop (the MLlib pattern);
-    each iteration is one Spark job, so total cost = iters scans.
-    Refined centroids balance cell sizes, which directly bounds the
-    worst within-cell join cost of the bucketed near-dup
-    (~Σcell²) and evens IVF probe latency."""
+    (cell_id, dim, value), one partial-aggregated sum/count per
+    (cell, dim), re-assembled in dim order. Shuffle payload per
+    iteration is n_cells × dims partial states, never the vectors
+    themselves. The iteration count is a small driver-side loop (the
+    MLlib pattern); each iteration is one Spark job, so total cost =
+    iters scans. Refined centroids balance cell sizes, which directly
+    bounds the worst within-cell join cost of the bucketed near-dup
+    (~Σcell²) and evens IVF probe latency.
+
+    DETERMINISTIC SINCE ROUND 11 (the q_sim_ivf_kmeans_topk oracle,
+    VERDICT r10 item 4): member values are quantized onto the exact
+    integer grid (functions/vector.quantize) before summing, so the
+    per-dim SUM is an exact float64 integer under any shuffle order,
+    and the mean lands back on the grid via FLOOR(sum/count + 0.5)/S —
+    every step a single correctly-rounded IEEE op DuckDB replays
+    verbatim. Membership excludes NULL / non-finite vectors (a NaN
+    element would poison its cell's mean on both engines; seeds already
+    exclude them) — garbage vectors are still SEARCHED, they just don't
+    steer centroids. Assignment windows partition by (vec_id,
+    embedding) so duplicate vec_ids resolve per-row, not arbitrarily."""
+    from database_cloner_spark.functions.vector import Q_SCALE, quantize
+
     cents = seed_centroids(embs, n_cells)
     # per-vector scoring folds are map-side work bounded by the scan's
     # split count — a one-file local dataset runs them on one core
     # without this (identity at production split counts)
-    embs = spread(embs)
+    members = spread(embs).filter(
+        F.col("embedding").isNotNull() & F.expr(_FINITE_VEC)
+    )
     for _ in range(iters):
-        scored = embs.crossJoin(F.broadcast(cents)).select(
+        scored = members.crossJoin(F.broadcast(cents)).select(
             "vec_id",
             "embedding",
             "cell_id",
             _cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
         )
-        w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+        w = W.partitionBy("vec_id", "embedding").orderBy(
+            F.desc("sim"), F.asc("cell_id")
+        )
         assigned = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -128,8 +151,15 @@ def kmeans_centroids(
         )
         dims = assigned.select(
             "cell_id", F.posexplode("embedding").alias("dim", "v")
+        ).withColumn("qv", quantize(F.col("v")))
+        means = dims.groupBy("cell_id", "dim").agg(
+            (
+                F.floor(F.sum("qv") / F.count(F.lit(1)) + F.lit(0.5)).cast(
+                    "double"
+                )
+                / F.lit(Q_SCALE)
+            ).alias("m")
         )
-        means = dims.groupBy("cell_id", "dim").agg(F.avg("v").alias("m"))
         cents = (
             means.groupBy("cell_id")
             .agg(
@@ -159,7 +189,13 @@ def ivf_assign(
         "cell_id",
         _cosine(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell_id"))
+    # final embedding tie-break: duplicate vec_ids can tie EXACTLY on
+    # (sim, cell) — e.g. two rows symmetric about a refined centroid —
+    # and the surviving row must be the same one the DuckDB oracle
+    # keeps (asc_nulls_last = DuckDB's default list ordering)
+    w = W.partitionBy("vec_id").orderBy(
+        F.desc("sim"), F.asc("cell_id"), F.asc_nulls_last("embedding")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -264,6 +300,39 @@ def ivf_topk(
 
 
 # --- product quantization (PQ) ---------------------------------------------
+#
+# DETERMINISTIC SINCE ROUND 11 (full DuckDB oracles for q_sim_pq_topk /
+# q_sim_ivfpq_topk, VERDICT r10 item 4): every stage runs on the exact
+# integer grid. Vectors are unit-normalized (ordered-fold norm — already
+# engine-portable) then element-quantized (functions/vector.quantize),
+# so every subvector distance is an exact float64 integer, Lloyd
+# codebook means land back on the grid via FLOOR(sum/count + 0.5), and
+# ADC sums are order-independent integers. Quantization error per
+# element is 2^-21 relative — invisible next to PQ's own approximation
+# (the recall-floor tests pin quality unchanged).
+
+
+def _qunit(vec: Column) -> Column:
+    """Unit-normalize + quantize a vector column. Whole-vector NULL for
+    NULL / empty / zero-norm inputs (an element-level NULL would split
+    behavior between Spark's NULL-poisoning folds and SQL's
+    NULL-skipping SUM); non-finite elements quantize to NaN (excluded
+    from codebooks, never win an argmin — NaN sorts greatest under the
+    asc-nulls-last ordering on both engines)."""
+    from database_cloner_spark.functions.vector import quantize
+
+    nrm = _norm(vec)
+    qe = F.transform(vec, lambda x: quantize(x / nrm))
+    return F.when(
+        vec.isNull() | (nrm == F.lit(0.0)),
+        F.lit(None).cast("array<double>"),
+    ).otherwise(qe)
+
+
+def quantized_unit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """df with `vec_col` replaced by its quantized unit form (all other
+    columns untouched)."""
+    return df.withColumn(vec_col, _qunit(F.col(vec_col)))
 
 
 def pq_subvectors(embs: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
@@ -302,8 +371,22 @@ def pq_codebooks(
 
     Output: (sub, code, codeword). Codes that lose every member during
     refinement are dropped (encoding only needs SOME nearest codeword,
-    not a dense code range)."""
-    subs = pq_subvectors(embs, m, dim)
+    not a dense code range).
+
+    Expects QUANTIZED unit vectors (quantized_unit): seeds and
+    refinement membership take only valid vectors (non-NULL, no NaN
+    element — garbage can't steer codewords and a NaN would poison its
+    code's mean identically on both engines); refined codeword elements
+    stay on the integer grid via FLOOR(sum/count + 0.5), so every
+    distance downstream remains an exact integer. Argmin windows
+    partition by (vec_id, sub, subvec) — duplicate vec_ids resolve
+    per-row — and order d2 asc NULLS LAST (DuckDB's default; Spark's
+    bare asc is nulls-FIRST, the r9 divergence class)."""
+    valid = embs.filter(
+        F.col("embedding").isNotNull()
+        & ~F.exists("embedding", lambda v: F.isnan(v))
+    )
+    subs = pq_subvectors(valid, m, dim)
     cb = subs.filter(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("code"), F.col("subvec").alias("codeword")
     )
@@ -315,7 +398,9 @@ def pq_codebooks(
             "code",
             _l2sq(F.col("subvec"), F.col("codeword")).alias("d2"),
         )
-        w = W.partitionBy("vec_id", "sub").orderBy("d2", "code")
+        w = W.partitionBy("vec_id", "sub", "subvec").orderBy(
+            F.asc_nulls_last("d2"), F.asc("code")
+        )
         members = (
             scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
@@ -324,7 +409,11 @@ def pq_codebooks(
         dims_ = members.select(
             "sub", "code", F.posexplode("subvec").alias("dim", "v")
         )
-        means = dims_.groupBy("sub", "code", "dim").agg(F.avg("v").alias("m"))
+        means = dims_.groupBy("sub", "code", "dim").agg(
+            F.floor(F.sum("v") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("double")
+            .alias("m")
+        )
         cb = (
             means.groupBy("sub", "code")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("__dm"))
@@ -353,10 +442,16 @@ def pq_encode(
     scored = pq_subvectors(embs, m, dim).join(F.broadcast(codebooks), "sub").select(
         "vec_id",
         "sub",
+        "subvec",
         "code",
         _l2sq(F.col("subvec"), F.col("codeword")).alias("d2"),
     )
-    w = W.partitionBy("vec_id", "sub").orderBy("d2", "code")
+    # (vec_id, sub, subvec) partition + asc NULLS LAST: per-row argmin
+    # determinism under duplicate vec_ids, NULL distances (NULL/garbage
+    # vectors) rank after NaN after numbers on both engines
+    w = W.partitionBy("vec_id", "sub", "subvec").orderBy(
+        F.asc_nulls_last("d2"), F.asc("code")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -396,8 +491,13 @@ def pq_adc_topk(
     return (
         exploded.join(F.broadcast(table), ["sub", "code"])
         .groupBy("vec_id")
+        # quantized-grid d2s are exact integers, so this SUM is
+        # shuffle-order-independent and the round(6) a no-op kept for
+        # the stable output contract
         .agg(F.round(F.sum("d2"), 6).alias("adc_dist"))
-        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        # asc NULLS LAST (DuckDB's default): an unscorable vector's
+        # NULL distance must rank behind every real candidate
+        .orderBy(F.asc_nulls_last("adc_dist"), F.asc("vec_id"))
         .limit(k)
     )
 
@@ -420,17 +520,8 @@ def pq_topk(
     fixture the ADC shortlist at 5× k holds 8/10 of the exact top-10
     (random vectors are PQ's worst case; clustered real embeddings do
     far better), which the recall test pins as a floor."""
-    from database_cloner_spark.functions.vector import norm as _nrm2
-
-    unit = embs.select(
-        "vec_id",
-        F.transform("embedding", lambda x: F.try_divide(x, _nrm2(F.col("embedding")))).alias(
-            "embedding"
-        ),
-    )
-    unit_probe = probe.select(
-        F.transform("probe", lambda x: F.try_divide(x, _nrm2(F.col("probe")))).alias("probe")
-    )
+    unit = quantized_unit(embs).select("vec_id", "embedding")
+    unit_probe = probe.select(_qunit(F.col("probe")).alias("probe"))
     cb = pq_codebooks(unit, m=m, dim=dim, iters=iters)
     codes = pq_encode(unit, cb, m=m, dim=dim)
     cand = pq_adc_topk(codes, cb, unit_probe, m=m, dim=dim, k=shortlist).select(
@@ -458,17 +549,8 @@ def ivfpq_topk(
 
     Cells and codebooks are probe-independent (build once, reuse per
     query — build_ivf_index persists the cell layout the same way)."""
-    from database_cloner_spark.functions.vector import norm as _nrm2
-
-    unit = embs.select(
-        "vec_id",
-        F.transform("embedding", lambda x: F.try_divide(x, _nrm2(F.col("embedding")))).alias(
-            "embedding"
-        ),
-    )
-    unit_probe = probe.select(
-        F.transform("probe", lambda x: F.try_divide(x, _nrm2(F.col("probe")))).alias("probe")
-    )
+    unit = quantized_unit(embs).select("vec_id", "embedding")
+    unit_probe = probe.select(_qunit(F.col("probe")).alias("probe"))
     cents = seed_centroids(unit, n_cells)
     inverted = ivf_assign(unit, n_cells, centroids=cents).select("cell_id", "vec_id")
     cb = pq_codebooks(unit, m=m, k=16, dim=dim, iters=1)

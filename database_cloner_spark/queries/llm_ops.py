@@ -528,6 +528,36 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def _q_sql(x: str) -> str:
+    """Replay of functions/vector.quantize: NaN/±Inf stay NaN (explicit
+    gate — DuckDB LEAST/GREATEST would swallow them), finite values
+    clamp-then-floor onto the Q_SCALE/Q_CLAMP integer grid. Bit-equal
+    to the engine because clamp bounds are integral and each op is one
+    correctly-rounded IEEE step."""
+    return (
+        f"CASE WHEN isnan({x}) OR NOT isfinite({x}) THEN 'NaN'::DOUBLE "
+        f"ELSE FLOOR(LEAST(GREATEST(({x}) * 1048576.0 + 0.5, "
+        f"-8388608.0), 8388608.0)) END"
+    )
+
+
+def _l2q_sql(a: str, b: str) -> str:
+    """Squared L2 over QUANTIZED (integer-grid) vectors. The engine
+    folds (x-y)^2 left-to-right; on the grid every term and partial sum
+    is an exact float64 integer, so the fold equals the algebraic
+    identity |a|^2 - 2<a,b> + |b|^2 EXACTLY — which is what this
+    replays (three ordered lip folds). NULL for NULL inputs (Spark's
+    zip_with fold NULL-poisons; SQL SUM would skip). Requires equal
+    lengths for non-NULL inputs — guaranteed by the shared slicing that
+    produces both sides (mixed-dim corpora are the documented
+    not-oracle-expressible class)."""
+    lip = "list_inner_product"
+    return (
+        f"CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL "
+        f"ELSE {lip}({a}, {a}) - 2 * {lip}({a}, {b}) + {lip}({b}, {b}) END"
+    )
+
+
 # Batch-probe replay: same fold-order cosine as _ORACLE_SIM_TOPK, one
 # window per probe. NULL cosines (zero/empty/NULL vectors OR probes —
 # probe ids < 8 include the adversarial fixture's NULL/zero/empty rows)
@@ -602,7 +632,8 @@ assigned AS (
   SELECT e.vec_id, e.embedding, c.cell_id,
          ROW_NUMBER() OVER (
            PARTITION BY e.vec_id
-           ORDER BY {_cos_sql("e.embedding", "c.centroid")} DESC, c.cell_id
+           ORDER BY {_cos_sql("e.embedding", "c.centroid")} DESC, c.cell_id,
+                    e.embedding
          ) AS rn
   FROM embeddings e CROSS JOIN cents c
 ),
@@ -684,15 +715,101 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_neardup_bucketed(load(spark, sf_dir, "embeddings"))
 
 
-@register("q_sim_ivf_kmeans_topk", oracle=None, tier="X")
+def _lloyd_iter_sql(i: int, prev: str) -> str:
+    """One unrolled Lloyd round (llm/similarity.kmeans_centroids):
+    assign each member vector to its max-cosine centroid (per-row
+    window — PARTITION BY vec_id, embedding), then per-(cell, dim)
+    exact-integer-grid mean: FLOOR(SUM(quantized)/COUNT + 0.5)/Q_SCALE.
+    The SUM is order-independent (integer-valued doubles), the rest are
+    single correctly-rounded IEEE ops, so the refined centroids are
+    bit-equal between engines."""
+    return f"""asg{i} AS (
+  SELECT cell_id, embedding FROM (
+    SELECT m.embedding, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY m.vec_id, m.embedding
+             ORDER BY {_cos_sql('m.embedding', 'c.centroid')} DESC, c.cell_id
+           ) AS rn
+    FROM kmem m CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+kd{i} AS (
+  SELECT cell_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM asg{i}
+),
+cents{i} AS MATERIALIZED (
+  SELECT cell_id, list(m ORDER BY dim) AS centroid FROM (
+    SELECT cell_id, dim,
+           FLOOR(SUM({_q_sql('v')}) / COUNT(*) + 0.5) / 1048576.0 AS m
+    FROM kd{i} GROUP BY cell_id, dim
+  ) GROUP BY cell_id
+)"""
+
+
+# Full replay of the Lloyd-refined IVF search (2 unrolled iterations on
+# the exact integer grid — the round-11 determinism rebase, VERDICT r10
+# item 4), then the _ORACLE_SIM_IVF search body over the refined
+# centroids. Membership excludes NULL/non-finite vectors on both
+# engines; the SEARCH still scores every vector. Same MATERIALIZED
+# discipline as _ORACLE_SIM_IVF (filtered list-carrying CTEs).
+_ORACLE_SIM_IVF_KMEANS = f"""
+WITH probe AS MATERIALIZED (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+),
+kmem AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+                        v -> isnan(v) OR NOT isfinite(v))) = 0
+),
+cents0 AS MATERIALIZED (
+  SELECT vec_id AS cell_id, embedding AS centroid
+  FROM kmem WHERE vec_id < 16
+),
+{_lloyd_iter_sql(1, 'cents0')},
+{_lloyd_iter_sql(2, 'cents1')},
+cell_rank AS (
+  SELECT cell_id FROM cents2 CROSS JOIN probe
+  ORDER BY {_cos_sql('centroid', 'p')} DESC, cell_id
+  LIMIT 4
+),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cell_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC, c.cell_id,
+                    e.embedding
+         ) AS rn
+  FROM embeddings e CROSS JOIN cents2 c
+),
+cand AS MATERIALIZED (
+  SELECT vec_id, embedding FROM assigned
+  WHERE rn = 1 AND cell_id IN (SELECT cell_id FROM cell_rank)
+),
+scored AS (
+  SELECT vec_id, {_cos_sql('embedding', 'p')} AS c
+  FROM cand CROSS JOIN probe
+)
+SELECT vec_id, ROUND(c, 4) AS cosine
+FROM scored ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+@register("q_sim_ivf_kmeans_topk", oracle=_ORACLE_SIM_IVF_KMEANS, tier="X")
 def q_sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-10 over Lloyd-REFINED centroids (2 iterations), the
     production posture: refinement balances cell populations, which
     bounds the worst-case cell scan — the cost term IVF latency leans
     on at 100 TB (SCALE.md). Each Lloyd iteration shuffles only
-    n_cells x dims partial means, never the vectors. Rows-only at the
-    driver (iterative refinement is not SQL-expressible); recall floor
-    vs brute force and vs the seeded variant pinned in tests/test_llm.py."""
+    n_cells x dims partial means, never the vectors. FULL hash oracle
+    since round 11: member values quantize onto the exact integer grid
+    (functions/vector.quantize), so the per-dim sums are
+    shuffle-order-independent and DuckDB replays both refinement rounds
+    and the whole search (VERDICT r10 item 4 — the last 'Lloyd means
+    average floats' exemption, removed). Recall floor vs brute force
+    and vs the seeded variant stays pinned in tests/test_llm.py."""
     embs = load(spark, sf_dir, "embeddings")
     cents = similarity.kmeans_centroids(embs, n_cells=16, iters=2)
     return similarity.ivf_topk(
@@ -1299,11 +1416,186 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return llmtext.repetition_scores(load(spark, sf_dir, "documents"))
 
 
-@register("q_sim_pq_topk", oracle=None, tier="X")
+def _pq_oracle(ivf: bool) -> str:
+    """Full replay of llm/similarity's PQ pipeline (pq_topk defaults:
+    m=8, d_sub=8, 16 codes, 1 Lloyd round, shortlist 50, k 10; the ivf
+    variant adds seeded 16-cell routing with nprobe=8). Every stage is
+    deterministic on the exact integer grid (round 11, VERDICT r10
+    item 4): quantized unit vectors, lip-identity subvector distances
+    (_l2q_sql), FLOOR(sum/count + 0.5) codebook means, integer ADC
+    sums. `ecodes` re-derives the engine's POSITIONAL code array
+    (posexplode of the (sub,code)-sorted list) — under duplicate
+    vec_ids the merged array deliberately mislabels trailing subs and
+    drops them at the codebook join, exactly as the engine does."""
+    sl = "s.sub * 8 + 1 : s.sub * 8 + 8"
+    cells = (
+        f""",
+qcents AS MATERIALIZED (
+  SELECT vec_id AS cell_id, qe AS centroid FROM qunit
+  WHERE vec_id < 16 AND qe IS NOT NULL
+    AND len(list_filter(qe, v -> isnan(v))) = 0
+),
+icell_rank AS (
+  SELECT cell_id FROM qcents CROSS JOIN qprobe
+  ORDER BY {_cos_sql('centroid', 'p')} DESC, cell_id
+  LIMIT 8
+),
+iassigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT q.vec_id, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.qe', 'c.centroid')} DESC, c.cell_id,
+                      q.qe
+           ) AS rn
+    FROM qunit q CROSS JOIN qcents c
+  ) WHERE rn = 1
+),
+cand_ids AS (
+  SELECT vec_id FROM iassigned
+  WHERE cell_id IN (SELECT cell_id FROM icell_rank)
+)"""
+        if ivf
+        else ""
+    )
+    adc_src = (
+        "ecodes e JOIN cand_ids USING (vec_id) JOIN adct t"
+        if ivf
+        else "ecodes e JOIN adct t"
+    )
+    return f"""
+WITH nrm_ AS (
+  -- IS NULL guard: DuckDB 1.0's list_inner_product rejects a NULL
+  -- list even inside a projection over the base table (the r10
+  -- MATERIALIZED lesson's flat-scan sibling)
+  SELECT vec_id, embedding,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE sqrt(list_inner_product(embedding::DOUBLE[],
+                                           embedding::DOUBLE[])) END AS nv
+  FROM embeddings
+),
+qunit AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN embedding IS NULL OR nv = 0 OR nv IS NULL THEN NULL
+              ELSE list_transform(embedding::DOUBLE[],
+                                  x -> {_q_sql('x / nv')}) END AS qe
+  FROM nrm_
+),
+qprobe AS MATERIALIZED (SELECT qe AS p FROM qunit WHERE vec_id = 0),
+subs AS MATERIALIZED (
+  SELECT vec_id, s.sub,
+         CASE WHEN qe IS NULL THEN NULL ELSE qe[{sl}] END AS subvec,
+         (qe IS NOT NULL
+          AND len(list_filter(qe, v -> isnan(v))) = 0) AS ok
+  FROM qunit CROSS JOIN (SELECT unnest(range(8)) AS sub) s
+),
+-- vsubs/qprobe_ok: lip only ever sees MATERIALIZED all-finite lists
+-- (DuckDB 1.0 validates lists behind a selection — the r10 lesson);
+-- garbage rows take the provably-equivalent min-code branch below
+-- (their d2 is NULL/NaN against EVERY codeword, so the engine's
+-- asc-nulls-last argmin always lands on the smallest code).
+vsubs AS MATERIALIZED (
+  SELECT vec_id, sub, subvec FROM subs WHERE ok
+),
+seed AS MATERIALIZED (
+  SELECT sub, vec_id AS code, subvec AS codeword
+  FROM vsubs WHERE vec_id < 16
+),
+m_best AS (
+  SELECT sub, code, subvec FROM (
+    SELECT s.sub, c.code, s.subvec,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub, s.subvec
+             ORDER BY {_l2q_sql('s.subvec', 'c.codeword')} ASC, c.code
+           ) AS rn
+    FROM vsubs s JOIN seed c ON s.sub = c.sub
+  ) WHERE rn = 1
+),
+m_dims AS (
+  SELECT sub, code,
+         unnest(range(1, len(subvec) + 1)) AS dim,
+         unnest(subvec) AS v
+  FROM m_best
+),
+cb AS MATERIALIZED (
+  SELECT sub, code, list(cw ORDER BY dim) AS codeword FROM (
+    SELECT sub, code, dim,
+           FLOOR(SUM(v) / COUNT(*) + 0.5) AS cw
+    FROM m_dims GROUP BY sub, code, dim
+  ) GROUP BY sub, code
+),
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub, s.subvec
+             ORDER BY {_l2q_sql('s.subvec', 'c.codeword')} ASC, c.code
+           ) AS rn
+    FROM vsubs s JOIN cb c ON s.sub = c.sub
+  ) WHERE rn = 1
+  UNION ALL
+  -- DISTINCT over (vec_id, sub, subvec): duplicate garbage rows with
+  -- identical subvecs collapse, exactly like the engine's
+  -- (vec_id, sub, subvec) argmin partition
+  SELECT g.vec_id, g.sub, mc.code
+  FROM (SELECT DISTINCT vec_id, sub, subvec FROM subs WHERE NOT ok) g
+  JOIN (SELECT sub, MIN(code) AS code FROM cb GROUP BY sub) mc
+    USING (sub)
+),
+ecodes AS (
+  SELECT vec_id,
+         unnest(range(len(codes))) AS sub,
+         unnest(codes) AS code
+  FROM (
+    SELECT vec_id, list(code ORDER BY sub, code) AS codes
+    FROM enc GROUP BY vec_id
+  )
+),
+qprobe_ok AS MATERIALIZED (
+  SELECT p FROM qprobe WHERE p IS NOT NULL
+),
+adct AS MATERIALIZED (
+  SELECT c.sub, c.code,
+         {_l2q_sql('(pr.p[c.sub * 8 + 1 : c.sub * 8 + 8])', 'c.codeword')}
+           AS d2
+  FROM cb c CROSS JOIN qprobe_ok pr
+  UNION ALL
+  -- an unscorable probe row still fans the table with NULL distances
+  -- (the engine's 1-row NULL probe does the same)
+  SELECT c.sub, c.code, NULL::DOUBLE AS d2
+  FROM cb c CROSS JOIN (SELECT 1 AS x FROM qprobe WHERE p IS NULL) pn
+){cells},
+adc AS (
+  SELECT e.vec_id, ROUND(SUM(t.d2), 6) AS adc_dist
+  FROM {adc_src} ON e.sub = t.sub AND e.code = t.code
+  GROUP BY e.vec_id
+),
+short AS MATERIALIZED (
+  SELECT vec_id FROM adc ORDER BY adc_dist ASC, vec_id LIMIT 50
+),
+rprobe AS MATERIALIZED (
+  SELECT embedding AS p FROM embeddings WHERE vec_id = 0
+),
+rer AS (
+  SELECT e.vec_id, {_cos_sql('e.embedding', 'pr.p')} AS c
+  FROM embeddings e JOIN short s USING (vec_id) CROSS JOIN rprobe pr
+)
+SELECT vec_id, ROUND(c, 4) AS cosine
+FROM rer ORDER BY c DESC, vec_id LIMIT 10
+"""
+
+
+_ORACLE_SIM_PQ = _pq_oracle(ivf=False)
+
+
+@register("q_sim_pq_topk", oracle=_ORACLE_SIM_PQ, tier="X")
 def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10: 8x16 codebooks, ADC shortlist over
     8-byte codes (64x compression), exact rerank of the shortlist only.
-    Rows-only at the driver; recall floor vs brute force pinned in
+    FULL hash oracle since round 11 (VERDICT r10 item 4): the whole
+    pipeline runs on the exact integer grid, so DuckDB replays
+    codebook refinement, encoding, the ADC shortlist and the rerank
+    verbatim. Recall floor vs brute force stays pinned in
     tests/test_llm.py."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.pq_topk(embs, similarity.probe_vector(embs))
@@ -1346,11 +1638,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_exploded(assets)
 
 
-@register("q_sim_ivfpq_topk", oracle=None, tier="X")
+_ORACLE_SIM_IVFPQ = _pq_oracle(ivf=True)
+
+
+@register("q_sim_ivfpq_topk", oracle=_ORACLE_SIM_IVFPQ, tier="X")
 def q_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF-PQ top-10 (cells prune which rows, codes shrink
-    what is scanned, exact rerank on the shortlist). Rows-only; recall
-    floor vs brute force pinned in tests."""
+    what is scanned, exact rerank on the shortlist). FULL hash oracle
+    since round 11 (VERDICT r10 item 4): seeded cell routing + the
+    integer-grid PQ pipeline are replayed end-to-end by DuckDB. Recall
+    floor vs brute force stays pinned in tests."""
     embs = load(spark, sf_dir, "embeddings")
     return similarity.ivfpq_topk(embs, similarity.probe_vector(embs))
 
