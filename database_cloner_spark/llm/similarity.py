@@ -11,7 +11,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
@@ -312,27 +312,65 @@ def ivf_topk(
 # (the recall-floor tests pin quality unchanged).
 
 
-def _qunit(vec: Column) -> Column:
-    """Unit-normalize + quantize a vector column. Whole-vector NULL for
-    NULL / empty / zero-norm inputs (an element-level NULL would split
-    behavior between Spark's NULL-poisoning folds and SQL's
-    NULL-skipping SUM); non-finite elements quantize to NaN (excluded
-    from codebooks, never win an argmin — NaN sorts greatest under the
-    asc-nulls-last ordering on both engines)."""
-    from database_cloner_spark.functions.vector import quantize
-
-    nrm = _norm(vec)
-    qe = F.transform(vec, lambda x: quantize(x / nrm))
-    return F.when(
-        vec.isNull() | (nrm == F.lit(0.0)),
-        F.lit(None).cast("array<double>"),
-    ).otherwise(qe)
+def scorable(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose vector survives quantized_unit's whole-vector gate
+    (non-NULL, finite positive norm), expressed over the RAW column so
+    the filter costs one O(dim) fold per row. Filtering the COMPUTED
+    quantized column instead — even a plain IS NOT NULL — makes
+    Catalyst re-derive the quantize lambda around the predicate
+    (measured 0.9s -> 3.3s on the codebook refinement)."""
+    nrm = _norm(F.col(vec_col))
+    # explicit isnan: Spark comparison semantics rank NaN above every
+    # number, so `nrm > 0` alone would PASS a NaN norm
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & ~F.isnan(nrm)
+        & (nrm > F.lit(0.0))
+        & (nrm != F.lit(float("inf")))
+    )
 
 
 def quantized_unit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """df with `vec_col` replaced by its quantized unit form (all other
-    columns untouched)."""
-    return df.withColumn(vec_col, _qunit(F.col(vec_col)))
+    columns untouched). Whole-vector NULL for every UNSCORABLE input:
+    NULL / empty / zero-norm / non-finite norm (a NaN or ±Inf element,
+    or overflow-to-Inf magnitudes). The whole-vector gate is the
+    parity keystone: (a) an element-level NULL would split behavior
+    between Spark's NULL-poisoning folds and SQL's NULL-skipping SUM;
+    (b) an Inf element would quantize to a MIX of finite and NaN
+    elements (x/Inf = 0, Inf/Inf = NaN), whose per-subvector distances
+    are partially real — unreplayable; (c) downstream validity becomes
+    a plain IS NOT NULL, which Catalyst evaluates cheaply (an
+    exists()-over-the-computed-column filter re-inlines the whole
+    normalize-quantize lambda into the predicate — measured 3.7s vs
+    0.1s on the 500-row fixture).
+
+    The norm is bound to its own projection BEFORE the per-element
+    lambda: a norm fold nested inside transform() re-evaluates O(dim)
+    work per element — O(dim²) per row, measured 10× slower at dim 64
+    (2.2s -> 0.2s for the unit scan) — and Catalyst does not re-inline
+    the bound column."""
+    from database_cloner_spark.functions.vector import quantize
+
+    tmp = "__qunit_nrm"
+    nrm = F.col(tmp)
+    qe = F.transform(F.col(vec_col), lambda x: quantize(x / nrm))
+    unscorable = (
+        F.col(vec_col).isNull()
+        | (nrm == F.lit(0.0))
+        | F.isnan(nrm)
+        | (nrm == F.lit(float("inf")))
+    )
+    return (
+        df.withColumn(tmp, _norm(F.col(vec_col)))
+        .withColumn(
+            vec_col,
+            F.when(unscorable, F.lit(None).cast("array<double>")).otherwise(
+                qe
+            ),
+        )
+        .drop(tmp)
+    )
 
 
 def pq_subvectors(embs: DataFrame, m: int = 8, dim: int = 64) -> DataFrame:
@@ -373,20 +411,17 @@ def pq_codebooks(
     refinement are dropped (encoding only needs SOME nearest codeword,
     not a dense code range).
 
-    Expects QUANTIZED unit vectors (quantized_unit): seeds and
-    refinement membership take only valid vectors (non-NULL, no NaN
-    element — garbage can't steer codewords and a NaN would poison its
-    code's mean identically on both engines); refined codeword elements
+    Expects PRE-VALIDATED quantized unit vectors —
+    quantized_unit(scorable(raw)) — so no filter touches the computed
+    column here (even IS NOT NULL on it makes Catalyst re-derive the
+    quantize lambda around the predicate; see scorable()). Garbage
+    vectors therefore can't steer codewords; refined codeword elements
     stay on the integer grid via FLOOR(sum/count + 0.5), so every
     distance downstream remains an exact integer. Argmin windows
     partition by (vec_id, sub, subvec) — duplicate vec_ids resolve
     per-row — and order d2 asc NULLS LAST (DuckDB's default; Spark's
     bare asc is nulls-FIRST, the r9 divergence class)."""
-    valid = embs.filter(
-        F.col("embedding").isNotNull()
-        & ~F.exists("embedding", lambda v: F.isnan(v))
-    )
-    subs = pq_subvectors(valid, m, dim)
+    subs = pq_subvectors(embs, m, dim)
     cb = subs.filter(F.col("vec_id") < k).select(
         "sub", F.col("vec_id").alias("code"), F.col("subvec").alias("codeword")
     )
@@ -521,8 +556,9 @@ def pq_topk(
     (random vectors are PQ's worst case; clustered real embeddings do
     far better), which the recall test pins as a floor."""
     unit = quantized_unit(embs).select("vec_id", "embedding")
-    unit_probe = probe.select(_qunit(F.col("probe")).alias("probe"))
-    cb = pq_codebooks(unit, m=m, dim=dim, iters=iters)
+    unit_valid = quantized_unit(scorable(embs)).select("vec_id", "embedding")
+    unit_probe = quantized_unit(probe, "probe")
+    cb = pq_codebooks(unit_valid, m=m, dim=dim, iters=iters)
     codes = pq_encode(unit, cb, m=m, dim=dim)
     cand = pq_adc_topk(codes, cb, unit_probe, m=m, dim=dim, k=shortlist).select(
         "vec_id"
@@ -550,10 +586,20 @@ def ivfpq_topk(
     Cells and codebooks are probe-independent (build once, reuse per
     query — build_ivf_index persists the cell layout the same way)."""
     unit = quantized_unit(embs).select("vec_id", "embedding")
-    unit_probe = probe.select(_qunit(F.col("probe")).alias("probe"))
-    cents = seed_centroids(unit, n_cells)
+    unit_valid = quantized_unit(scorable(embs)).select("vec_id", "embedding")
+    unit_probe = quantized_unit(probe, "probe")
+    # Not seed_centroids: its non-finite guard is an exists() over the
+    # vector column, which on the COMPUTED quantized column re-inlines
+    # the whole quantize lambda into the filter (measured 3.7s vs
+    # 0.1s); scorable() pre-filters on the RAW column instead, which is
+    # the exact same row set under quantized_unit's whole-vector gate.
+    cents = quantized_unit(
+        scorable(embs.filter(F.col("vec_id") < n_cells))
+    ).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("centroid")
+    )
     inverted = ivf_assign(unit, n_cells, centroids=cents).select("cell_id", "vec_id")
-    cb = pq_codebooks(unit, m=m, k=16, dim=dim, iters=1)
+    cb = pq_codebooks(unit_valid, m=m, k=16, dim=dim, iters=1)
     codes = pq_encode(unit, cb, m=m, dim=dim)
 
     ranked_cells = (

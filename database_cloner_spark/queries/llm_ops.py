@@ -1433,7 +1433,6 @@ def _pq_oracle(ivf: bool) -> str:
 qcents AS MATERIALIZED (
   SELECT vec_id AS cell_id, qe AS centroid FROM qunit
   WHERE vec_id < 16 AND qe IS NOT NULL
-    AND len(list_filter(qe, v -> isnan(v))) = 0
 ),
 icell_rank AS (
   SELECT cell_id FROM qcents CROSS JOIN qprobe
@@ -1475,8 +1474,13 @@ WITH nrm_ AS (
   FROM embeddings
 ),
 qunit AS MATERIALIZED (
+  -- the whole-vector gate (quantized_unit): NULL / empty / zero-norm /
+  -- non-finite-norm vectors are unscorable as a WHOLE — an Inf element
+  -- would otherwise quantize to a mix of finite and NaN elements with
+  -- partially-real subvector distances
   SELECT vec_id,
-         CASE WHEN embedding IS NULL OR nv = 0 OR nv IS NULL THEN NULL
+         CASE WHEN embedding IS NULL OR nv = 0 OR nv IS NULL
+                   OR isnan(nv) OR NOT isfinite(nv) THEN NULL
               ELSE list_transform(embedding::DOUBLE[],
                                   x -> {_q_sql('x / nv')}) END AS qe
   FROM nrm_
@@ -1485,8 +1489,7 @@ qprobe AS MATERIALIZED (SELECT qe AS p FROM qunit WHERE vec_id = 0),
 subs AS MATERIALIZED (
   SELECT vec_id, s.sub,
          CASE WHEN qe IS NULL THEN NULL ELSE qe[{sl}] END AS subvec,
-         (qe IS NOT NULL
-          AND len(list_filter(qe, v -> isnan(v))) = 0) AS ok
+         qe IS NOT NULL AS ok
   FROM qunit CROSS JOIN (SELECT unnest(range(8)) AS sub) s
 ),
 -- vsubs/qprobe_ok: lip only ever sees MATERIALIZED all-finite lists
