@@ -317,7 +317,16 @@ def segment_dedup(
     (pos, segment) structs. Three shuffles total, each on a compact
     key, no window over the whole corpus.
     """
-    toks = F.split(F.trim(F.col(text_col)), " ")
+    # Bind the token array to its own projection BEFORE the per-segment
+    # lambda references it: an expression inlined into a transform
+    # lambda is re-evaluated per OUTPUT element (textprep.
+    # shingles_of_tokens' measured 7x; the r11 PQ adjudication found
+    # the same O(n²) class in quantized_unit), so an unbound split()
+    # here would re-tokenize the document once per segment.
+    docs = docs.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
     seg_at = lambda i: F.array_join(  # noqa: E731
         F.slice(toks, (i - F.lit(1)) * seg_len + F.lit(1), F.lit(seg_len)), " "
@@ -450,8 +459,13 @@ def segment_boilerplate_census(
     equi-join on that hash, and the per-doc fold is one more compact
     groupBy — no corpus-wide window anywhere. bp_ppm is exact
     floor(ppm) on exactly-counted integers."""
-    docs = docs.filter(F.col(text_col).isNotNull())
-    toks = F.split(F.trim(F.col(text_col)), " ")
+    # Same bound-tokens discipline as segment_dedup: an unbound split()
+    # inside the transform lambda would re-tokenize per segment (O(n²)
+    # per doc).
+    docs = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", F.split(F.trim(F.col(text_col)), " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_len)).cast("int")
     seg_at = lambda i: F.array_join(  # noqa: E731
         F.slice(toks, (i - F.lit(1)) * seg_len + F.lit(1), F.lit(seg_len)), " "
