@@ -159,3 +159,64 @@ def test_missing_probe_engine_shape(spark, no_probe_dir):
     assert len(rows) == 4
     assert all(r.cosine is None for r in rows)
     assert [r.vec_id for r in rows] == [1, 2, 3, 4]
+
+
+# --- PQ-family selection-pressure fixtures (r11) -----------------------------
+# The 12-row nasty fixture can't catch shortlist divergence: with fewer
+# corpus rows than the ADC shortlist (50), EVERY vector survives to the
+# exact rerank and encode-path differences are invisible. These
+# fixtures exceed the shortlist so the quantized-grid encode/ADC path
+# actually SELECTS — which is where the pre-fix Inf-element mix of
+# finite and NaN quantized values diverged between engines.
+
+_PQ_KEYS = ["q_sim_pq_topk", "q_sim_ivfpq_topk", "q_sim_ivf_kmeans_topk"]
+
+
+def _selective_rows():
+    import math
+
+    rows = []
+    for i in range(70):  # > shortlist=50
+        # deterministic, grid-separated values in [-1, 1]
+        rows.append(
+            (i, [math.sin(0.1 * i + 0.37 * j) for j in range(8)], i % 5)
+        )
+    rows.append((70, [1.0, 2.0, float("inf"), 4.0, 5.0, 6.0, 7.0, 8.0], 5))
+    rows.append((71, [1.0, float("nan"), 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 5))
+    rows.append((72, [0.0] * 8, 5))
+    rows.append((73, None, 5))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def selective_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("selective_emb"))
+    write_fixture(d, _selective_rows())
+    return d
+
+
+@pytest.mark.parametrize("name", _PQ_KEYS)
+def test_pq_selective_shortlist_parity(spark, selective_dir, name):
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, selective_dir)
+
+
+@pytest.fixture(scope="module")
+def all_garbage_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("garbage_emb"))
+    write_fixture(d, [
+        (0, None, 0),
+        (1, [], 0),
+        (2, [0.0] * 8, 1),
+        (3, [float("nan")] * 8, 1),
+        (4, [float("inf"), 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 2),
+    ])
+    return d
+
+
+@pytest.mark.parametrize("name", _PQ_KEYS)
+def test_pq_all_garbage_corpus_parity(spark, all_garbage_dir, name):
+    """No scorable vector at all: no seeds, no codebooks — both engines
+    must emit the same (degenerate) result rather than erroring."""
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, all_garbage_dir)
