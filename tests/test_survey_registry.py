@@ -50,3 +50,25 @@ def test_registry_size_matches_readme_claim():
     s = specs()
     assert n_keys == len(s), (n_keys, len(s))
     assert n_oracled == sum(1 for v in s.values() if v.oracle is not None)
+
+
+def test_survey_oracle_column_matches_registry():
+    """The ✓/✗ Oracle cell of every §2 table row must agree with
+    whether the registered key actually carries DuckDB SQL — found
+    rotted once (q_stream_watermark_late kept '✗ rows-only' two rounds
+    after gaining its batch-twin hash oracle in r10)."""
+    s = specs()
+    stale = []
+    for line in open(_SURVEY).read().splitlines():
+        m = re.match(r"\| `(q[0-9]*_[a-z0-9_]+)` \|", line)
+        if not m or m.group(1) not in s:
+            continue
+        cells = [c.strip() for c in line.split("|")]
+        cell = next(
+            (c for c in cells if c.startswith(("✓", "✗"))), None
+        )
+        if cell is None:
+            continue
+        if (s[m.group(1)].oracle is not None) != cell.startswith("✓"):
+            stale.append((m.group(1), cell[:40]))
+    assert not stale, f"SURVEY oracle cells disagree with registry: {stale}"
