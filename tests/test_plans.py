@@ -1189,3 +1189,49 @@ def test_dow_hour_partial_distinct(spark):
     plan = _plan(spark, "q_events_dow_hour")
     assert "partial" in plan.lower(), plan
     assert "Join" not in plan, plan
+
+
+def test_quantized_unit_binds_norm_outside_lambda(spark, sf_dir):
+    """The r11 PQ adjudication's two Catalyst pathologies, pinned as
+    plan shapes so they can't silently return:
+    (1) no aggregate() fold may appear INSIDE a lambdafunction body —
+        a nested norm re-evaluates O(dim) per element (O(dim²)/row,
+        measured 10x at dim 64);
+    (2) the norm fold must appear exactly once, as its own projection
+        (a filter over the computed column would re-derive it around
+        the predicate)."""
+    import re
+
+    from database_cloner_spark.llm import similarity as S
+    from database_cloner_spark.sources import load
+
+    unit = S.quantized_unit(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding"
+    )
+    plan = unit._jdf.queryExecution().optimizedPlan().toString()
+    lam_bodies = re.findall(r"lambdafunction\((.*?), lambda", plan)
+    assert lam_bodies, "expected HOF lambdas in the quantized-unit plan"
+    nested = [b[:80] for b in lam_bodies if "aggregate(" in b]
+    assert not nested, f"norm fold nested inside a lambda: {nested}"
+    assert plan.count("aggregate(zip_with") == 1, plan[:1500]
+
+
+def test_pq_codebooks_input_filter_stays_off_computed_column(spark, sf_dir):
+    """scorable() must filter on the RAW column: the whole pq_codebooks
+    input plan may evaluate the quantize lambda at most once per branch
+    (seed + member scans), never re-derived around a Filter over the
+    computed column (measured 0.9s -> 3.3s when it is)."""
+    from database_cloner_spark.llm import similarity as S
+    from database_cloner_spark.sources import load
+
+    embs = load(spark, sf_dir, "embeddings")
+    valid = S.quantized_unit(S.scorable(embs)).select("vec_id", "embedding")
+    plan = valid._jdf.queryExecution().optimizedPlan().toString()
+    # the quantize CASE appears once (single projection); the Filter
+    # node must not contain the quantize clamp constant
+    import re
+
+    filters = re.findall(r"Filter (.*)", plan)
+    assert filters, plan[:800]
+    leaked = [f[:100] for f in filters if "8388608" in f]
+    assert not leaked, f"quantize lambda re-derived inside Filter: {leaked}"
