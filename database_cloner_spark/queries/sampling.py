@@ -535,3 +535,63 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.filter(F.col("rn") <= F.lit(int(min_count))).select(
         "doc_id", "lang"
     )
+
+
+# --- q_sample_temperature: alpha-flattened mixture WEIGHTS ------------------
+
+# Exact replay: sqrt is the one IEEE-correctly-rounded transcendental
+# the engine rules allow; the per-language weight is quantized onto the
+# integer grid (floor(sqrt(n)*2^20 + 0.5)) so the cross-language SUM is
+# an exact float64 integer under any aggregation order, and the ppm
+# share is floor(1e6*q/total + 0.5) — single correctly-rounded ops end
+# to end (the r11 Lloyd-oracle discipline applied to a 1-row reduce).
+_ORACLE_TEMPERATURE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+),
+q AS (
+  SELECT lang, n_docs,
+         FLOOR(sqrt(n_docs::DOUBLE) * 1048576.0 + 0.5) AS qw
+  FROM counts
+),
+tot AS (SELECT SUM(qw) AS t FROM q)
+SELECT lang, n_docs,
+       CAST(FLOOR(1000000.0 * qw / t + 0.5) AS BIGINT) AS weight_ppm
+FROM q, tot
+"""
+
+
+@register("q_sample_temperature", oracle=_ORACLE_TEMPERATURE, tier="X")
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened multilingual sampling WEIGHTS (the XLM-R /
+    mT5 alpha-sampling config step, alpha=0.5): p_lang ∝ n_lang^alpha,
+    emitted as a parts-per-million mixture table a training-data
+    scheduler consumes directly. The companion to q_sample_mixture
+    (which materializes a resampled corpus): this is the artifact you
+    ship to the dataloader instead of moving any data.
+
+    100 TB story: one map-combined hash-agg for per-language counts
+    (shuffle = #languages rows), a 1-row total broadcast back — the
+    corpus is scanned once and only counts ever shuffle. Weights are
+    exact: sqrt is correctly rounded, the quantized-grid weights sum
+    exactly in any order, and the ppm share is one floor-division —
+    bit-identical to the DuckDB replay."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    q = counts.withColumn(
+        "qw",
+        F.floor(
+            F.sqrt(F.col("n_docs").cast("double")) * F.lit(1048576.0)
+            + F.lit(0.5)
+        ).cast("double"),
+    )
+    tot = q.agg(F.sum("qw").alias("t"))
+    return q.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.floor(
+            F.lit(1000000.0) * F.col("qw") / F.col("t") + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("weight_ppm"),
+    )

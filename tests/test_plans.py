@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "q_dq_referential",          # four 1-row totals x 1-row orphan-agg folds
     "q_events_rfm",              # 1-row corpus max-timestamp frame (recency anchor)
     "q_events_paths",            # 1-row path-total frame (ppm denominator)
+    "q_sample_temperature",      # 1-row quantized-weight total frame
 }
 
 SF_DIR = "/root/testdata/sf0.001"
