@@ -375,3 +375,72 @@ def test_mongoexport_scan_is_splittable_ndjson(spark, tmp_path):
     assert df.count() == 500
     # splittability is a reader-option property: multiLine off
     assert df.select("_id").distinct().count() == 500
+
+
+def test_mongoexport_roundtrip_fuzz(spark, tmp_path):
+    """Seeded fuzz: random wrapper payloads (oid hex, signed int64 incl.
+    the edges, canonical negative/pre-epoch millis, arbitrary bytes,
+    unicode scalars) written as extended JSON must decode back to the
+    exact typed values — the encode->decode identity the mongoexport
+    path promises. Deterministic seed; generalizes the hand-built rows
+    in test_mongoexport_decodes_all_wrapper_types."""
+    import base64
+    import json as _json
+    import random
+    from datetime import datetime, timezone
+
+    rng = random.Random(42)
+    rows = []
+    for i in range(60):
+        oid = "".join(rng.choice("0123456789abcdef") for _ in range(24))
+        n = rng.choice(
+            [
+                rng.randint(-(2**63), 2**63 - 1),
+                0,
+                -1,
+                2**63 - 1,
+                -(2**63),
+                9007199254740993,  # > 2^53: must survive as exact int64
+            ]
+        )
+        # keep inside Spark/DuckDB timestamp range but cross the epoch
+        millis = rng.randint(-62135596800000 + 86400000, 253402300799000)
+        blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
+        s = rng.choice(["plain", "", "你好 мир", "a\tb", "q\"uote"])
+        rows.append((i, oid, n, millis, blob, s))
+
+    p = str(tmp_path / "db" / "fuzz.json")
+    _write_lines(
+        p,
+        [
+            _json.dumps(
+                {
+                    "i": i,
+                    "_id": {"$oid": oid},
+                    "n": {"$numberLong": str(n)},
+                    "ts": {"$date": {"$numberLong": str(millis)}},
+                    "blob": {
+                        "$binary": {
+                            "base64": base64.b64encode(blob).decode(),
+                            "subType": "00",
+                        }
+                    },
+                    "s": s,
+                },
+                ensure_ascii=False,
+            )
+            for i, oid, n, millis, blob, s in rows
+        ],
+    )
+    from database_cloner_spark.sources.bson import mongoexport_scan
+
+    got = {r.i: r for r in mongoexport_scan(spark, p).collect()}
+    assert len(got) == 60
+    for i, oid, n, millis, blob, s in rows:
+        r = got[i]
+        assert r._id == oid
+        assert r.n == n, (i, r.n, n)
+        want_ts = datetime.fromtimestamp(millis / 1000, tz=timezone.utc)
+        assert abs((r.ts.replace(tzinfo=timezone.utc) - want_ts).total_seconds()) < 0.001, (i, r.ts, want_ts)
+        assert bytes(r.blob) == blob
+        assert r.s == s
