@@ -355,8 +355,14 @@ def quantized_unit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     tmp = "__qunit_nrm"
     nrm = F.col(tmp)
     qe = F.transform(F.col(vec_col), lambda x: quantize(x / nrm))
+    # nrm.isNull() covers a NULL ELEMENT inside the vector: the norm
+    # fold poisons to NULL, every other disjunct then evaluates NULL and
+    # F.when would treat the whole predicate as false — emitting an
+    # array of NULL elements instead of the documented whole-vector
+    # NULL that the oracle's `nv IS NULL` gate replays (ADVICE r11).
     unscorable = (
         F.col(vec_col).isNull()
+        | nrm.isNull()
         | (nrm == F.lit(0.0))
         | F.isnan(nrm)
         | (nrm == F.lit(float("inf")))

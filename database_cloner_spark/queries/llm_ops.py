@@ -419,6 +419,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SIM_TOPK_PANDAS = """
 WITH q AS (
   SELECT vec_id,
+         embedding AS raw,
          list_transform(embedding, x -> GREATEST(LEAST(
              FLOOR(x::DOUBLE * 1048576.0 + 0.5), 8388608.0), -8388608.0)) AS qe,
          len(embedding) AS d,
@@ -429,14 +430,19 @@ WITH q AS (
 ),
 probe AS MATERIALIZED (
   -- At most ONE probe row, picked deterministically: the engine sorts
-  -- duplicate vec_id=0 rows by embedding (asc, NULLS LAST — DuckDB's
-  -- default) and head()s the first. LEFT JOIN below degrades a MISSING
-  -- probe to all-NULL cosines exactly like the engine's empty-probe
-  -- path (ADVICE r10: the old `FROM q, probe` cross join emptied the
-  -- result instead, and a duplicated vec_id=0 fanned it out).
+  -- duplicate vec_id=0 rows by the RAW embedding (asc, NULLS LAST —
+  -- DuckDB's default) and head()s the first, so this CTE must ORDER BY
+  -- raw too — quantization is non-injective (rounding + ±2^23 clamp),
+  -- and ordering by qe picked a DIFFERENT probe when two raw
+  -- embeddings collide on an early quantized element (ADVICE r11;
+  -- grid-colliding fixture in tests/test_adversarial_embeddings.py).
+  -- LEFT JOIN below degrades a MISSING probe to all-NULL cosines
+  -- exactly like the engine's empty-probe path (ADVICE r10: the old
+  -- `FROM q, probe` cross join emptied the result instead, and a
+  -- duplicated vec_id=0 fanned it out).
   SELECT qe AS p, d AS pd, bad AS pbad, TRUE AS has_probe
   FROM q WHERE vec_id = 0
-  ORDER BY qe LIMIT 1
+  ORDER BY raw ASC NULLS LAST LIMIT 1
 ),
 scored AS (
   SELECT vec_id,
@@ -516,12 +522,18 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine fragment, byte-identical in behavior to
     functions/vector.cosine: ordered double fold (list_inner_product),
-    NULL on empty vectors (len guard) and on zero norms (DuckDB x/0.0
+    NULL on empty vectors (len guard), on zero norms (DuckDB x/0.0
     is NULL, Spark try_divide is NULL) — the q_dedup_embedding parity
-    class."""
+    class — and on vectors containing a NULL ELEMENT (ADVICE r11:
+    Spark's zip_with product poisons the fold to NULL, while DuckDB's
+    list_inner_product ERRORS 'can not contain NULL values'; the
+    list_filter gate keeps the CASE lazy so the error branch is never
+    evaluated — verified against DuckDB 1.0)."""
     lip = "list_inner_product"
     return (
-        f"CASE WHEN len({a}) = 0 OR len({b}) = 0 THEN NULL "
+        f"CASE WHEN len({a}) = 0 OR len({b}) = 0 "
+        f"OR len(list_filter({a}, iv -> iv IS NULL)) > 0 "
+        f"OR len(list_filter({b}, iv -> iv IS NULL)) > 0 THEN NULL "
         f"ELSE {lip}({a}::DOUBLE[], {b}::DOUBLE[]) "
         f"/ (sqrt({lip}({a}::DOUBLE[], {a}::DOUBLE[])) "
         f"* sqrt({lip}({b}::DOUBLE[], {b}::DOUBLE[]))) END"
@@ -621,6 +633,11 @@ cents AS MATERIALIZED (
   WHERE vec_id < 16
     AND len(list_filter(embedding,
                         v -> isnan(v) OR NOT isfinite(v))) = 0
+    -- inner-NULL elements: list_filter DROPS NULL-predicate elements
+    -- (len()=0 would pass) while Spark's exists() returns NULL and the
+    -- engine filter excludes the row — gate them out explicitly
+    -- (ADVICE r11)
+    AND len(list_filter(embedding, v -> v IS NULL)) = 0
 ),
 cell_rank AS (
   SELECT cell_id
@@ -678,6 +695,11 @@ WITH cents AS MATERIALIZED (
   WHERE vec_id < 16
     AND len(list_filter(embedding,
                         v -> isnan(v) OR NOT isfinite(v))) = 0
+    -- inner-NULL elements: list_filter DROPS NULL-predicate elements
+    -- (len()=0 would pass) while Spark's exists() returns NULL and the
+    -- engine filter excludes the row — gate them out explicitly
+    -- (ADVICE r11)
+    AND len(list_filter(embedding, v -> v IS NULL)) = 0
 ),
 assigned AS MATERIALIZED (
   SELECT vec_id, embedding
@@ -763,6 +785,11 @@ kmem AS MATERIALIZED (
   WHERE embedding IS NOT NULL
     AND len(list_filter(embedding,
                         v -> isnan(v) OR NOT isfinite(v))) = 0
+    -- inner-NULL elements: list_filter DROPS NULL-predicate elements
+    -- (len()=0 would pass) while Spark's exists() returns NULL and the
+    -- engine filter excludes the row — gate them out explicitly
+    -- (ADVICE r11)
+    AND len(list_filter(embedding, v -> v IS NULL)) = 0
 ),
 cents0 AS MATERIALIZED (
   SELECT vec_id AS cell_id, embedding AS centroid
@@ -1466,9 +1493,14 @@ cand_ids AS (
 WITH nrm_ AS (
   -- IS NULL guard: DuckDB 1.0's list_inner_product rejects a NULL
   -- list even inside a projection over the base table (the r10
-  -- MATERIALIZED lesson's flat-scan sibling)
+  -- MATERIALIZED lesson's flat-scan sibling). The inner-NULL-element
+  -- guard mirrors it (lip errors 'can not contain NULL values'); the
+  -- engine's norm fold poisons to NULL for the same rows, so both
+  -- sides gate them unscorable in qunit (ADVICE r11).
   SELECT vec_id, embedding,
-         CASE WHEN embedding IS NULL THEN NULL
+         CASE WHEN embedding IS NULL
+                   OR len(list_filter(embedding, iv -> iv IS NULL)) > 0
+              THEN NULL
               ELSE sqrt(list_inner_product(embedding::DOUBLE[],
                                            embedding::DOUBLE[])) END AS nv
   FROM embeddings

@@ -148,10 +148,23 @@ def load_collection_json(
 # clone_databases.sh:810,:817-818 (the mongodump/mongorestore path this
 # makes executable without a BSON decoder dependency).
 
-# Relaxed-mode $date pattern: what Spark's own writers emit for UTC and
-# what this module's export fixtures use. try_to_timestamp degrades a
-# drifted/garbage date to NULL instead of failing the scan under ANSI.
+# Relaxed-mode $date pattern: what this module's WRITER emits (UTC
+# millis, the mongoexport default). The DECODER is deliberately wider
+# (_decode_date): real-world relaxed dates can omit millis
+# ('...:45Z'), carry microsecond precision, or use numeric offsets
+# ('+02:00') — ADVICE r11 — so decoding coalesces the exact fast-path
+# pattern with Spark's ISO-8601 string->timestamp cast, which accepts
+# optional fractional seconds and any zone designator. try_cast/
+# try_to_timestamp degrade a drifted/garbage date to NULL instead of
+# failing the scan under ANSI.
 MONGO_DATE_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+
+
+def _decode_date(c: Column) -> Column:
+    return F.coalesce(
+        F.try_to_timestamp(c, F.lit(MONGO_DATE_FMT)),
+        c.try_cast("timestamp"),
+    )
 
 
 def _decode_field(name: str, dtype: T.DataType) -> Column:
@@ -176,9 +189,7 @@ def _decode_field(name: str, dtype: T.DataType) -> Column:
                 .try_cast("bigint")
             )
             return F.timestamp_millis(millis).alias(name)
-        return F.try_to_timestamp(
-            col.getField("$date"), F.lit(MONGO_DATE_FMT)
-        ).alias(name)
+        return _decode_date(col.getField("$date")).alias(name)
     if fields == {"$binary"}:
         inner = dtype["$binary"].dataType
         if isinstance(inner, T.StructType) and "base64" in inner.fieldNames():

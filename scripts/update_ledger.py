@@ -22,6 +22,12 @@ and the registry rotation re-queues it ahead of unchanged green keys
 (VERDICT r10 item 3). scripts/backfill_ledger_sigs.py reconstructed
 the historical sigs from round-boundary commits once.
 
+The merge-before-edits convention is ENFORCED since round 12 (ADVICE
+r11): if the source tree is dirty at merge time, keys implemented in a
+dirty module get NO sig (plus a warning) — a sig-less entry is treated
+as edited by the rotation, so running the merge late can only cause
+extra re-verification, never stamp unverified source as green.
+
 The registry orders (a) never-verified keys and (b) keys whose ledger
 entry is rows-only but that NOW carry an oracle (an upgrade that must
 earn a fresh hash row) FIRST, then edited-since-green keys, then all
@@ -42,11 +48,15 @@ import os
 import re
 import sys
 
-LEDGER = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "database_cloner_spark",
-    "driver_ledger.json",
-)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# `python scripts/update_ledger.py` puts scripts/ (not the repo root) on
+# sys.path, which made the registry import inside _current_sig fail
+# SILENTLY (the broad except) and merge every entry sig-less — caught by
+# test_every_current_ledger_entry_carries_a_sig in round 12.
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+LEDGER = os.path.join(_REPO, "database_cloner_spark", "driver_ledger.json")
 
 
 def load_ledger(path: str = LEDGER) -> dict[str, dict]:
@@ -68,14 +78,51 @@ def _round_of(path: str) -> int:
     return int(m.group(1)) if m else 0
 
 
-def _current_sig(key: str) -> str | None:
-    """Signature of the key's CURRENT builder+oracle source — valid as
-    the verified-code signature only when this script runs before any
-    round-N+1 edits (the documented round-start convention). None for
-    keys no longer registered (renamed/removed)."""
-    try:
-        from database_cloner_spark.registry import content_sig
+def _dirty_source_files() -> set[str]:
+    """Absolute paths of tracked source files with uncommitted changes.
+    The round-start convention says this script runs BEFORE any
+    round-N+1 edits; a dirty source tree means the code on disk may no
+    longer be what the driver verified, so sigs derived from it would
+    stamp unverified source as green-as-written (ADVICE r11). Keys
+    whose own module is dirty get NO sig — the rotation then treats
+    them as edited (maximally re-verifiable), the safe direction."""
+    import subprocess
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        out = subprocess.run(
+            ["git", "status", "--porcelain", "--",
+             "database_cloner_spark", "__spark_entry__.py"],
+            cwd=repo, capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        return set()
+    paths = set()
+    for line in out.splitlines():
+        # porcelain: XY <path> (or XY <old> -> <new> for renames)
+        p = line[3:].split(" -> ")[-1].strip().strip('"')
+        if p.endswith(".py"):
+            paths.add(os.path.join(repo, p))
+    return paths
+
+
+def _current_sig(key: str, dirty: set[str] | None = None) -> str | None:
+    """Signature of the key's CURRENT builder+oracle source — valid as
+    the verified-code signature only while the key's module is
+    unedited since the round boundary. None for keys no longer
+    registered (renamed/removed) and for keys whose implementing
+    module is DIRTY at merge time (see _dirty_source_files)."""
+    try:
+        import inspect
+
+        from database_cloner_spark.registry import content_sig, specs
+
+        if dirty:
+            spec = specs().get(key)
+            if spec is not None:
+                f = os.path.abspath(inspect.getfile(spec.builder))
+                if f in dirty:
+                    return None
         return content_sig(key)
     except Exception:
         return None
@@ -85,6 +132,8 @@ def main(paths: list[str]) -> None:
     # read the module attribute at CALL time (a def-time default would
     # freeze the original path and defeat test monkeypatching)
     ledger = load_ledger(LEDGER)
+    dirty = _dirty_source_files()
+    skipped_sigs: list[str] = []
     for path in paths:
         rnd = _round_of(path)
         with open(path) as f:
@@ -107,14 +156,24 @@ def main(paths: list[str]) -> None:
             prev = ledger.get(key)
             if prev is None or rnd >= prev["round"]:
                 entry = {"round": rnd, "mode": mode}
-                sig = _current_sig(key)
+                sig = _current_sig(key, dirty)
                 if sig is not None:
                     entry["sig"] = sig
+                elif dirty:
+                    skipped_sigs.append(key)
                 ledger[key] = entry
     with open(LEDGER, "w") as f:
         json.dump(dict(sorted(ledger.items())), f, indent=0)
         f.write("\n")
     n_hash = sum(1 for v in ledger.values() if v["mode"] == "hash")
+    if skipped_sigs:
+        print(
+            "WARNING: worktree dirty at merge time — the round-start "
+            "convention is merge-before-edits. Sigs omitted for "
+            f"{len(skipped_sigs)} keys in dirty modules (they will "
+            f"re-verify as if edited): {', '.join(sorted(skipped_sigs)[:8])}"
+            f"{' ...' if len(skipped_sigs) > 8 else ''}"
+        )
     print(
         f"ledger: {len(ledger)} driver-green keys "
         f"({n_hash} hash, {len(ledger) - n_hash} rows-only) -> {LEDGER}"

@@ -123,6 +123,26 @@ _DUP_PROBE_VECS = [
     (3, [0.0] * _DIM, 2),
 ]
 
+# vec 0 duplicated with GRID-COLLIDING embeddings (ADVICE r11): the
+# raw order and the quantized order DISAGREE, so an oracle that sorts
+# probe candidates by the quantized list picks a different probe than
+# the engine's raw-embedding sort. Two collision classes:
+#   rounding: 1.0 and 1.0+2^-22 both quantize to floor(x*2^20+0.5) =
+#     1048576, but raw-min row carries the LARGER second element;
+#   clamp: 9.0 and 10.0 both clamp to +2^23, again with the raw-min
+#     row larger on the tie-break element.
+# Raw min = [1.0, 3.0, ...]; quantized min would be [1.0+2^-22, 2.0,
+# ...]. All values are float32-exact (2^-22 needs 22 fraction bits).
+_DUP_PROBE_COLLIDE_VECS = [
+    (0, [1.0, 3.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (0, [1.0 + 2.0**-22, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (0, [9.0, 5.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (0, [10.0, 1.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 1),
+    (2, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 1),
+    (3, [0.0] * _DIM, 2),
+]
+
 _PROBE_EDGE_KEYS = ["q_sim_topk", "q_sim_topk_pandas"]
 
 
@@ -150,6 +170,24 @@ def test_missing_probe_parity(spark, no_probe_dir, name):
 def test_duplicate_probe_parity(spark, dup_probe_dir, name):
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, dup_probe_dir)
+
+
+@pytest.fixture(scope="module")
+def dup_probe_collide_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup_probe_collide_emb"))
+    write_fixture(d, _DUP_PROBE_COLLIDE_VECS)
+    return d
+
+
+@pytest.mark.parametrize("name", _PROBE_EDGE_KEYS)
+def test_duplicate_probe_grid_collision_parity(
+    spark, dup_probe_collide_dir, name
+):
+    """Quantize-colliding duplicate probes: raw order != quantized
+    order, so both sides must sort candidates by the RAW embedding
+    (ADVICE r11)."""
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, dup_probe_collide_dir)
 
 
 def test_missing_probe_engine_shape(spark, no_probe_dir):
@@ -185,6 +223,11 @@ def _selective_rows():
     rows.append((71, [1.0, float("nan"), 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 5))
     rows.append((72, [0.0] * 8, 5))
     rows.append((73, None, 5))
+    # inner-NULL element (ADVICE r11): the engine's norm/exists folds
+    # poison to NULL (row unscorable / not a member) while DuckDB's
+    # list_filter DROPS NULL-predicate elements — both sides must gate
+    # it explicitly.
+    rows.append((74, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 5))
     return rows
 
 
@@ -210,6 +253,7 @@ def all_garbage_dir(tmp_path_factory):
         (2, [0.0] * 8, 1),
         (3, [float("nan")] * 8, 1),
         (4, [float("inf"), 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 2),
+        (5, [1.0, None, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0], 2),
     ])
     return d
 
@@ -220,3 +264,46 @@ def test_pq_all_garbage_corpus_parity(spark, all_garbage_dir, name):
     must emit the same (degenerate) result rather than erroring."""
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, all_garbage_dir)
+
+
+# --- inner-NULL-element fixtures (ADVICE r11) --------------------------------
+# A vector like [1.0, NULL, 3.0, ...] splits engine/oracle behavior in
+# two places unless both gate it explicitly: (a) membership/seeding —
+# Spark's exists() predicate returns NULL so the filter DROPS the row,
+# while DuckDB's list_filter drops NULL-predicate elements so a
+# len()=0 finite check PASSES it; (b) scoring — Spark's zip_with fold
+# poisons to NULL while DuckDB's list_inner_product ERRORS outright.
+# These keys' oracles all carry the explicit gates; the fixture places
+# the inner-NULL row inside the seed range (vec_id < 16) so it
+# competes for seeding, membership, AND scoring on both sides.
+
+_INNER_NULL_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (1, [2.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (2, [1.0, None, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 1),  # inner NULL, seed range
+    (3, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 1),
+    (4, [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0], 2),
+    (5, [None] * _DIM, 2),  # every element NULL
+    (6, [-1.0, -2.0, -3.0, -4.0, -5.0, -6.0, -7.0, -8.0], 3),
+]
+
+_INNER_NULL_KEYS = [
+    "q_sim_ivf_topk",
+    "q_sim_ivf_kmeans_topk",
+    "q_dedup_embedding_bucketed",
+    "q_sim_pq_topk",
+    "q_sim_ivfpq_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def inner_null_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("inner_null_emb"))
+    write_fixture(d, _INNER_NULL_VECS)
+    return d
+
+
+@pytest.mark.parametrize("name", _INNER_NULL_KEYS)
+def test_inner_null_element_parity(spark, inner_null_dir, name):
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, inner_null_dir)

@@ -108,6 +108,8 @@ def test_registry_migrates_legacy_dict_ledger(monkeypatch, tmp_path):
 def test_merge_records_content_sig_for_registered_keys(tmp_path, monkeypatch):
     from database_cloner_spark import registry
 
+    # decouple from whatever happens to be dirty in the dev tree
+    monkeypatch.setattr(update_ledger, "_dirty_source_files", lambda: set())
     led = _run_merge(
         tmp_path, monkeypatch, None,
         [("CORRECTNESS_r11.json",
@@ -116,6 +118,38 @@ def test_merge_records_content_sig_for_registered_keys(tmp_path, monkeypatch):
     )
     assert led["q_scan_full"]["sig"] == registry.content_sig("q_scan_full")
     assert "sig" not in led["q_not_registered"]
+
+
+def test_dirty_module_key_gets_no_sig(tmp_path, monkeypatch):
+    """ADVICE r11: merging with uncommitted edits in a key's module
+    must NOT stamp the (unverified) edited source as green-as-written —
+    the entry stays sig-less, which the rotation treats as edited."""
+    import inspect
+
+    from database_cloner_spark import registry
+
+    spec = registry.specs()["q_scan_full"]
+    dirty_file = os.path.abspath(inspect.getfile(spec.builder))
+    monkeypatch.setattr(
+        update_ledger, "_dirty_source_files", lambda: {dirty_file}
+    )
+    led = _run_merge(
+        tmp_path, monkeypatch, None,
+        [("CORRECTNESS_r11.json", {"q_scan_full": {"hash_match": True}})],
+    )
+    assert led["q_scan_full"]["round"] == 11
+    assert "sig" not in led["q_scan_full"]
+
+
+def test_clean_tree_merge_still_records_sig(tmp_path, monkeypatch):
+    monkeypatch.setattr(update_ledger, "_dirty_source_files", lambda: set())
+    from database_cloner_spark import registry
+
+    led = _run_merge(
+        tmp_path, monkeypatch, None,
+        [("CORRECTNESS_r11.json", {"q_scan_full": {"hash_match": True}})],
+    )
+    assert led["q_scan_full"]["sig"] == registry.content_sig("q_scan_full")
 
 
 def test_rotation_puts_edited_green_keys_ahead_of_unchanged(tmp_path, monkeypatch):

@@ -325,6 +325,30 @@ def test_mongoexport_decodes_all_wrapper_types(spark, tmp_path):
     assert dt["n"] == "bigint" and dt["blob"] == "binary"
 
 
+def test_mongoexport_decodes_external_date_variants(spark, tmp_path):
+    """Real-world relaxed $date strings beyond the writer's own format
+    (ADVICE r11): no millis, microsecond precision, numeric UTC
+    offsets — all must decode to the correct instant; garbage still
+    degrades to NULL rather than failing the scan."""
+    from database_cloner_spark.sources.bson import mongoexport_scan
+
+    p = str(tmp_path / "db" / "dates.json")
+    _write_lines(p, [
+        '{"k": 1, "ts": {"$date": "2024-03-01T12:30:45Z"}}',
+        '{"k": 2, "ts": {"$date": "2024-03-01T12:30:45.123456Z"}}',
+        '{"k": 3, "ts": {"$date": "2024-03-01T14:30:45.250+02:00"}}',
+        '{"k": 4, "ts": {"$date": "2024-03-01T12:30:45.250Z"}}',
+        '{"k": 5, "ts": {"$date": "not-a-date"}}',
+    ])
+    rows = {r.k: r.ts for r in mongoexport_scan(spark, p).collect()}
+    assert rows[1].isoformat() == "2024-03-01T12:30:45"
+    assert rows[2].isoformat() == "2024-03-01T12:30:45.123456"
+    # +02:00 offset normalizes to the same UTC instant as k=4
+    assert rows[3] == rows[4]
+    assert rows[4].isoformat() == "2024-03-01T12:30:45.250000"
+    assert rows[5] is None
+
+
 def test_mongoexport_routes_corrupt_lines_permissively(spark, tmp_path):
     """A malformed line lands in _corrupt_record with NULL typed fields
     instead of failing the scan (the 100 TB posture of sources/json.py);
