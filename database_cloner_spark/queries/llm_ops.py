@@ -1387,25 +1387,126 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load(spark, sf_dir, "documents"))
 
 
-@register("q_pack_bins", oracle=None, tier="X")
+# Full FFD replay as a DuckDB RECURSIVE CTE (VERDICT r11 item 4; the
+# q_ts_holt recursive-CTE precedent): per Knuth shard, docs in
+# (n_tokens DESC, doc_id ASC) order thread a bin-state LIST through the
+# recursion — `rem` holds each open bin's remaining capacity (-1
+# sentinel for dedicated oversize bins, so a 0-token doc can never
+# first-fit into one), `used` the running bin totals. First-fit =
+# NULLIF(list_position(rem >= n), 0) — DuckDB's list_position returns 0
+# on miss, not NULL. `ordered` is MATERIALIZED: a plain CTE re-runs the
+# tokenizer regex over the whole corpus EVERY recursion step (measured
+# minutes -> 0.9s at 500 docs). Ties on (n_tokens, doc_id) are
+# interchangeable (identical rows produce identical bin states), so the
+# engine's pandas stable sort and this ROW_NUMBER agree on the output
+# MULTISET even when the within-tie order differs.
+_ORACLE_PACK_BINS = f"""
+WITH RECURSIVE raw AS (
+  SELECT doc_id,
+         {n_tokens_sql()} AS n_tokens,
+         ((doc_id % 4294967296) + 4294967296) % 4294967296 AS x
+  FROM documents
+),
+ordered AS MATERIALIZED (
+  SELECT shard, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY n_tokens DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, n_tokens,
+           ((2654435761 * (x % 65536)
+             + (2654435761 * (x // 65536)) % 65536 * 65536) % 4294967296) % 8
+             AS shard
+    FROM raw
+  )
+),
+ffd AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         n_tokens > 512 AS oversize,
+         0::BIGINT AS bin_idx,
+         CASE WHEN n_tokens > 512 THEN [(-1)::BIGINT]
+              ELSE [512 - n_tokens] END AS rem,
+         [n_tokens] AS used
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         o.n_tokens > 512 AS oversize,
+         (CASE WHEN o.n_tokens > 512 OR l.fit IS NULL THEN len(f.rem)
+              ELSE l.fit - 1 END)::BIGINT AS bin_idx,
+         CASE WHEN o.n_tokens > 512 THEN list_append(f.rem, (-1)::BIGINT)
+              WHEN l.fit IS NULL THEN list_append(f.rem, 512 - o.n_tokens)
+              ELSE f.rem[1:l.fit-1] || [f.rem[l.fit] - o.n_tokens]
+                   || f.rem[l.fit+1:] END AS rem,
+         CASE WHEN o.n_tokens > 512 OR l.fit IS NULL
+                   THEN list_append(f.used, o.n_tokens)
+              ELSE f.used[1:l.fit-1] || [f.used[l.fit] + o.n_tokens]
+                   || f.used[l.fit+1:] END AS used
+  FROM ffd f
+  JOIN ordered o ON o.shard = f.shard AND o.rn = f.rn + 1
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN o.n_tokens > 512 THEN NULL
+                ELSE NULLIF(list_position(
+                       list_transform(f.rem, r -> r >= o.n_tokens), true), 0)
+           END AS fit) l
+),
+final AS (
+  SELECT shard, used FROM ffd f
+  WHERE rn = (SELECT MAX(rn) FROM ordered o WHERE o.shard = f.shard)
+),
+bins AS (
+  SELECT shard,
+         unnest(range(len(used)))::BIGINT AS bidx,
+         unnest(used) AS bin_used
+  FROM final
+)
+SELECT a.doc_id, a.n_tokens, a.shard,
+       a.shard * 1000000 + a.bin_idx AS bin_id,
+       b.bin_used, a.oversize
+FROM ffd a JOIN bins b ON a.shard = b.shard AND a.bin_idx = b.bidx
+"""
+
+
+@register("q_pack_bins", oracle=_ORACLE_PACK_BINS, tier="X")
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whole-document first-fit-decreasing bin packing into 512-token
     bins (no-truncation packing for SFT/eval payloads), shard-parallel
-    applyInPandas. Rows-only at the driver (sequential greedy bin state
-    is not SQL-expressible); coverage / capacity / FFD-bound /
-    determinism pinned in tests/test_llm.py."""
+    applyInPandas. FULL hash oracle since round 12 (VERDICT r11 item
+    4): the FFD fold is deterministic given the Knuth-shard order, so a
+    DuckDB recursive CTE replays the whole greedy bin state. Coverage /
+    capacity / FFD-bound / determinism stay pinned in tests/test_llm.py."""
     from database_cloner_spark.llm.packing import pack_bins
 
     return pack_bins(load(spark, sf_dir, "documents"))
 
 
-@register("q_scan_binary", oracle=None, tier="X")
+# The (file_name, n_bytes, content_hash) projection over a DuckDB
+# read_blob of the same files (VERDICT r11 item 4). DuckDB table
+# functions accept only CONSTANT arguments (no parameterization, no
+# subqueries — verified against 1.0), so the glob pins the driver's
+# correctness tree (TESTDATA.md: every driver comparison runs at
+# /root/testdata/sf0.01). The ENGINE side stays fully
+# path-parameterized; local parity runs at sf0.01
+# (tests/test_oracle_parity.py) and other paths keep the os.stat
+# ground-truth test (tests/test_sources.py).
+_ORACLE_SCAN_BINARY = """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       size AS n_bytes,
+       md5(hex(content)) AS content_hash
+FROM read_blob('/root/testdata/sf0.01/*.parquet')
+ORDER BY file_name
+"""
+
+
+@register("q_scan_binary", oracle=_ORACLE_SCAN_BINARY, tier="X")
 def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque-file ingestion (binaryFile source) over the sf_dir's
     parquet files: location-independent manifest of (file_name,
-    n_bytes, content_hash). Rows-only at the driver (the static oracle
-    SQL cannot parameterize file paths); byte lengths are asserted
-    against os.stat ground truth in tests/test_sources.py."""
+    n_bytes, content_hash). FULL hash oracle since round 12 (VERDICT
+    r11 item 4): the manifest hash is md5-over-hex (the one blob
+    fingerprint both engines express — sources/binary.py), and the
+    oracle read_blob()s the driver's sf0.01 tree (table-function args
+    must be constants; the engine stays path-parameterized). Byte
+    lengths additionally asserted against os.stat ground truth in
+    tests/test_sources.py."""
     from database_cloner_spark.sources.binary import binary_manifest
 
     return binary_manifest(spark, sf_dir)

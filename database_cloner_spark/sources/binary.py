@@ -40,15 +40,24 @@ def binary_manifest(
 ) -> DataFrame:
     """Stable per-file manifest: basename, byte length, content hash.
     Drops path prefixes and mtimes so output is location-independent;
-    the hash is computed distributed (xxhash64 over the binary column),
-    one file per task."""
+    the hash is computed distributed, one file per task.
+
+    The hash is md5 over the HEX encoding of the bytes — collision-
+    equivalent to md5 of the raw bytes, and the only blob-fingerprint
+    form both engines express identically: Spark's md5 takes binary
+    directly, but DuckDB 1.0 has no md5/sha over BLOB (its blob->
+    varchar cast escapes non-printable bytes, changing the digest),
+    while hex() round-trips bit-exactly on both (VERDICT r11 item 4 —
+    this is what let q_scan_binary graduate from rows-only)."""
     df = load_binary(spark, sf_dir, glob)
     base = F.element_at(F.split(F.col("path"), "/"), -1)
     return (
         df.select(
             base.alias("file_name"),
             F.col("length").alias("n_bytes"),
-            F.xxhash64("content").alias("content_hash"),
+            F.md5(F.hex(F.col("content")).cast("binary")).alias(
+                "content_hash"
+            ),
         )
         .orderBy("file_name")
     )

@@ -66,7 +66,18 @@ def test_leftover_inventory_contains_catalog_scan():
     assert "q_scan_catalog" in _KEYS, _KEYS
 
 
+_EXEMPT: dict[str, str] = {
+    # DuckDB table functions only take CONSTANT args, so this oracle's
+    # read_blob pins the driver's sf0.01 tree and cannot follow a
+    # fixture dir; parity runs at sf0.01 (test_oracle_parity), byte
+    # truth at arbitrary dirs via os.stat (test_sources).
+    "q_scan_binary": "path-pinned read_blob oracle (constant-arg only)",
+}
+
+
 @pytest.mark.parametrize("name", _KEYS)
 def test_adversarial_parity(spark, nasty_dir, name):
+    if name in _EXEMPT:
+        pytest.skip(_EXEMPT[name])
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, nasty_dir)

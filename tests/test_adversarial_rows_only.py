@@ -50,13 +50,12 @@ def test_rows_only_inventory():
     # and q_rand_string (portable MINSTD mixer) later the same round.
     # Round 11 graduated the whole Lloyd family — q_sim_pq_topk /
     # q_sim_ivfpq_topk / q_sim_ivf_kmeans_topk — by re-basing means
-    # onto the exact integer grid (VERDICT r10 item 4). What remains is
-    # irreducible: sequential greedy bin state (q_pack_bins),
-    # path-parameterized binary scans (q_scan_binary), and the
-    # deliberate Python-UDF password surface (q_udf_password).
-    assert sorted(_ROWS_ONLY) == [
-        "q_pack_bins", "q_scan_binary", "q_udf_password"
-    ], _ROWS_ONLY
+    # onto the exact integer grid (VERDICT r10 item 4). Round 12
+    # graduated q_pack_bins (recursive-CTE FFD replay) and
+    # q_scan_binary (read_blob + md5-over-hex manifest), VERDICT r11
+    # item 4. What remains is irreducible BY DESIGN: the deliberate
+    # Python-UDF password surface (q_udf_password).
+    assert sorted(_ROWS_ONLY) == ["q_udf_password"], _ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
