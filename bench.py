@@ -159,6 +159,84 @@ def main() -> None:
     if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
         sweep = sweep_all(sf_dir, set(timings), errors)
 
+    # Band-aware adjudication (VERDICT r11 item 2): run 37 shipped
+    # q_sim_topk_multi at 36.8s against a 0.35-0.95s recorded band —
+    # box noise masquerading as a 40x regression. Every key whose figure
+    # exceeds 3x its recorded quiet-band ceiling (BENCH_BANDS.json,
+    # regenerated per round from quiet-box runs via
+    # scripts/gen_bench_bands.py) is re-measured best-of-3 in a FRESH
+    # isolated process (scripts/isolated_bench.py — own JVM, per-key
+    # warm pass) before the artifact is written; the reported figure is
+    # the min of both, and the adjudication is recorded either way.
+    bands: dict[str, dict] = {}
+    bands_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BANDS.json"
+    )
+    try:
+        with open(bands_path) as fh:
+            raw_bands = json.load(fh)
+        if raw_bands.get("_meta", {}).get("sf") == sf:
+            bands = {k: v for k, v in raw_bands.items() if k != "_meta"}
+    except (OSError, ValueError):
+        pass
+
+    out_of_band: dict[str, dict] = {}
+    if bands and not os.environ.get("SPARK_GRAFT_SKIP_BAND_CHECK"):
+        def _over(t: float, hi: float) -> bool:
+            return t > 1.0 and t > 3.0 * hi
+
+        flagged = sorted(
+            name
+            for src in (timings, sweep)
+            for name, t in src.items()
+            if name in bands and _over(t, bands[name]["hi"])
+        )
+        if flagged:
+            import subprocess
+
+            iso: dict[str, dict] = {}
+            try:
+                proc = subprocess.run(
+                    [
+                        sys.executable,
+                        os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "scripts",
+                            "isolated_bench.py",
+                        ),
+                        sf_dir,
+                        *flagged,
+                    ],
+                    capture_output=True,
+                    text=True,
+                    timeout=600 + 120 * len(flagged),
+                    env={**os.environ, "SPARK_GRAFT_ISOLATED_PASSES": "3"},
+                )
+                iso = json.loads(
+                    proc.stdout.strip().splitlines()[-1]
+                ).get("isolated", {})
+            except Exception as exc:  # noqa: BLE001 — keep sweep figures
+                errors["__band_remeasure__"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+            for name in flagged:
+                src = timings if name in timings else sweep
+                entry = {
+                    "sweep": src[name],
+                    "band_hi": bands[name]["hi"],
+                }
+                if name in iso:
+                    entry["isolated"] = iso[name]["best"]
+                    src[name] = round(min(src[name], iso[name]["best"]), 4)
+                    entry["still_over"] = _over(
+                        src[name], bands[name]["hi"]
+                    )
+                out_of_band[name] = entry
+            # the gate figure must carry the adjudicated minima
+            total = (
+                None if headline_errs else round(sum(timings.values()), 4)
+            )
+
     # Second-scale sweep (VERDICT r5 #7): the ROUND-tie and AQE-coalescing
     # pathologies were only ever caught by running the SAME plans at a
     # different sf — plan flips (broadcast<->SMJ, coalesce collapse) are
@@ -389,6 +467,29 @@ def main() -> None:
                 else 0,
                 "cdc_chunks_touched": len(rep["touched"]),
             }
+            # Second point (VERDICT r11 item 5): the small batch above is
+            # micro-batch-latency-bound (fixed job-submission + commit
+            # cost dominates ~3k changes), so changes/s at ONE size says
+            # nothing about the scaling term. This batch is ~10x the
+            # changes but key-filtered to chunk-hash < 16, so it touches
+            # only 16 of 64 chunks — cost ∝ chunks touched, measured.
+            chunk_h = F.pmod(F.xxhash64("o_orderkey"), F.lit(64))
+            big = (
+                orders.filter(chunk_h < 16)
+                .withColumn("o_totalprice", F.col("o_totalprice") + 2)
+                .withColumn("op", F.lit("upsert"))
+                .withColumn("seq", F.lit(3).cast("bigint"))
+            )
+            n_big = big.count()
+            t0 = time.perf_counter()
+            rep_big = apply_cdc_batch(big, tgt, "o_orderkey")
+            sec_big = time.perf_counter() - t0
+            cdc["cdc_large_batch_changes"] = n_big
+            cdc["cdc_large_batch_sec"] = round(sec_big, 4)
+            cdc["cdc_large_changes_per_sec"] = (
+                round(n_big / sec_big) if sec_big > 0 else 0
+            )
+            cdc["cdc_large_chunks_touched"] = len(rep_big["touched"])
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
     except Exception as exc:  # noqa: BLE001
@@ -469,6 +570,8 @@ def main() -> None:
                 "incremental_resync": resync,
                 "cdc_apply": cdc,
                 "scale_modes": scale_modes,
+                "out_of_band_remeasured": out_of_band,
+                "bands_file": bool(bands),
             },
             fh,
             indent=1,
@@ -495,8 +598,23 @@ def main() -> None:
                 "clone_rows_per_sec": clone_rps,
                 "resync_rows_per_sec": resync.get("resync_rows_per_sec"),
                 "cdc_changes_per_sec": cdc.get("cdc_changes_per_sec"),
+                "cdc_large_changes_per_sec": cdc.get(
+                    "cdc_large_changes_per_sec"
+                ),
                 "n_errors": len(errors),
                 "n_scale_flags": len(scale_flags),
+                # band adjudication summary (VERDICT r11 item 2): every
+                # re-measured key, with its still-over verdict — a
+                # reader of BENCH_r{N}.json alone sees which figures
+                # were box noise vs genuine
+                "out_of_band": {
+                    k: {
+                        "sweep": v["sweep"],
+                        "isolated": v.get("isolated"),
+                        "genuine": v.get("still_over", True),
+                    }
+                    for k, v in out_of_band.items()
+                },
                 "run": run_stamp["seq"],
                 "detail": "BENCH_DETAIL.json",
             }

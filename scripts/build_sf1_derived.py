@@ -1,0 +1,125 @@
+"""Build the derived ~sf1 fixture: the sf0.1 tables unioned 10x with
+key-shifted copies (VERDICT r11 item 1 — /root/testdata is read-only,
+so the decade jump is DERIVED into scratch space).
+
+Per-copy transforms (copy 0 is the untouched original):
+- every table-local key (custkey, suppkey, partkey, orderkey, event_id,
+  user_id, doc_id, vec_id) shifts by copy * 10_000_000, consistently
+  across fact/dim references, so referential integrity holds WITHIN a
+  copy and key cardinality scales 10x (no artificial hot keys);
+- region/nation stay 1x (dimensions don't grow with fact data);
+- document text passes through a per-copy rotation cipher over ASCII
+  letters (length-preserving, token-structure-preserving) so copies of
+  a doc are NOT near-duplicates of each other — dedup keys scale with
+  data volume, not with a fabricated 10-way duplicate explosion.
+  CAVEAT: non-Latin scripts pass through untouched, so multilingual
+  docs retain cross-copy exact/near dups — a realistic trait of grown
+  corpora; annotate any key it inflates rather than "fixing" the data;
+- embeddings rotate element-wise by the copy index (norm-preserving,
+  decorrelates copies so ANN cells and near-dup buckets don't collapse
+  into 10-deep stacks of identical vectors);
+- timestamps/values/props are untouched: 10x density over the same
+  calendar window, which is how real volume growth looks.
+
+Output is one parquet file per table (the testdata layout). DuckDB
+writes MICROS timestamps where the originals are NANOS; the engine
+loader reads both (sources/parquet.py).
+
+Usage: python scripts/build_sf1_derived.py [out_dir]
+       (default /tmp/dcs_sf1_derived; source fixed at sf0.1)
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+SHIFT = 10_000_000
+
+LOWER = string.ascii_lowercase
+UPPER = string.ascii_uppercase
+
+
+def _rot(s: str, i: int) -> str:
+    return s[i:] + s[:i]
+
+
+def _text_expr(i: int) -> str:
+    if i == 0:
+        return "text"
+    return (
+        f"translate(text, '{LOWER}{UPPER}', "
+        f"'{_rot(LOWER, i)}{_rot(UPPER, i)}')"
+    )
+
+
+def _emb_expr(i: int) -> str:
+    if i == 0:
+        return "embedding"
+    # rotate-left by i: norm-preserving, deterministic, decorrelating
+    return f"(embedding[{i + 1}:] || embedding[1:{i}])"
+
+
+# table -> (shifted key columns, extra per-copy select overrides)
+PLAN = {
+    "customer": (["c_custkey"], {}),
+    "supplier": (["s_suppkey"], {}),
+    "part": (["p_partkey"], {}),
+    "orders": (["o_orderkey", "o_custkey"], {}),
+    "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], {}),
+    "events": (["event_id", "user_id"], {}),
+    "documents": (["doc_id"], {"text": _text_expr}),
+    "embeddings": (["vec_id"], {"embedding": _emb_expr}),
+}
+COPY_ONCE = ("region", "nation")
+
+
+def main(out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    for t in COPY_ONCE:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"{t}: 1x copied")
+    for t, (keys, overrides) in PLAN.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        selects = []
+        for i in range(COPIES):
+            parts = []
+            for c in cols:
+                if c in keys:
+                    parts.append(f"{c} + {i * SHIFT} AS {c}")
+                elif c in overrides:
+                    parts.append(f"{overrides[c](i)} AS {c}")
+                else:
+                    parts.append(c)
+            selects.append(
+                f"SELECT {', '.join(parts)} "
+                f"FROM read_parquet('{SRC}/{t}.parquet')"
+            )
+        q = " UNION ALL ".join(selects)
+        con.execute(
+            f"COPY ({q}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {COPIES}x -> {n} rows")
+    print(f"done -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dcs_sf1_derived")
