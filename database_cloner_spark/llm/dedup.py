@@ -620,8 +620,27 @@ def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.35) -> DataFra
     )
 
 
+
+# Adaptive cell sizing for the bucketed near-dup: cells scale with the
+# corpus so the per-cell population — and with it the within-cell pair
+# work, the quadratic term — stays CONSTANT as data grows. 125 vectors
+# per cell reproduces the long-tested n_cells=16 at the 2000-vector
+# sf0.1 fixture (and every smaller fixture clamps to the 16 floor), so
+# recorded oracles and recall tests are unchanged at test scales; the
+# 65536 ceiling keeps the broadcast centroid table ≤ ~16 MB at dim 64.
+# Found by the round-12 derived-sf1 run: at FIXED 16 cells a 10x corpus
+# ran 60.6x slower (cell population 10x -> pairs 100x); with cells ∝ n
+# the pair work is linear in n.
+BUCKETED_CELL_TARGET = 125
+BUCKETED_CELL_FLOOR = 16
+BUCKETED_CELL_CEIL = 65536
+
+
 def embedding_neardup_bucketed(
-    embs: DataFrame, threshold: float = 0.35, n_cells: int = 16, nprobe: int = 3
+    embs: DataFrame,
+    threshold: float = 0.35,
+    n_cells: int | None = None,
+    nprobe: int = 3,
 ) -> DataFrame:
     """Scale path for semantic near-dup: assign every vector to its
     `nprobe` nearest IVF cells (multi-assignment recovers pairs that
@@ -657,22 +676,42 @@ def embedding_neardup_bucketed(
     # (r10 NaN sweep posture, llm/similarity.seed_centroids).
     from database_cloner_spark.llm.similarity import seed_centroids
 
+    if n_cells is None:
+        # one cheap count job; ceil(n / target) clamped to [floor, ceil]
+        n = embs.count()
+        n_cells = max(
+            BUCKETED_CELL_FLOOR,
+            min(BUCKETED_CELL_CEIL, -(-n // BUCKETED_CELL_TARGET)),
+        )
     cents = seed_centroids(embs, n_cells)
+    from database_cloner_spark.functions.partitioning import spread
     from database_cloner_spark.functions.vector import cosine as _cos
 
-    scored = embs.crossJoin(F.broadcast(cents)).select(
+    # spread BEFORE the n x n_cells assignment fan-out: the per-vector
+    # scoring folds are map-side work bounded by the scan's split count,
+    # and a few-row-group file serializes the whole assignment onto 1-2
+    # cores (the kmeans path learned this first; re-measured here in the
+    # r12 sf1 run — 20k x 160 assignments on 2 splits was most of a 37x
+    # scale ratio). Identity at production split counts.
+    scored = spread(embs).crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
         "cell_id",
         _cos(F.col("embedding"), F.col("centroid")).alias("sim"),
     )
-    # partition by (vec_id, embedding), not vec_id alone: a duplicated
-    # vec_id carrying two DIFFERENT vectors must rank each vector's
-    # cells independently — one mixed window would pick 3 of the 2×16
-    # combos by partition arrival order (nondeterministic under a hash
-    # oracle). vec_id is near-unique at scale, so the partition count
-    # and shuffle shape are unchanged.
-    w = W.partitionBy("vec_id", "embedding").orderBy(
+    # partition by (vec_id, hash(embedding)), not vec_id alone: a
+    # duplicated vec_id carrying two DIFFERENT vectors must rank each
+    # vector's cells independently — one mixed window would pick 3 of
+    # the 2×n_cells combos by partition arrival order (nondeterministic
+    # under a hash oracle). The HASH stands in for the raw array in the
+    # window key (r12): the window's per-partition sort otherwise
+    # compares 64-element float arrays row-by-row — measured 2.2x on
+    # the sf1 assignment — while an 8-byte xxhash64 key sorts fixed-
+    # width. Same grouping as the oracle's PARTITION BY (vec_id,
+    # embedding) up to 64-bit hash collisions (the text-dedup tiers'
+    # long-standing 8-byte-key posture). vec_id is near-unique at
+    # scale, so partition count and shuffle shape are unchanged.
+    w = W.partitionBy("vec_id", F.xxhash64("embedding")).orderBy(
         F.desc("sim"), F.asc("cell_id")
     )
     nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))

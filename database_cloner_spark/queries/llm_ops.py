@@ -680,7 +680,8 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Full replay of the bucketed near-dup scale path (llm/dedup.py
-# embedding_neardup_bucketed, defaults n_cells=16 / nprobe=3 /
+# embedding_neardup_bucketed, defaults adaptive n_cells = ceil(n/125)
+# clamped [16, 65536] / nprobe=3 /
 # threshold=0.35): seeded finite centroids, every vector multi-assigned
 # to its 3 nearest cells (sim DESC, cell_id tie-break — NaN sims sort
 # greatest on BOTH engines, NULL sims last), pairs compared only within
@@ -690,9 +691,16 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list-carrying CTEs).
 _ORACLE_DEDUP_EMB_BUCKETED = f"""
 WITH cents AS MATERIALIZED (
+  -- adaptive cell count (r12, found by the derived-sf1 run): cells
+  -- scale with the corpus — ceil(n/125) clamped to [16, 65536] — so
+  -- per-cell population and the quadratic within-cell pair work stay
+  -- constant as data grows; 2000-vector sf0.1 and every smaller
+  -- fixture clamp to the long-tested 16 (llm/dedup.py
+  -- BUCKETED_CELL_TARGET)
   SELECT vec_id AS cell_id, embedding AS centroid
   FROM embeddings
-  WHERE vec_id < 16
+  WHERE vec_id < (SELECT GREATEST(16, LEAST(65536,
+                         CEIL(COUNT(*) / 125.0))) FROM embeddings)
     AND len(list_filter(embedding,
                         v -> isnan(v) OR NOT isfinite(v))) = 0
     -- inner-NULL elements: list_filter DROPS NULL-predicate elements
@@ -733,7 +741,12 @@ def q_dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs only). Full hash oracle since round 10: seeded finite
     centroids + fold-order cosines make assignment and scoring
     deterministic, so DuckDB replays the whole bucketed search; recall
-    vs the exact all-pairs form stays asserted in tests/test_llm.py."""
+    vs the exact all-pairs form stays asserted in tests/test_llm.py.
+    Cell count ADAPTS to corpus size since round 12 (ceil(n/125),
+    clamped [16, 65536] — identical to the old fixed 16 at every test
+    fixture): the round-12 derived-sf1 run measured 60.6x at 10x data
+    with fixed cells (quadratic within-cell pair work); adaptive cells
+    hold per-cell population constant, making the pair work linear."""
     return dedup.embedding_neardup_bucketed(load(spark, sf_dir, "embeddings"))
 
 

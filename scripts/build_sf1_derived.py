@@ -49,13 +49,17 @@ def _rot(s: str, i: int) -> str:
     return s[i:] + s[:i]
 
 
-def _text_expr(i: int) -> str:
+def _cipher(col: str, i: int) -> str:
     if i == 0:
-        return "text"
+        return col
     return (
-        f"translate(text, '{LOWER}{UPPER}', "
+        f"translate({col}, '{LOWER}{UPPER}', "
         f"'{_rot(LOWER, i)}{_rot(UPPER, i)}')"
     )
+
+
+def _text_expr(i: int) -> str:
+    return _cipher("text", i)
 
 
 def _emb_expr(i: int) -> str:
@@ -67,9 +71,15 @@ def _emb_expr(i: int) -> str:
 
 # table -> (shifted key columns, extra per-copy select overrides)
 PLAN = {
-    "customer": (["c_custkey"], {}),
-    "supplier": (["s_suppkey"], {}),
-    "part": (["p_partkey"], {}),
+    # high-cardinality NAME columns get the cipher too (found by the
+    # first sf1 run: un-decorrelated c_name gave every name 10 exact
+    # copies and inflated the ed1 name-dedup 19.6x — real 10x growth
+    # brings NEW names); enum-like columns (brand, type, mktsegment,
+    # status) stay untouched so group-by cardinalities scale
+    # realistically (they don't grow with volume)
+    "customer": (["c_custkey"], {"c_name": lambda i: _cipher("c_name", i)}),
+    "supplier": (["s_suppkey"], {"s_name": lambda i: _cipher("s_name", i)}),
+    "part": (["p_partkey"], {"p_name": lambda i: _cipher("p_name", i)}),
     "orders": (["o_orderkey", "o_custkey"], {}),
     "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], {}),
     "events": (["event_id", "user_id"], {}),

@@ -106,6 +106,8 @@ def clone_figures(spark, d: str) -> dict:
 
 def main(argv: list[str]) -> None:
     args = list(argv)
+    skip_pipelines = "--skip-pipelines" in args
+    args = [a for a in args if a != "--skip-pipelines"]
     sf1 = "/tmp/dcs_sf1_derived"
     if args and os.path.isdir(args[0]):
         sf1 = args.pop(0)
@@ -130,24 +132,29 @@ def main(argv: list[str]) -> None:
         print(f"{name}: {t_small}s -> {t_big}s  ({ratio}x)", flush=True)
 
     pipelines = {}
-    try:
-        pipelines = {"sf1": clone_figures(spark, sf1),
-                     "sf0.1": clone_figures(spark, SF01)}
-    except Exception as exc:  # noqa: BLE001
-        errors["__pipelines__"] = f"{type(exc).__name__}: {exc}"[:200]
+    if not skip_pipelines:
+        try:
+            pipelines = {"sf1": clone_figures(spark, sf1),
+                         "sf0.1": clone_figures(spark, SF01)}
+        except Exception as exc:  # noqa: BLE001
+            errors["__pipelines__"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    with open(DETAIL) as fh:
+        detail = json.load(fh)
+    # MERGE into an existing section (re-measuring individual keys after
+    # a fix must not drop the rest of the run)
+    prev = detail.get("sf1_derived", {})
+    merged_keys = {**prev.get("per_key", {}), **per_key}
     section = {
         "sf1_dir": sf1,
         "builder": "scripts/build_sf1_derived.py",
         "criterion": "ratio <= ~12x (linear-ish) or documented",
-        "per_key": per_key,
+        "per_key": merged_keys,
         "over_12x": sorted(
-            k for k, v in per_key.items() if v["ratio"] > 12),
-        "pipelines": pipelines,
-        "errors": errors,
+            k for k, v in merged_keys.items() if v["ratio"] > 12),
+        "pipelines": pipelines or prev.get("pipelines", {}),
+        "errors": {**prev.get("errors", {}), **errors},
     }
-    with open(DETAIL) as fh:
-        detail = json.load(fh)
     detail["sf1_derived"] = section
     with open(DETAIL, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
