@@ -307,3 +307,43 @@ def inner_null_dir(tmp_path_factory):
 def test_inner_null_element_parity(spark, inner_null_dir, name):
     spec = specs()[name]
     compare_query(spark, name, spec.builder, spec.oracle, inner_null_dir)
+
+
+# --- adaptive-cell-count parity (r12) ----------------------------------------
+# q_dedup_embedding_bucketed's cell count adapts as ceil(n/125) clamped
+# [16, 65536]; every other fixture (and sf0.01 itself, 2000 vectors)
+# clamps to the historical 16, so without this fixture the adaptive
+# branch would be perf-tested but never ORACLE-verified. 2600 vectors
+# -> 21 cells on both engines.
+
+
+@pytest.fixture(scope="module")
+def adaptive_cells_dir(tmp_path_factory):
+    import math
+
+    d = str(tmp_path_factory.mktemp("adaptive_cells_emb"))
+    rows = [
+        (i, [math.sin(0.01 * i + 0.37 * j) for j in range(8)], i % 7)
+        for i in range(2600)
+    ]
+    write_fixture(d, rows)
+    return d
+
+
+def test_adaptive_cell_count_parity(spark, adaptive_cells_dir):
+    from database_cloner_spark.llm.dedup import (
+        BUCKETED_CELL_FLOOR,
+        BUCKETED_CELL_TARGET,
+    )
+
+    assert -(-2600 // BUCKETED_CELL_TARGET) > BUCKETED_CELL_FLOOR, (
+        "fixture no longer exercises the adaptive branch"
+    )
+    spec = specs()["q_dedup_embedding_bucketed"]
+    compare_query(
+        spark,
+        "q_dedup_embedding_bucketed",
+        spec.builder,
+        spec.oracle,
+        adaptive_cells_dir,
+    )
