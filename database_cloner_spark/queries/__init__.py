@@ -17,4 +17,5 @@ from database_cloner_spark.queries import (  # noqa: F401
     analytics_ext,
     corpus_stats,
     dataquality,
+    emb_quality,
 )

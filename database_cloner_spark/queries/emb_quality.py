@@ -1,0 +1,426 @@
+"""Embedding-corpus quality operators for the training-data tier.
+
+Three first-class audits a large-scale embedding pipeline runs between
+encoder output and index/training consumption (extending the §2.11 LLM
+tier like queries/corpus_stats.py — the reference has no analogue):
+
+- q_emb_norm_audit — per-label vector-health census: NULL / empty /
+  non-finite / all-zero counts plus the exact min/max/median quantized
+  squared norm (a collapsed or exploding encoder shows up here first).
+- q_emb_outlier — per-label top-5 farthest members from the label's
+  exact-integer-grid centroid (mislabeled / corrupt-vector detector;
+  the embedding-space twin of q_dq_outlier_fences).
+- q_sim_knn_agreement — exact 1-NN label-agreement rate per label
+  (the standard label-noise audit), capped brute-force baseline like
+  q_dedup_embedding; the scale path is the IVF-cell candidate join.
+
+Float discipline: every cross-engine-hashed number is either an exact
+integer on the functions/vector.py quantization grid (sums/distances
+fold in LONG, so even adversarial clamp-magnitude vectors — where
+per-term squares reach 2^48 and sums 2^54, past float64's exact-integer
+range — stay exact) or a roundn_ratio rational. Neighbor selection uses
+squared L2 on the grid, NOT cosine: distances are exact integers, so
+the argmin is bit-deterministic with no sqrt/division in the ORDER BY.
+
+Vector scorability here gates inner-NULL elements EXPLICITLY
+(`v IS NULL OR isnan OR inf` on both engines): Spark's three-valued
+`exists` would return NULL for a [1.0, NULL, ...] vector while DuckDB's
+`bool_or` skips NULLs and returns FALSE — the exact divergence class
+ADVICE r11 flagged on the Lloyd membership gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from database_cloner_spark.functions.vector import quantize
+from database_cloner_spark.llm.text import round4_ratio
+from database_cloner_spark.registry import register
+from database_cloner_spark.sources import load
+
+# DuckDB replay of functions/vector.quantize for a KNOWN-FINITE element
+# (scorability is gated before this runs, so no NaN branch is needed):
+# clamp-then-floor onto the Q_SCALE/Q_CLAMP integer grid, each step one
+# correctly-rounded IEEE op (same fragment as queries/llm_ops._q_sql).
+_QE_SQL = (
+    "list_transform(embedding, x -> FLOOR(LEAST(GREATEST("
+    "x::DOUBLE * 1048576.0 + 0.5, -8388608.0), 8388608.0)))"
+)
+
+# Any element NULL / NaN / non-finite => the vector is unscorable. The
+# inner x IS NULL disjunct keeps the predicate two-valued on both
+# engines (see module docstring).
+_BAD_SQL = (
+    "COALESCE(list_aggregate(list_transform(embedding, "
+    "x -> x IS NULL OR isnan(x::DOUBLE) OR NOT isfinite(x::DOUBLE)), "
+    "'bool_or'), FALSE)"
+)
+
+
+def _bad_vec() -> F.Column:
+    """Spark twin of _BAD_SQL (two-valued: NULL elements hit the
+    isNull disjunct instead of NULL-poisoning `exists`)."""
+    return F.coalesce(
+        F.exists(
+            F.col("embedding"),
+            lambda v: v.isNull()
+            | F.isnan(v)
+            | (F.abs(v) == F.lit(float("inf"))),
+        ),
+        F.lit(False),
+    )
+
+
+def _qe() -> F.Column:
+    """Quantized integer-grid copy of a known-finite embedding."""
+    return F.transform(
+        F.col("embedding"), lambda x: quantize(x.cast("double"))
+    )
+
+
+# --- q_emb_norm_audit ------------------------------------------------------
+
+_ORACLE_NORM_AUDIT = f"""
+WITH base AS (
+  SELECT label,
+         embedding IS NULL AS is_null,
+         CASE WHEN embedding IS NULL THEN NULL
+              ELSE len(embedding) END AS d,
+         {_BAD_SQL} AS bad,
+         embedding
+  FROM embeddings
+),
+q AS (
+  SELECT label, is_null, d, bad,
+         CASE WHEN NOT is_null AND d > 0 AND NOT bad
+              THEN {_QE_SQL} END AS qe
+  FROM base
+),
+s AS (
+  SELECT label, is_null, d, bad, qe IS NOT NULL AS scorable,
+         CASE WHEN qe IS NOT NULL THEN CAST(list_sum(
+           list_transform(qe, v -> CAST(v * v AS BIGINT))) AS BIGINT)
+         END AS normsq
+  FROM q
+),
+census AS (
+  SELECT label,
+         COUNT(*)::BIGINT AS n_vecs,
+         COUNT(CASE WHEN is_null THEN 1 END)::BIGINT AS n_null_vec,
+         COUNT(CASE WHEN NOT is_null AND d = 0 THEN 1 END)::BIGINT
+           AS n_empty,
+         COUNT(CASE WHEN NOT is_null AND d > 0 AND bad THEN 1 END)::BIGINT
+           AS n_nonfinite,
+         COUNT(CASE WHEN scorable THEN 1 END)::BIGINT AS n_scorable,
+         COUNT(CASE WHEN scorable AND normsq = 0 THEN 1 END)::BIGINT
+           AS n_zero,
+         MIN(normsq) AS min_normsq,
+         MAX(normsq) AS max_normsq
+  FROM s GROUP BY label
+),
+vc AS (
+  SELECT label, normsq, COUNT(*) AS cnt
+  FROM s WHERE scorable GROUP BY label, normsq
+),
+cum AS (
+  SELECT label, normsq,
+         SUM(cnt) OVER (PARTITION BY label ORDER BY normsq
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY label) AS n_sc
+  FROM vc
+),
+med AS (
+  SELECT label, MIN(normsq) AS med_normsq
+  FROM cum WHERE cum >= (n_sc + 1) // 2 GROUP BY label
+)
+SELECT census.*, med.med_normsq
+FROM census LEFT JOIN med
+  ON census.label IS NOT DISTINCT FROM med.label
+"""
+
+
+@register("q_emb_norm_audit", oracle=_ORACLE_NORM_AUDIT, tier="X")
+def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-health census: row counts by degradation
+    class (NULL vector / empty array / non-finite-or-NULL element /
+    scorable / all-zero) and the exact min/max/lower-median quantized
+    squared norm of the scorable rows. All outputs are exact BIGINTs
+    (norms fold in LONG on the integer grid — no float aggregation, no
+    libm), so the key carries a full hash oracle. The median is the
+    lower median picked from a COUNT TABLE (the q_agg_median_exact
+    discipline): group to (label, normsq, cnt) first, run the
+    cumulative window over that bounded table, and take the smallest
+    normsq whose running count reaches (n+1) div 2 — the label-keyed
+    window never sees raw rows, so the low-cardinality partition rides
+    an aggregated input (plan-guarded registry-wide). Shape: one
+    map-side projection feeding two label-keyed partial-aggregated
+    exchanges (census + count table); the census/median join is
+    null-safe so the NULL-label group keeps its median."""
+    e = load(spark, sf_dir, "embeddings")
+    is_null = F.col("embedding").isNull()
+    d = F.when(~is_null, F.size("embedding"))
+    bad = _bad_vec()
+    scorable = ~is_null & (d > 0) & ~bad
+    normsq = F.when(
+        scorable,
+        F.aggregate(
+            _qe(),
+            F.lit(0).cast("long"),
+            lambda acc, q: acc + (q * q).cast("long"),
+        ),
+    )
+    rows = e.select(
+        "label",
+        is_null.alias("is_null"),
+        d.alias("d"),
+        bad.alias("bad"),
+        scorable.alias("scorable"),
+        normsq.alias("normsq"),
+    )
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    census = rows.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        cnt(F.col("is_null")).alias("n_null_vec"),
+        cnt(~F.col("is_null") & (F.col("d") == 0)).alias("n_empty"),
+        cnt(~F.col("is_null") & (F.col("d") > 0) & F.col("bad")).alias(
+            "n_nonfinite"
+        ),
+        cnt(F.col("scorable")).alias("n_scorable"),
+        cnt(F.col("scorable") & (F.col("normsq") == 0)).alias("n_zero"),
+        F.min("normsq").alias("min_normsq"),
+        F.max("normsq").alias("max_normsq"),
+    )
+    vc = (
+        rows.filter("scorable")
+        .groupBy("label", "normsq")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wl = W.partitionBy("label")
+    cum = vc.select(
+        "label",
+        "normsq",
+        F.sum("cnt")
+        .over(wl.orderBy("normsq").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"),
+        F.sum("cnt").over(wl).alias("n_sc"),
+    )
+    med = (
+        cum.filter(
+            F.col("cum")
+            >= F.call_function("div", F.col("n_sc") + 1, F.lit(2).cast("long"))
+        )
+        .groupBy("label")
+        .agg(F.min("normsq").alias("med_normsq"))
+    )
+    return census.join(
+        med.withColumnRenamed("label", "mlabel"),
+        census["label"].eqNullSafe(F.col("mlabel")),
+        "left",
+    ).drop("mlabel")
+
+
+# --- q_emb_outlier ---------------------------------------------------------
+
+# Members: scorable AND labeled (a NULL label has no centroid to be an
+# outlier FROM; unscorable vectors are census material for
+# q_emb_norm_audit, not geometry). Centroid per (label, dim) is the
+# exact-integer-grid mean FLOOR(SUM(q)/COUNT + 0.5) in GRID units (the
+# kmeans_centroids discipline, llm/similarity.py — sums exact while
+# n < 2^30 per label). Distances fold per-term CASTs to BIGINT so the
+# sum is exact even at clamp magnitude (2^54 > float64's 2^53 exact
+# range). Mixed-dimension rows contribute only their shared prefix:
+# Spark zip_with NULL-pads the shorter side (term -> 0), the oracle
+# iterates to LEAST(len, len) — identical truncation semantics.
+_ORACLE_EMB_OUTLIER = f"""
+WITH members AS (
+  SELECT label, vec_id, {_QE_SQL} AS qe
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) > 0 AND NOT {_BAD_SQL}
+),
+dims AS (
+  SELECT label, unnest(qe) AS qv,
+         unnest(generate_series(1, len(qe))) AS dim
+  FROM members
+),
+cent AS (
+  SELECT label, dim, FLOOR(SUM(qv) / COUNT(*) + 0.5) AS m
+  FROM dims GROUP BY label, dim
+),
+carr AS (
+  SELECT label, list(m ORDER BY dim) AS c FROM cent GROUP BY label
+),
+d2 AS (
+  SELECT members.label, vec_id,
+         CAST(COALESCE(list_sum(
+           [CAST((qe[i] - c[i]) * (qe[i] - c[i]) AS BIGINT)
+            for i in range(1, LEAST(len(qe), len(c)) + 1)]), 0)
+         AS BIGINT) AS dist2
+  FROM members JOIN carr USING (label)
+)
+SELECT label, vec_id, dist2, outlier_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY dist2 DESC, vec_id ASC)
+              AS outlier_rank
+  FROM d2
+)
+WHERE outlier_rank <= 5
+"""
+
+
+@register("q_emb_outlier", oracle=_ORACLE_EMB_OUTLIER, tier="X")
+def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label top-5 centroid outliers: the scorable labeled vectors
+    farthest (exact integer-grid squared L2) from their label's
+    exact-integer-grid mean — the mislabeled/corrupt-vector detector.
+    Shape: posexplode -> one (label, dim)-keyed partial-aggregated
+    exchange of n_labels x dim sum/count states (never vectors), the
+    tiny centroid table broadcast back, distances map-side in a LONG
+    fold, then a label-keyed top-5 window on bare (label, vec_id,
+    dist2) rows — WindowGroupLimit prunes to <=5 rows per map
+    partition per label before the exchange, so the final shuffle is
+    O(labels x partitions), not O(rows)."""
+    e = load(spark, sf_dir, "embeddings")
+    members = e.filter(
+        F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~_bad_vec()
+    ).select("label", "vec_id", _qe().alias("qe"))
+    dims = members.select(
+        "label", F.posexplode("qe").alias("dim", "qv")
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        F.floor(F.sum("qv") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("double")
+        .alias("m")
+    )
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("c"),
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(0).cast("long")
+            ).otherwise(((x - y) * (x - y)).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    scored = members.join(F.broadcast(carr), "label").select(
+        "label", "vec_id", dist2.alias("dist2")
+    )
+    w = W.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
+    return (
+        scored.withColumn("outlier_rank", F.row_number().over(w))
+        .filter(F.col("outlier_rank") <= 5)
+        .select("label", "vec_id", "dist2", "outlier_rank")
+    )
+
+
+# --- q_sim_knn_agreement ---------------------------------------------------
+
+# Capped like q_dedup_embedding (vec_id < KNN_CAP on BOTH sides): the
+# exact all-pairs 1-NN is the baseline; the scale path shares the
+# IVF-cell candidate join of q_dedup_embedding_bucketed (llm/
+# similarity.py) — candidates within probed cells instead of n^2.
+KNN_CAP = 4096
+
+_ORACLE_KNN_AGREEMENT = f"""
+WITH q AS (
+  SELECT vec_id, label, {_QE_SQL} AS qe
+  FROM embeddings
+  WHERE vec_id < {KNN_CAP} AND label IS NOT NULL
+    AND embedding IS NOT NULL AND len(embedding) > 0 AND NOT {_BAD_SQL}
+),
+p AS (
+  SELECT a.vec_id AS avid, a.label AS albl, a.qe AS aqe,
+         b.vec_id AS bvid, b.label AS blbl,
+         CAST(COALESCE(list_sum(
+           [CAST((a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]) AS BIGINT)
+            for i in range(1, LEAST(len(a.qe), len(b.qe)) + 1)]), 0)
+         AS BIGINT) AS dist2
+  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+),
+nn AS (
+  SELECT albl, blbl,
+         ROW_NUMBER() OVER (PARTITION BY avid, aqe
+                            ORDER BY dist2 ASC, bvid ASC, blbl ASC) AS rn
+  FROM p
+)
+SELECT albl AS label,
+       COUNT(*)::BIGINT AS n_eval,
+       COUNT(CASE WHEN blbl = albl THEN 1 END)::BIGINT AS n_agree,
+       ((20000 * COUNT(CASE WHEN blbl = albl THEN 1 END) + COUNT(*))
+        // (2 * COUNT(*))) / 10000.0 AS agree_rate
+FROM nn WHERE rn = 1
+GROUP BY albl
+"""
+
+
+@register("q_sim_knn_agreement", oracle=_ORACLE_KNN_AGREEMENT, tier="X")
+def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-NN label-agreement rate per label — the standard
+    label-noise / cluster-coherence audit: for every scorable labeled
+    vector, find its nearest OTHER vector (exact integer-grid squared
+    L2; ties broken by neighbor vec_id then label, so selection is
+    bit-deterministic with no sqrt in the ORDER BY) and score whether
+    the labels agree. Capped brute-force baseline (KNN_CAP on both
+    engines, q_dedup_embedding posture): the <=cap build side is
+    broadcast, the stream side spread across cores, and the scale path
+    is the IVF-cell candidate equi-join. agree_rate is a roundn_ratio
+    rational of two exact counts."""
+    par = spark.sparkContext.defaultParallelism
+    base = (
+        load(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") < KNN_CAP)
+            & F.col("label").isNotNull()
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+            & ~_bad_vec()
+        )
+        .select("vec_id", "label", _qe().alias("qe"))
+    )
+    a = base.repartition(par).alias("a")
+    b = F.broadcast(base).alias("b")
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col("a.qe"),
+            F.col("b.qe"),
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(0).cast("long")
+            ).otherwise(((x - y) * (x - y)).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
+        F.col("a.vec_id").alias("avid"),
+        F.col("a.label").alias("albl"),
+        F.col("a.qe").alias("aqe"),
+        F.col("b.vec_id").alias("bvid"),
+        F.col("b.label").alias("blbl"),
+        dist2.alias("dist2"),
+    )
+    w = W.partitionBy("avid", "aqe").orderBy(
+        F.asc("dist2"), F.asc("bvid"), F.asc("blbl")
+    )
+    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    agree = F.count(F.when(F.col("blbl") == F.col("albl"), F.lit(1)))
+    total = F.count(F.lit(1))
+    return nn.groupBy(F.col("albl").alias("label")).agg(
+        total.alias("n_eval"),
+        agree.alias("n_agree"),
+        round4_ratio(agree, total).alias("agree_rate"),
+    )

@@ -293,6 +293,12 @@ _INNER_NULL_KEYS = [
     "q_dedup_embedding_bucketed",
     "q_sim_pq_topk",
     "q_sim_ivfpq_topk",
+    # emb_quality tier: inner-NULL rows must land in the n_nonfinite
+    # census bucket / be excluded from centroids and 1-NN on BOTH
+    # engines (the explicit `v IS NULL` disjunct in their bad-vec gate)
+    "q_emb_norm_audit",
+    "q_emb_outlier",
+    "q_sim_knn_agreement",
 ]
 
 

@@ -55,8 +55,13 @@ def test_empty_input_totality_and_parity(spark, empty_dir, name):
     if name in _EXEMPT:
         pytest.skip(_EXEMPT[name])
     spec = specs()[name]
-    if spec.oracle is None:
-        # rows-only keys: totality is the contract (must build and run)
+    if spec.oracle is None or name == "q_scan_binary":
+        # rows-only keys: totality is the contract (must build and run).
+        # q_scan_binary joins them HERE only: its oracle read_blob()s a
+        # CONSTANT glob (DuckDB table-function limitation) pinned to the
+        # driver's sf0.01 tree, so parity against this fixture dir is
+        # unexpressable — totality on the empty dir is the contract and
+        # parity is covered at the pinned tree by test_oracle_parity.
         spec.builder(spark, empty_dir).count()
     else:
         compare_query(spark, name, spec.builder, spec.oracle, empty_dir)

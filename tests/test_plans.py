@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "q_events_rfm",              # 1-row corpus max-timestamp frame (recency anchor)
     "q_events_paths",            # 1-row path-total frame (ppm denominator)
     "q_sample_temperature",      # 1-row quantized-weight total frame
+    "q_sim_knn_agreement",       # capped brute-force baseline (KNN_CAP)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -311,6 +312,28 @@ def test_anomaly_mad_windows_ride_count_table(spark):
     assert plan.rindex("partial_count") > plan.rindex("Window ["), plan
 
 
+def test_emb_quality_tier_plan_shapes(spark):
+    """The emb_quality tier's three scale contracts, as plan shapes:
+    q_emb_outlier's label top-5 must ride a WindowGroupLimit (partial
+    top-k before the exchange) with the centroid table broadcast back;
+    q_emb_norm_audit's median window must consume the (label, normsq)
+    count table, i.e. a partial aggregate sits below the Window in DFS
+    print order (never raw rows); q_sim_knn_agreement's only BNLJ side
+    must be a broadcast (the KNN_CAP-bounded base)."""
+    plan = _plan(spark, "q_emb_outlier")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+    plan = _plan(spark, "q_emb_norm_audit")
+    assert "Join" in plan  # null-safe census/median join
+    assert plan.rindex("partial_count") > plan.rindex("Window ["), plan
+
+    plan = _plan(spark, "q_sim_knn_agreement")
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_interval_overlap_key_plans_equi_join(spark):
     """q_join_interval_overlap: the grid form must plan a hash/SMJ
     equi-join on the cell id — never a BNLJ/cartesian (the naive theta
@@ -335,6 +358,11 @@ LOW_CARD_COLS = {
     # also ride aggregated inputs — added after a self-review found the
     # guard silently treating them as high-cardinality keys
     "hod", "flag", "prio", "from_type", "digit",
+    # embeddings.label: bounded class domain (10 values in the fixture,
+    # class-count-bounded in any real corpus) — added with the
+    # emb_quality tier so its label-keyed windows must ride count
+    # tables / WindowGroupLimit, not raw rows
+    "label",
 }
 
 # Audited windows over low-card/global partitions whose input is bounded
