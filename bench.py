@@ -45,6 +45,32 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from database_cloner_spark.registry import specs
 from database_cloner_spark.session import get_spark
 
+# Sections BENCH_DETAIL.json owns (rewritten every bench run); anything
+# else in the file was merged by an external script (sf1_scale_run,
+# streaming_throughput, ...) and is carried forward verbatim.
+_OWN_SECTIONS = frozenset(
+    {
+        "run",
+        "sf",
+        "headline_queries",
+        "all_keys_queries",
+        "all_keys_total_sec",
+        "all_keys_n",
+        "errors",
+        "second_sf",
+        "second_sf_queries",
+        "second_sf_total_sec",
+        "second_sf_errors",
+        "scale_flags",
+        "scale_flags_note",
+        "incremental_resync",
+        "cdc_apply",
+        "scale_modes",
+        "out_of_band_remeasured",
+        "bands_file",
+    }
+)
+
 # Headline set: one representative per operator family, weighted toward
 # the shapes that dominate at 100 TB (scan-agg, shuffle joins, windows).
 HEADLINE = [
@@ -538,9 +564,16 @@ def main() -> None:
     # every artifact self-identifying; the same "run" stamp rides the
     # gate line so BENCH_r{N}.json matches its exact detail file.
     prev_seq = 0
+    # Foreign sections (sf1_derived, streaming_throughput, ...) are
+    # merged into the detail file by their own scripts; a bench rewrite
+    # must carry them forward, not drop them (an sf0.001 smoke run once
+    # silently clobbered the round's sf1 scale-up section).
+    foreign: dict = {}
     try:
         with open(detail_path) as fh:
-            prev_seq = int(json.load(fh).get("run", {}).get("seq", 0))
+            prev = json.load(fh)
+        prev_seq = int(prev.get("run", {}).get("seq", 0))
+        foreign = {k: v for k, v in prev.items() if k not in _OWN_SECTIONS}
     except (OSError, ValueError, TypeError):
         pass
     run_stamp = {
@@ -554,6 +587,7 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(
             {
+                **foreign,
                 "run": run_stamp,
                 "sf": sf,
                 "headline_queries": timings,

@@ -377,7 +377,16 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, q_dedup_embedding posture): the <=cap build side is
     broadcast, the stream side spread across cores, and the scale path
     is the IVF-cell candidate equi-join. agree_rate is a roundn_ratio
-    rational of two exact counts."""
+    rational of two exact counts.
+
+    The argmin is MIN over a (dist2, bvid, blbl) struct — Spark struct
+    ordering is field-lexicographic, which IS the tie-break order — so
+    the n^2 pair stream collapses map-side (partial HashAggregate on
+    the broadcast-join output) to ONE row per probe vector before any
+    exchange. The first cut ranked pairs with a ROW_NUMBER window
+    instead, which shuffled every pair WITH its qe array: 9.3-12.8s at
+    sf0.1 vs ~2s for the same fold in q_dedup_embedding; the oracle
+    keeps the ROW_NUMBER form (same total order, rn = 1 == MIN)."""
     par = spark.sparkContext.defaultParallelism
     base = (
         load(spark, sf_dir, "embeddings")
@@ -407,17 +416,18 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("avid"),
         F.col("a.label").alias("albl"),
         F.col("a.qe").alias("aqe"),
-        F.col("b.vec_id").alias("bvid"),
-        F.col("b.label").alias("blbl"),
-        dist2.alias("dist2"),
+        F.struct(
+            dist2.alias("dist2"),
+            F.col("b.vec_id").alias("bvid"),
+            F.col("b.label").alias("blbl"),
+        ).alias("cand"),
     )
-    w = W.partitionBy("avid", "aqe").orderBy(
-        F.asc("dist2"), F.asc("bvid"), F.asc("blbl")
+    nn = pairs.groupBy("avid", "aqe", "albl").agg(
+        F.min("cand").alias("nn")
     )
-    nn = pairs.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
+    agree = F.count(
+        F.when(F.col("nn.blbl") == F.col("albl"), F.lit(1))
     )
-    agree = F.count(F.when(F.col("blbl") == F.col("albl"), F.lit(1)))
     total = F.count(F.lit(1))
     return nn.groupBy(F.col("albl").alias("label")).agg(
         total.alias("n_eval"),

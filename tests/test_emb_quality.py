@@ -1,0 +1,165 @@
+"""Semantic invariants for the emb_quality tier (queries/emb_quality.py).
+
+The hash oracles prove engine/DuckDB agreement; these tests pin the
+MEANING against hand-computed truths on tiny constructed corpora (the
+tests/test_llm.py posture: an oracle proves both engines agree, not
+that the census buckets partition, the outlier ranking is by distance,
+or the agreement rate is the one you'd compute by hand).
+
+All fixture coordinates are small integers or halves — exactly
+representable on the functions/vector.py quantization grid — so every
+expected value below is exact, not a tolerance check.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from database_cloner_spark.registry import specs
+
+
+def _write(d: str, rows) -> str:
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+# Two well-separated clusters plus one planted imposter: vec 7 carries
+# label 1 but sits inside cluster A (label 0). All coordinates are
+# within the quantizer's clamp range (|x| <= 8 at Q_SCALE/Q_CLAMP) so
+# the grid geometry IS the written geometry. Hand-derived 1-NN (exact
+# squared L2, ties -> min neighbor vec_id):
+#   1 -> 7 (0.25)   disagree      4 -> 5/6 (1.0 tie, min bvid) agree
+#   2 -> 7 (0.25)   disagree      5 -> 4 (1.0)    agree
+#   3 -> 1 (1.0)    agree         6 -> 4 (1.0)    agree
+#   7 -> 1 (0.25 tie with 2, min vec_id) disagree
+_KNN_ROWS = [
+    (1, [0.0, 0.0], 0),
+    (2, [0.0, 1.0], 0),
+    (3, [1.0, 0.0], 0),
+    (4, [6.0, 6.0], 1),
+    (5, [6.0, 7.0], 1),
+    (6, [7.0, 6.0], 1),
+    (7, [0.0, 0.5], 1),
+]
+
+
+@pytest.fixture(scope="module")
+def knn_dir(tmp_path_factory):
+    return _write(str(tmp_path_factory.mktemp("emb_knn")), _KNN_ROWS)
+
+
+def test_knn_agreement_detects_planted_imposter(spark, knn_dir):
+    got = {
+        r["label"]: r
+        for r in specs()["q_sim_knn_agreement"]
+        .builder(spark, knn_dir)
+        .collect()
+    }
+    assert got[0]["n_eval"] == 3 and got[0]["n_agree"] == 1
+    assert got[0]["agree_rate"] == 0.3333  # roundn_ratio(1, 3)
+    assert got[1]["n_eval"] == 4 and got[1]["n_agree"] == 3
+    assert got[1]["agree_rate"] == 0.75
+
+
+def test_outlier_ranking_is_by_distance(spark, knn_dir):
+    # label 0 centroid ~ (1/3, 1/3): vecs 2 and 3 are equidistant and
+    # farther than vec 1, so ranks are (2, 3, 1) via the vec_id
+    # tie-break. vec 7 belongs to LABEL 1's geometry (it is that
+    # cluster's extreme outlier — the imposter drags the label-1
+    # centroid toward itself but stays several units out while the
+    # true members sit ~1.5 away).
+    out = (
+        specs()["q_emb_outlier"].builder(spark, knn_dir).collect()
+    )
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+    l0 = sorted(by_label[0], key=lambda r: r["outlier_rank"])
+    assert [r["vec_id"] for r in l0] == [2, 3, 1]
+    assert l0[0]["dist2"] == l0[1]["dist2"] > l0[2]["dist2"]
+    l1 = sorted(by_label[1], key=lambda r: r["outlier_rank"])
+    assert l1[0]["vec_id"] == 7 and l1[0]["dist2"] > l1[1]["dist2"]
+    # ranks are dense 1..n and never exceed 5
+    for rows in by_label.values():
+        assert sorted(r["outlier_rank"] for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+        assert len(rows) <= 5
+
+
+# Census fixture: every degradation class, two labels + a NULL label.
+_CENSUS_ROWS = [
+    (1, [3.0, 4.0], 0),            # scorable, normsq (3q)^2+(4q)^2
+    (2, [0.0, 0.0], 0),            # scorable, all-zero
+    (3, None, 0),                  # NULL vector
+    (4, [], 0),                    # empty array
+    (5, [1.0, float("nan")], 0),   # non-finite element
+    (6, [1.0, None], 0),           # inner-NULL element -> non-finite
+    (7, [1.0, 0.0], 1),            # scorable
+    (8, [2.0, 0.0], 1),            # scorable
+    (9, [3.0, 0.0], 1),            # scorable -> median is vec 8
+    (10, [5.0, 6.0], None),        # scorable, NULL label
+]
+
+_Q = 1 << 20  # Q_SCALE
+
+
+@pytest.fixture(scope="module")
+def census_dir(tmp_path_factory):
+    return _write(str(tmp_path_factory.mktemp("emb_census")), _CENSUS_ROWS)
+
+
+def test_norm_audit_census_partitions_and_median(spark, census_dir):
+    got = {
+        r["label"]: r
+        for r in specs()["q_emb_norm_audit"]
+        .builder(spark, census_dir)
+        .collect()
+    }
+    l0 = got[0]
+    assert l0["n_vecs"] == 6
+    assert (
+        l0["n_null_vec"],
+        l0["n_empty"],
+        l0["n_nonfinite"],
+        l0["n_scorable"],
+        l0["n_zero"],
+    ) == (1, 1, 2, 2, 1)
+    assert l0["min_normsq"] == 0
+    assert l0["max_normsq"] == 25 * _Q * _Q
+    assert l0["med_normsq"] == 0  # lower median of {0, 25q^2}
+
+    l1 = got[1]
+    assert l1["n_vecs"] == l1["n_scorable"] == 3
+    assert l1["med_normsq"] == 4 * _Q * _Q  # vec 8
+    assert (l1["min_normsq"], l1["max_normsq"]) == (
+        1 * _Q * _Q,
+        9 * _Q * _Q,
+    )
+
+    # the NULL-label group is a first-class census row with a median
+    ln = got[None]
+    assert ln["n_vecs"] == ln["n_scorable"] == 1
+    assert ln["med_normsq"] == 61 * _Q * _Q
+
+    # bucket partition holds for every group
+    for r in got.values():
+        assert (
+            r["n_null_vec"] + r["n_empty"] + r["n_nonfinite"] + r["n_scorable"]
+            == r["n_vecs"]
+        )
