@@ -1,6 +1,6 @@
 """Embedding-corpus quality operators for the training-data tier.
 
-Three first-class audits a large-scale embedding pipeline runs between
+Four first-class audits a large-scale embedding pipeline runs between
 encoder output and index/training consumption (extending the §2.11 LLM
 tier like queries/corpus_stats.py — the reference has no analogue):
 
@@ -10,6 +10,9 @@ tier like queries/corpus_stats.py — the reference has no analogue):
 - q_emb_outlier — per-label top-5 farthest members from the label's
   exact-integer-grid centroid (mislabeled / corrupt-vector detector;
   the embedding-space twin of q_dq_outlier_fences).
+- q_emb_coverage — per-source doc<->vector referential audit (missing /
+  covered / degraded / multi + coverage rate; the ML twin of
+  q_dq_referential).
 - q_sim_knn_agreement — exact 1-NN label-agreement rate per label
   (the standard label-noise audit), capped brute-force baseline like
   q_dedup_embedding; the scale path is the IVF-cell candidate join.
@@ -323,6 +326,73 @@ def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("outlier_rank", F.row_number().over(w))
         .filter(F.col("outlier_rank") <= 5)
         .select("label", "vec_id", "dist2", "outlier_rank")
+    )
+
+
+# --- q_emb_coverage ----------------------------------------------------------
+
+# The doc<->vector referential audit: every training document should
+# carry exactly one SCORABLE embedding (doc_id == vec_id by pipeline
+# contract). Reported per source so a broken encoder shard shows up as
+# ITS source's coverage dropping, not a global average smearing it out.
+_ORACLE_EMB_COVERAGE = f"""
+WITH ec AS (
+  SELECT vec_id, COUNT(*) AS n_rows,
+         COUNT(CASE WHEN embedding IS NOT NULL AND len(embedding) > 0
+                         AND NOT {_BAD_SQL} THEN 1 END) AS n_scor
+  FROM embeddings GROUP BY vec_id
+)
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(CASE WHEN ec.n_rows IS NULL THEN 1 END)::BIGINT AS n_missing,
+       COUNT(CASE WHEN ec.n_scor >= 1 THEN 1 END)::BIGINT AS n_covered,
+       COUNT(CASE WHEN ec.n_rows IS NOT NULL AND ec.n_scor = 0 THEN 1 END)
+         ::BIGINT AS n_degraded,
+       COUNT(CASE WHEN ec.n_rows >= 2 THEN 1 END)::BIGINT AS n_multi,
+       ((20000 * COUNT(CASE WHEN ec.n_scor >= 1 THEN 1 END) + COUNT(*))
+        // (2 * COUNT(*))) / 10000.0 AS coverage_rate
+FROM documents d LEFT JOIN ec ON d.doc_id = ec.vec_id
+GROUP BY d.source
+"""
+
+
+@register("q_emb_coverage", oracle=_ORACLE_EMB_COVERAGE, tier="X")
+def q_emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-coverage audit — the ML-pipeline twin of
+    q_dq_referential: for every document, is there an embedding row
+    (doc_id == vec_id), is at least one SCORABLE (finite, non-empty,
+    no NULL elements), and is the mapping 1:1? Buckets per source:
+    missing (no row) / covered (>=1 scorable) / degraded (rows exist,
+    none scorable), plus the multi-row count and a roundn_ratio
+    coverage rate. NULL doc_ids never equi-match (both engines) and
+    land in missing; NULL sources group as their own row. Shape:
+    embeddings pre-aggregate to (vec_id, 2 counts) — the join ships
+    16-byte count rows, never vectors — then one doc_id=vec_id
+    equi-join and a tiny source rollup."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load(spark, sf_dir, "embeddings")
+    scorable = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~_bad_vec()
+    )
+    ec = e.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(scorable, F.lit(1))).alias("n_scor"),
+    )
+    j = docs.join(ec, docs["doc_id"] == ec["vec_id"], "left")
+    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
+    covered = cnt(F.col("n_scor") >= 1)
+    total = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        total.alias("n_docs"),
+        cnt(F.col("n_rows").isNull()).alias("n_missing"),
+        covered.alias("n_covered"),
+        cnt(F.col("n_rows").isNotNull() & (F.col("n_scor") == 0)).alias(
+            "n_degraded"
+        ),
+        cnt(F.col("n_rows") >= 2).alias("n_multi"),
+        round4_ratio(covered, total).alias("coverage_rate"),
     )
 
 

@@ -163,3 +163,47 @@ def test_norm_audit_census_partitions_and_median(spark, census_dir):
             r["n_null_vec"] + r["n_empty"] + r["n_nonfinite"] + r["n_scorable"]
             == r["n_vecs"]
         )
+
+
+def test_emb_coverage_buckets_partition_and_flag_planted_gaps(
+    spark, census_dir, tmp_path
+):
+    # documents 0..11 over two sources; embeddings are _CENSUS_ROWS
+    # (ids 1-10): doc 0 + doc 11 have NO row (missing); docs 3,4,5,6
+    # have rows but none scorable (degraded); the rest are covered.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path)
+    os.link(
+        os.path.join(census_dir, "embeddings.parquet"),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    docs = [(i, f"doc {i}", "en", "web" if i < 6 else "books", 5)
+            for i in range(12)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs]),
+                "lang": pa.array([r[2] for r in docs]),
+                "source": pa.array([r[3] for r in docs]),
+                "n_chars": pa.array([r[4] for r in docs], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    got = {
+        r["source"]: r
+        for r in specs()["q_emb_coverage"].builder(spark, d).collect()
+    }
+    web = got["web"]  # docs 0-5: 0 missing-row, 1,2 covered, 3,4,5 degraded
+    assert (web["n_docs"], web["n_missing"], web["n_covered"],
+            web["n_degraded"]) == (6, 1, 2, 3)
+    assert web["coverage_rate"] == 0.3333
+    books = got["books"]  # docs 6-11: 6 degraded, 7-10 covered, 11 missing
+    assert (books["n_docs"], books["n_missing"], books["n_covered"],
+            books["n_degraded"]) == (6, 1, 4, 1)
+    for r in got.values():
+        assert r["n_missing"] + r["n_covered"] + r["n_degraded"] == r["n_docs"]
+        assert r["n_multi"] == 0
