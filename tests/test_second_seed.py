@@ -181,3 +181,61 @@ def test_ivfpq_recall_floor_seed2(spark, embs2):
     exact = {r.vec_id for r in similarity.brute_force_topk(embs2, probe).collect()}
     assert len(got) == 10
     assert len(got & exact) >= 4
+
+
+# --- emb_quality on the clustered distribution ------------------------------
+# The hash oracle proves engine/DuckDB agree; THESE floors prove the
+# audit MEASURES what it claims on a corpus with real structure: 1-NN
+# label agreement must read high when labels follow the geometry
+# (8 tight Gaussian clusters, labels = cluster ids) and collapse toward
+# chance (1/8) when the same vectors get geometry-free round-robin
+# labels. A metric that can't tell those apart audits nothing.
+
+
+def _write_emb_dir(tmp_path_factory, rows, name):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path_factory.mktemp(name))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [r[1] for r in rows], pa.list_(pa.float32())
+                ),
+                "label": pa.array([r[2] for r in rows], pa.int32()),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+    return d
+
+
+def _agreement(spark, d):
+    from database_cloner_spark.registry import specs
+
+    rows = specs()["q_sim_knn_agreement"].builder(spark, d).collect()
+    n_eval = sum(r["n_eval"] for r in rows)
+    n_agree = sum(r["n_agree"] for r in rows)
+    return rows, n_agree / n_eval
+
+
+def test_knn_agreement_high_on_clustered_labels(spark, tmp_path_factory):
+    d = _write_emb_dir(tmp_path_factory, _build_embs(), "knn_clustered")
+    rows, overall = _agreement(spark, d)
+    assert overall >= 0.9, overall
+    assert all(r["agree_rate"] >= 0.8 for r in rows), rows
+
+
+def test_knn_agreement_near_chance_on_shuffled_labels(
+    spark, tmp_path_factory
+):
+    shuffled = [
+        (vid, emb, vid % 8) for vid, emb, _ in _build_embs()
+    ]
+    d = _write_emb_dir(tmp_path_factory, shuffled, "knn_shuffled")
+    _, overall = _agreement(spark, d)
+    assert overall < 0.4, overall
