@@ -88,3 +88,53 @@ def _spark():
     from database_cloner_spark.session import get_spark
 
     return get_spark("props")
+
+
+# --- emb_quality grid exactness (SURVEY §5.2 posture, vector family) --------
+# The emb_quality tier's oracle story rests on one claim: quantize to
+# the integer grid, fold squares in LONG, and the result is EXACT — for
+# any float32 input, including magnitudes past the clamp, subnormals,
+# and mixtures with NaN/Inf/NULL elements (those gate the vector to
+# unscorable). Pin the claim against a pure-Python integer model.
+
+_f32 = st.one_of(
+    st.floats(width=32, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=-16.0, max_value=16.0, width=32),
+)
+
+
+def _py_quant(x: float) -> int:
+    import math
+
+    return int(math.floor(min(max(x * 1048576.0 + 0.5, -8388608.0), 8388608.0)))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.lists(_f32, min_size=1, max_size=16), min_size=1, max_size=20))
+def test_quantized_normsq_matches_integer_model(spark, vecs):
+    from database_cloner_spark.queries.emb_quality import _bad_vec, _qe
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["normsq"]
+        for r in df.select(
+            "vec_id",
+            F.when(
+                ~_bad_vec(),
+                F.aggregate(
+                    _qe(),
+                    F.lit(0).cast("long"),
+                    lambda acc, q: acc + (q * q).cast("long"),
+                ),
+            ).alias("normsq"),
+        ).collect()
+    }
+    import struct as _s
+
+    for i, v in rows:
+        # the engine sees float32 values; round-trip the python floats
+        # through float32 before modeling
+        v32 = [_s.unpack("f", _s.pack("f", x))[0] for x in v]
+        expect = sum(_py_quant(x) ** 2 for x in v32)
+        assert got[i] == expect, (i, v32, got[i], expect)
