@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from database_cloner_spark.functions.vector import quantize
+from database_cloner_spark.functions.vector import Q_CLAMP, Q_SCALE, quantize
 from database_cloner_spark.llm.text import round4_ratio
 from database_cloner_spark.registry import register
 from database_cloner_spark.sources import load
@@ -47,9 +47,11 @@ from database_cloner_spark.sources import load
 # (scorability is gated before this runs, so no NaN branch is needed):
 # clamp-then-floor onto the Q_SCALE/Q_CLAMP integer grid, each step one
 # correctly-rounded IEEE op (same fragment as queries/llm_ops._q_sql).
+# Constants interpolate from functions/vector.py so a grid retune can't
+# drift this replay.
 _QE_SQL = (
     "list_transform(embedding, x -> FLOOR(LEAST(GREATEST("
-    "x::DOUBLE * 1048576.0 + 0.5, -8388608.0), 8388608.0)))"
+    f"x::DOUBLE * {Q_SCALE!r} + 0.5, {-Q_CLAMP!r}), {Q_CLAMP!r})))"
 )
 
 # Any element NULL / NaN / non-finite => the vector is unscorable. The
@@ -80,6 +82,41 @@ def _qe() -> F.Column:
     """Quantized integer-grid copy of a known-finite embedding."""
     return F.transform(
         F.col("embedding"), lambda x: quantize(x.cast("double"))
+    )
+
+
+def _cnt(c) -> F.Column:
+    """Conditional count (rows where c holds; NULL condition counts 0)."""
+    return F.count(F.when(c, F.lit(1)))
+
+
+def _dist2(a, b) -> F.Column:
+    """Exact integer-grid squared L2 between two quantized arrays,
+    folded in LONG: per-term squares reach 2^48 and sums 2^54 — past
+    float64's 2^53 exact-integer range, so the fold must be integral.
+    zip_with NULL-pads the shorter array and padded terms count 0,
+    which equals the oracle's LEAST-length truncation (mixed-dimension
+    rows contribute only their shared prefix on both engines)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.when(
+                x.isNull() | y.isNull(), F.lit(0).cast("long")
+            ).otherwise(((x - y) * (x - y)).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + t,
+    )
+
+
+def _dist2_sql(a: str, b: str) -> str:
+    """DuckDB twin of _dist2: each term CAST to BIGINT BEFORE the sum
+    (a double list_sum of 2^54-scale integers would round)."""
+    return (
+        f"CAST(COALESCE(list_sum("
+        f"[CAST(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) AS BIGINT) "
+        f"for i in range(1, LEAST(len({a}), len({b})) + 1)]), 0) AS BIGINT)"
     )
 
 
@@ -182,16 +219,15 @@ def q_emb_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         scorable.alias("scorable"),
         normsq.alias("normsq"),
     )
-    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
     census = rows.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
-        cnt(F.col("is_null")).alias("n_null_vec"),
-        cnt(~F.col("is_null") & (F.col("d") == 0)).alias("n_empty"),
-        cnt(~F.col("is_null") & (F.col("d") > 0) & F.col("bad")).alias(
+        _cnt(F.col("is_null")).alias("n_null_vec"),
+        _cnt(~F.col("is_null") & (F.col("d") == 0)).alias("n_empty"),
+        _cnt(~F.col("is_null") & (F.col("d") > 0) & F.col("bad")).alias(
             "n_nonfinite"
         ),
-        cnt(F.col("scorable")).alias("n_scorable"),
-        cnt(F.col("scorable") & (F.col("normsq") == 0)).alias("n_zero"),
+        _cnt(F.col("scorable")).alias("n_scorable"),
+        _cnt(F.col("scorable") & (F.col("normsq") == 0)).alias("n_zero"),
         F.min("normsq").alias("min_normsq"),
         F.max("normsq").alias("max_normsq"),
     )
@@ -256,11 +292,7 @@ carr AS (
   SELECT label, list(m ORDER BY dim) AS c FROM cent GROUP BY label
 ),
 d2 AS (
-  SELECT members.label, vec_id,
-         CAST(COALESCE(list_sum(
-           [CAST((qe[i] - c[i]) * (qe[i] - c[i]) AS BIGINT)
-            for i in range(1, LEAST(len(qe), len(c)) + 1)]), 0)
-         AS BIGINT) AS dist2
+  SELECT members.label, vec_id, {_dist2_sql("qe", "c")} AS dist2
   FROM members JOIN carr USING (label)
 )
 SELECT label, vec_id, dist2, outlier_rank
@@ -307,19 +339,10 @@ def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["m"],
         ).alias("c")
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("qe"),
-            F.col("c"),
-            lambda x, y: F.when(
-                x.isNull() | y.isNull(), F.lit(0).cast("long")
-            ).otherwise(((x - y) * (x - y)).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
     scored = members.join(F.broadcast(carr), "label").select(
-        "label", "vec_id", dist2.alias("dist2")
+        "label",
+        "vec_id",
+        _dist2(F.col("qe"), F.col("c")).alias("dist2"),
     )
     w = W.partitionBy("label").orderBy(F.desc("dist2"), F.asc("vec_id"))
     return (
@@ -381,17 +404,16 @@ def q_emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(scorable, F.lit(1))).alias("n_scor"),
     )
     j = docs.join(ec, docs["doc_id"] == ec["vec_id"], "left")
-    cnt = lambda c: F.count(F.when(c, F.lit(1)))  # noqa: E731
-    covered = cnt(F.col("n_scor") >= 1)
+    covered = _cnt(F.col("n_scor") >= 1)
     total = F.count(F.lit(1))
     return j.groupBy("source").agg(
         total.alias("n_docs"),
-        cnt(F.col("n_rows").isNull()).alias("n_missing"),
+        _cnt(F.col("n_rows").isNull()).alias("n_missing"),
         covered.alias("n_covered"),
-        cnt(F.col("n_rows").isNotNull() & (F.col("n_scor") == 0)).alias(
+        _cnt(F.col("n_rows").isNotNull() & (F.col("n_scor") == 0)).alias(
             "n_degraded"
         ),
-        cnt(F.col("n_rows") >= 2).alias("n_multi"),
+        _cnt(F.col("n_rows") >= 2).alias("n_multi"),
         round4_ratio(covered, total).alias("coverage_rate"),
     )
 
@@ -402,7 +424,11 @@ def q_emb_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact all-pairs 1-NN is the baseline; the scale path shares the
 # IVF-cell candidate join of q_dedup_embedding_bucketed (llm/
 # similarity.py) — candidates within probed cells instead of n^2.
-KNN_CAP = 4096
+# IMPORTED, not re-declared: retuning the brute-force cap in llm_ops
+# must retune this key with it (the "same posture" claim).
+from database_cloner_spark.queries.llm_ops import (  # noqa: E402
+    EMB_BRUTE_CAP as KNN_CAP,
+)
 
 _ORACLE_KNN_AGREEMENT = f"""
 WITH q AS (
@@ -414,15 +440,19 @@ WITH q AS (
 p AS (
   SELECT a.vec_id AS avid, a.label AS albl, a.qe AS aqe,
          b.vec_id AS bvid, b.label AS blbl,
-         CAST(COALESCE(list_sum(
-           [CAST((a.qe[i] - b.qe[i]) * (a.qe[i] - b.qe[i]) AS BIGINT)
-            for i in range(1, LEAST(len(a.qe), len(b.qe)) + 1)]), 0)
-         AS BIGINT) AS dist2
+         {_dist2_sql("a.qe", "b.qe")} AS dist2
   FROM q a JOIN q b ON a.vec_id <> b.vec_id
 ),
 nn AS (
+  -- albl joins the PARTITION key: a probe row's identity is
+  -- (vec_id, quantized embedding, label). Duplicate vec_ids with
+  -- grid-COLLIDING embeddings but different labels are two probes on
+  -- the engine side (groupBy avid, aqe, albl); partitioning by
+  -- (avid, aqe) alone merged them into one rn=1 row with an arbitrary
+  -- albl (caught by review fixture, regression-pinned in
+  -- tests/test_adversarial_embeddings.py).
   SELECT albl, blbl,
-         ROW_NUMBER() OVER (PARTITION BY avid, aqe
+         ROW_NUMBER() OVER (PARTITION BY avid, aqe, albl
                             ORDER BY dist2 ASC, bvid ASC, blbl ASC) AS rn
   FROM p
 )
@@ -471,23 +501,12 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = base.repartition(par).alias("a")
     b = F.broadcast(base).alias("b")
-    dist2 = F.aggregate(
-        F.zip_with(
-            F.col("a.qe"),
-            F.col("b.qe"),
-            lambda x, y: F.when(
-                x.isNull() | y.isNull(), F.lit(0).cast("long")
-            ).otherwise(((x - y) * (x - y)).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, t: acc + t,
-    )
     pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
         F.col("a.vec_id").alias("avid"),
         F.col("a.label").alias("albl"),
         F.col("a.qe").alias("aqe"),
         F.struct(
-            dist2.alias("dist2"),
+            _dist2(F.col("a.qe"), F.col("b.qe")).alias("dist2"),
             F.col("b.vec_id").alias("bvid"),
             F.col("b.label").alias("blbl"),
         ).alias("cand"),

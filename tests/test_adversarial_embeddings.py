@@ -353,3 +353,69 @@ def test_adaptive_cell_count_parity(spark, adaptive_cells_dir):
         spec.oracle,
         adaptive_cells_dir,
     )
+
+
+# --- dup vec_id x grid-identical embedding x DIFFERENT labels ---------------
+# The q_sim_knn_agreement probe identity is (vec_id, quantized
+# embedding, label). Two rows sharing vec_id AND quantized embedding
+# but carrying different labels must be TWO probes (two n_eval rows,
+# one per label) — a code-review fixture showed the oracle's original
+# PARTITION BY (avid, aqe) merging them into one rn=1 row with an
+# arbitrary albl while the engine's groupBy kept both. The 1.0 vs
+# 1.0 + 2^-22 pair quantizes to the SAME grid value (rounding
+# collision), so this also covers colliding-but-not-identical floats.
+
+_DUP_ID_LABEL_VECS = [
+    (0, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 0),
+    (0, [1.0 + 2.0**-22, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0], 7),
+    (1, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 9.0], 0),
+    (2, [8.0, 7.0, 6.0, 5.0, 4.0, 3.0, 2.0, 1.0], 1),
+]
+
+_DUP_ID_LABEL_KEYS = [
+    "q_sim_knn_agreement",
+    "q_emb_norm_audit",
+    "q_emb_outlier",
+    "q_emb_coverage",
+]
+
+
+@pytest.fixture(scope="module")
+def dup_id_label_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("dup_id_label_emb"))
+    write_fixture(d, _DUP_ID_LABEL_VECS)
+    # q_emb_coverage also reads documents: docs 0-2 map onto the
+    # vectors above (doc 0 hits the DUPLICATE vec_id 0 -> n_multi),
+    # doc 3 has no vector at all (missing).
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a b", "c d", "e f", "g h"]),
+                "lang": pa.array(["en"] * 4),
+                "source": pa.array(["web"] * 4),
+                "n_chars": pa.array([3, 3, 3, 3], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+@pytest.mark.parametrize("name", _DUP_ID_LABEL_KEYS)
+def test_dup_id_distinct_label_parity(spark, dup_id_label_dir, name):
+    spec = specs()[name]
+    compare_query(spark, name, spec.builder, spec.oracle, dup_id_label_dir)
+
+
+def test_dup_id_distinct_label_yields_two_probes(spark, dup_id_label_dir):
+    got = {
+        r["label"]: r
+        for r in specs()["q_sim_knn_agreement"]
+        .builder(spark, dup_id_label_dir)
+        .collect()
+    }
+    # label 7's only member is the colliding duplicate of vec 0 — it
+    # must be evaluated as its own probe, not swallowed by label 0's
+    assert got[7]["n_eval"] == 1
+    assert got[0]["n_eval"] == 2
