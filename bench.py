@@ -71,6 +71,25 @@ _OWN_SECTIONS = frozenset(
     }
 )
 
+def load_prev_detail(detail_path: str) -> tuple[int, dict]:
+    """Parse the previous BENCH_DETAIL.json for carry-forward.
+
+    Returns (prev_seq, foreign_sections). Any unreadable, non-JSON, or
+    non-object file (a corrupt/partial write can leave a top-level array
+    or string — r12 ADVICE) is treated as absent: (0, {}).
+    """
+    try:
+        with open(detail_path) as fh:
+            prev = json.load(fh)
+        if not isinstance(prev, dict):
+            return 0, {}
+        run = prev.get("run", {})
+        seq = int(run.get("seq", 0)) if isinstance(run, dict) else 0
+        return seq, {k: v for k, v in prev.items() if k not in _OWN_SECTIONS}
+    except (OSError, ValueError, TypeError, AttributeError):
+        return 0, {}
+
+
 # Headline set: one representative per operator family, weighted toward
 # the shapes that dominate at 100 TB (scan-agg, shuffle joins, windows).
 HEADLINE = [
@@ -563,19 +582,11 @@ def main() -> None:
     # previous detail file — no wall clock) + the config snapshot makes
     # every artifact self-identifying; the same "run" stamp rides the
     # gate line so BENCH_r{N}.json matches its exact detail file.
-    prev_seq = 0
     # Foreign sections (sf1_derived, streaming_throughput, ...) are
     # merged into the detail file by their own scripts; a bench rewrite
     # must carry them forward, not drop them (an sf0.001 smoke run once
     # silently clobbered the round's sf1 scale-up section).
-    foreign: dict = {}
-    try:
-        with open(detail_path) as fh:
-            prev = json.load(fh)
-        prev_seq = int(prev.get("run", {}).get("seq", 0))
-        foreign = {k: v for k, v in prev.items() if k not in _OWN_SECTIONS}
-    except (OSError, ValueError, TypeError):
-        pass
+    prev_seq, foreign = load_prev_detail(detail_path)
     run_stamp = {
         "seq": prev_seq + 1,
         "sf_dir": sf_dir,
