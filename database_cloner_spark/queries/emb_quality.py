@@ -523,3 +523,191 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         agree.alias("n_agree"),
         round4_ratio(agree, total).alias("agree_rate"),
     )
+
+
+# --- q_sim_knn_agreement_bucketed ------------------------------------------
+
+# The IVF-celled scale twin of q_sim_knn_agreement (VERDICT r12 item 1):
+# the exact key is KNN_CAP-bounded brute force; this key audits the WHOLE
+# corpus with candidate generation bounded by cell population, the same
+# blocking posture as q_dedup_embedding / q_dedup_embedding_bucketed
+# (queries/llm_ops.py:739). Cell geometry is shared with llm/dedup.py —
+# adaptive count ceil(n / TARGET) clamped [FLOOR, CEIL] holds per-cell
+# population constant as the corpus grows (the round-12 fix that took the
+# bucketed dedup's 10x-data ratio from 60.6x to 4.55x), and retuning the
+# dedup constants retunes this key with them.
+from database_cloner_spark.llm.dedup import (  # noqa: E402
+    BUCKETED_CELL_CEIL,
+    BUCKETED_CELL_FLOOR,
+    BUCKETED_CELL_TARGET,
+)
+
+_KNN_NPROBE = 3
+
+_ORACLE_KNN_AGREEMENT_BUCKETED = f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id, label, {_QE_SQL} AS qe
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) > 0 AND NOT {_BAD_SQL}
+),
+cents AS MATERIALIZED (
+  -- seeded centroids on the SAME quantized grid as the probes: the
+  -- whole assignment is exact-integer, so there is no float anywhere
+  -- in this replay (unlike the bucketed dedup's cosine assignment).
+  -- len > 0 is load-bearing: an empty centroid is at dist2 = 0 from
+  -- EVERY vector under the shared-prefix rule and would win all
+  -- nprobe slots, collapsing the index into one n^2 cell.
+  SELECT vec_id AS cell_id, {_QE_SQL} AS cq
+  FROM embeddings
+  WHERE vec_id < (SELECT GREATEST({BUCKETED_CELL_FLOOR}, LEAST(
+                    {BUCKETED_CELL_CEIL},
+                    CEIL(COUNT(*) / {BUCKETED_CELL_TARGET}.0)))
+                  FROM embeddings)
+    AND embedding IS NOT NULL AND len(embedding) > 0 AND NOT {_BAD_SQL}
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, label, qe, cell_id FROM (
+    SELECT q.vec_id, q.label, q.qe, c.cell_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id, q.qe, q.label
+             ORDER BY {_dist2_sql("q.qe", "c.cq")} ASC, c.cell_id ASC
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= {_KNN_NPROBE}
+),
+p AS (
+  SELECT a.vec_id AS avid, a.label AS albl, a.qe AS aqe,
+         b.vec_id AS bvid, b.label AS blbl,
+         {_dist2_sql("a.qe", "b.qe")} AS dist2
+  FROM asg a JOIN asg b
+    ON a.cell_id = b.cell_id AND a.vec_id <> b.vec_id
+),
+nn AS (
+  -- a pair sharing >= 2 probed cells appears once per shared cell;
+  -- the duplicates carry identical (dist2, bvid, blbl) so rn = 1
+  -- selects the same neighbor regardless (the engine's MIN-struct
+  -- fold dedups the same way).
+  SELECT albl, blbl,
+         ROW_NUMBER() OVER (PARTITION BY avid, aqe, albl
+                            ORDER BY dist2 ASC, bvid ASC, blbl ASC) AS rn
+  FROM p
+)
+SELECT albl AS label,
+       COUNT(*)::BIGINT AS n_eval,
+       COUNT(CASE WHEN blbl = albl THEN 1 END)::BIGINT AS n_agree,
+       ((20000 * COUNT(CASE WHEN blbl = albl THEN 1 END) + COUNT(*))
+        // (2 * COUNT(*))) / 10000.0 AS agree_rate
+FROM nn WHERE rn = 1
+GROUP BY albl
+"""
+
+
+def knn_nn_bucketed(
+    embs: DataFrame,
+    n_cells: int | None = None,
+    nprobe: int = _KNN_NPROBE,
+) -> DataFrame:
+    """Per-probe bucketed 1-NN: (avid, aqe, albl, nn struct(dist2,
+    bvid, blbl)). Every scorable labeled vector is assigned to its
+    `nprobe` nearest seeded cells by EXACT integer-grid squared L2
+    (ties -> cell_id), candidates are pairs sharing a cell, and the
+    1-NN collapses map-side as MIN over a (dist2, bvid, blbl) struct —
+    the q_sim_knn_agreement fold, so no pair row ever rides an
+    exchange. Cost ~ sum(cell_pop^2) instead of n^2, recall controlled
+    by nprobe/n_cells; a probe whose probed cells hold no other member
+    yields no pair and drops out of the audit (inherent to blocking —
+    the recall-floor test pins how rare that is).
+
+    Both join sides pin repartition(n_cells, cell_id): candidate work
+    scales with cell population, not bytes, so AQE's byte-based
+    coalescing is exactly wrong here (the llm/dedup.py lesson). The
+    window key uses xxhash64(qe) in place of the raw array (8-byte
+    fixed-width sort vs 64-element array compares — the r12 bucketed-
+    dedup measurement); same grouping as the oracle's PARTITION BY
+    (vec_id, qe, label) up to 64-bit collisions."""
+    from database_cloner_spark.functions.partitioning import spread
+
+    if n_cells is None:
+        n = embs.count()
+        n_cells = max(
+            BUCKETED_CELL_FLOOR,
+            min(BUCKETED_CELL_CEIL, -(-n // BUCKETED_CELL_TARGET)),
+        )
+    scor = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~_bad_vec()
+    )
+    base = (
+        embs.filter(F.col("label").isNotNull() & scor)
+        .select("vec_id", "label", _qe().alias("qe"))
+    )
+    cents = F.broadcast(
+        embs.filter((F.col("vec_id") < n_cells) & scor).select(
+            F.col("vec_id").alias("cell_id"), _qe().alias("cq")
+        )
+    )
+    scored = spread(base).crossJoin(cents).select(
+        "vec_id",
+        "label",
+        "qe",
+        "cell_id",
+        _dist2(F.col("qe"), F.col("cq")).alias("cdist"),
+    )
+    w = W.partitionBy("vec_id", F.xxhash64("qe"), "label").orderBy(
+        F.asc("cdist"), F.asc("cell_id")
+    )
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "label", "qe", "cell_id")
+    )
+    a = asg.repartition(n_cells, "cell_id").alias("a")
+    b = asg.repartition(n_cells, "cell_id").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell_id") == F.col("b.cell_id"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("avid"),
+        F.col("a.label").alias("albl"),
+        F.col("a.qe").alias("aqe"),
+        F.struct(
+            _dist2(F.col("a.qe"), F.col("b.qe")).alias("dist2"),
+            F.col("b.vec_id").alias("bvid"),
+            F.col("b.label").alias("blbl"),
+        ).alias("cand"),
+    )
+    return pairs.groupBy("avid", "aqe", "albl").agg(
+        F.min("cand").alias("nn")
+    )
+
+
+@register(
+    "q_sim_knn_agreement_bucketed",
+    oracle=_ORACLE_KNN_AGREEMENT_BUCKETED,
+    tier="X",
+)
+def q_sim_knn_agreement_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-celled 1-NN label-agreement audit — the SCALE path of
+    q_sim_knn_agreement: no cap, the whole corpus, candidate pairs
+    bounded by cell population (adaptive cell count shared with
+    llm/dedup.py keeps that population constant as the corpus grows).
+    Assignment, neighbor selection, and tie-breaks are all exact
+    integer-grid arithmetic, so DuckDB replays the ENTIRE bucketed
+    search (assignment ranks included) and the agree_rate is a
+    roundn_ratio rational of two exact counts. The recall floor vs the
+    capped exact form is pinned in tests/test_emb_quality.py."""
+    nn = knn_nn_bucketed(load(spark, sf_dir, "embeddings"))
+    agree = F.count(
+        F.when(F.col("nn.blbl") == F.col("albl"), F.lit(1))
+    )
+    total = F.count(F.lit(1))
+    return nn.groupBy(F.col("albl").alias("label")).agg(
+        total.alias("n_eval"),
+        agree.alias("n_agree"),
+        round4_ratio(agree, total).alias("agree_rate"),
+    )

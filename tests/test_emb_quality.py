@@ -207,3 +207,81 @@ def test_emb_coverage_buckets_partition_and_flag_planted_gaps(
     for r in got.values():
         assert r["n_missing"] + r["n_covered"] + r["n_degraded"] == r["n_docs"]
         assert r["n_multi"] == 0
+
+
+# --- q_sim_knn_agreement_bucketed (r13: the IVF-celled scale twin) ---------
+
+
+def test_knn_bucketed_equals_exact_on_allcentroid_fixture(spark, knn_dir):
+    """With n <= cell floor every scorable vector seeds its own cell,
+    each probe's nprobe nearest cells contain its true NN's own cell
+    (a vector always probes itself at dist2 = 0), so the bucketed audit
+    must reproduce the exact key's aggregates bit-for-bit."""
+    exact = sorted(
+        specs()["q_sim_knn_agreement"].builder(spark, knn_dir).collect(),
+        key=lambda r: r["label"],
+    )
+    bucketed = sorted(
+        specs()["q_sim_knn_agreement_bucketed"]
+        .builder(spark, knn_dir)
+        .collect(),
+        key=lambda r: r["label"],
+    )
+    assert [tuple(r) for r in bucketed] == [tuple(r) for r in exact]
+
+
+def test_knn_bucketed_recall_floor(spark):
+    """Row-level recall vs brute force at sf0.001 (500 vectors, the
+    floor-clamped 16-cell geometry — worst case for cell-sharing since
+    the synthetic corpus is weakly clustered): the single-cell call
+    (n_cells=1 -> only vec 0 seeds, every probe lands in that one cell)
+    IS brute force through the same code path. Pins:
+    - coverage: every probe brute force evaluates, the bucketed audit
+      evaluates too (no cell-singleton dropouts at this geometry);
+    - admissibility: a bucketed neighbor is never closer than the true
+      NN (candidates are a subset of all pairs, scored exactly);
+    - true-NN recall >= 0.75 (measured 0.796 at sf0.001 / 0.793 at
+      sf0.1 — the weak-cluster floor; true-dup corpora sit far higher).
+    """
+    from database_cloner_spark.queries.emb_quality import knn_nn_bucketed
+    from database_cloner_spark.sources import load
+
+    embs = load(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["avid"], tuple(r["aqe"]), r["albl"]): r["nn"]["dist2"]
+        for r in knn_nn_bucketed(embs, n_cells=1, nprobe=1).collect()
+    }
+    bucketed = {
+        (r["avid"], tuple(r["aqe"]), r["albl"]): r["nn"]["dist2"]
+        for r in knn_nn_bucketed(embs).collect()
+    }
+    assert set(bucketed) == set(exact) and len(exact) == 500
+    assert all(bucketed[k] >= exact[k] for k in exact)
+    recall = sum(1 for k in exact if bucketed[k] == exact[k]) / len(exact)
+    assert recall >= 0.75, f"bucketed true-NN recall too low: {recall}"
+
+
+def test_knn_bucketed_agreement_tracks_exact(spark):
+    """The registered aggregates at sf0.001: per-label probe counts are
+    IDENTICAL (full coverage), and the approximate neighbor shifts each
+    label's agree_rate by at most 0.06 (max measured delta 0.037 at
+    sf0.001, 0.0357 at sf0.1 — an approximate NN is still a near
+    neighbor, so label agreement barely moves)."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["label"]: r
+        for r in specs()["q_sim_knn_agreement"].builder(spark, sf).collect()
+    }
+    bucketed = {
+        r["label"]: r
+        for r in specs()["q_sim_knn_agreement_bucketed"]
+        .builder(spark, sf)
+        .collect()
+    }
+    assert set(bucketed) == set(exact)
+    for lbl, e in exact.items():
+        b = bucketed[lbl]
+        assert b["n_eval"] == e["n_eval"]
+        assert abs(b["agree_rate"] - e["agree_rate"]) <= 0.06, (
+            lbl, e["agree_rate"], b["agree_rate"],
+        )

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "q_events_paths",            # 1-row path-total frame (ppm denominator)
     "q_sample_temperature",      # 1-row quantized-weight total frame
     "q_sim_knn_agreement",       # capped brute-force baseline (KNN_CAP)
+    "q_sim_knn_agreement_bucketed",  # clamp-bounded centroid-seed frame (<=65536 rows)
 }
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -332,6 +333,27 @@ def test_emb_quality_tier_plan_shapes(spark):
     plan = _plan(spark, "q_sim_knn_agreement")
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_knn_agreement_bucketed_plans_cell_equi_join(spark):
+    """q_sim_knn_agreement_bucketed (r13, the scale twin): the ONLY
+    BNLJ sides are the two broadcast centroid-seed frames (one per
+    self-join branch — clamp-bounded, never the corpus); the candidate
+    pair join is an EQUI-join on cell_id (hash/SMJ — the naive theta
+    form is n^2); the nprobe rank filter pushes map-side as a
+    WindowGroupLimit below the window exchange; and the 1-NN min-struct
+    fold aggregates PARTIAL map-side, so no pair row ever rides an
+    exchange (the q_sim_knn_agreement fold, now behind a cell join)."""
+    plan = _plan(spark, "q_sim_knn_agreement_bucketed")
+    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert ("SortMergeJoin [cell_id" in plan
+            or "ShuffledHashJoin [cell_id" in plan), plan
+    assert "WindowGroupLimit" in plan, plan
+    # partial min(cand) sits BELOW (after, in DFS print order) the
+    # probe-identity exchange: the deepest aggregate over cand must be
+    # a partial one (its print carries the normalized grouping key).
+    assert plan.count("min(cand") == 2, plan  # partial + final
 
 
 def test_interval_overlap_key_plans_equi_join(spark):

@@ -72,3 +72,14 @@ def test_survey_oracle_column_matches_registry():
         if (s[m.group(1)].oracle is not None) != cell.startswith("✓"):
             stale.append((m.group(1), cell[:40]))
     assert not stale, f"SURVEY oracle cells disagree with registry: {stale}"
+
+
+def test_rows_only_set_is_exactly_udf_password():
+    """228/229 oracled became 229/230 in r13; the ONLY key without a
+    DuckDB hash oracle is the deliberate Python-UDF surface (its output
+    hash is engine-specific by design — SURVEY §5.2 item 1). r11 shrank
+    the rows-only set 6→3 and r10-r12 upgraded the rest; pinning the
+    set here means it can only ever shrink deliberately (VERDICT r12
+    item 8)."""
+    rows_only = {k for k, v in specs().items() if v.oracle is None}
+    assert rows_only == {"q_udf_password"}, rows_only
