@@ -167,17 +167,27 @@ def _decode_date(c: Column) -> Column:
     )
 
 
-def _decode_field(name: str, dtype: T.DataType) -> Column:
-    """One top-level column: unwrap a recognized extended-JSON wrapper
-    struct into its typed value; pass anything else through unchanged."""
-    col = F.col(f"`{name}`")
-    if not isinstance(dtype, T.StructType):
-        return col
+def _wrapper_expr(col: Column, dtype: T.StructType) -> Column | None:
+    """If `dtype` is a recognized single-key extended-JSON wrapper
+    shape, return the unwrapped typed expression; else None."""
     fields = set(dtype.fieldNames())
     if fields == {"$oid"}:
-        return col.getField("$oid").alias(name)
+        return col.getField("$oid")
     if fields == {"$numberLong"}:
-        return col.getField("$numberLong").try_cast("bigint").alias(name)
+        return col.getField("$numberLong").try_cast("bigint")
+    if fields == {"$numberInt"}:
+        return col.getField("$numberInt").try_cast("int")
+    if fields == {"$numberDouble"}:
+        # canonical mode renders non-finite doubles as the strings
+        # "Infinity" / "-Infinity" / "NaN" — string->double cast
+        # accepts all three; garbage degrades to NULL via try_cast
+        return col.getField("$numberDouble").try_cast("double")
+    if fields == {"$numberDecimal"}:
+        # Decimal128 has 34 significant digits and a wider exponent
+        # range than any Spark decimal; (38,18) holds every money-like
+        # value and try_cast degrades the exotic tail (1E+6000) to
+        # NULL instead of failing the scan under ANSI
+        return col.getField("$numberDecimal").try_cast("decimal(38,18)")
     if fields == {"$date"}:
         inner = dtype["$date"].dataType
         if isinstance(inner, T.StructType) and set(inner.fieldNames()) == {
@@ -188,27 +198,139 @@ def _decode_field(name: str, dtype: T.DataType) -> Column:
                 .getField("$numberLong")
                 .try_cast("bigint")
             )
-            return F.timestamp_millis(millis).alias(name)
-        return _decode_date(col.getField("$date")).alias(name)
+            return F.timestamp_millis(millis)
+        return _decode_date(col.getField("$date"))
+    if fields == {"$timestamp"}:
+        # internal BSON timestamp {"t": <epoch seconds>, "i": <counter>}
+        # — an oplog ordinal, not a wall-clock datetime. Decoded
+        # LOSSLESSLY to struct<ts: timestamp, inc: int> (dropping i
+        # would break CDC resume tokens, its one real use).
+        inner = dtype["$timestamp"].dataType
+        if isinstance(inner, T.StructType) and {"t", "i"} <= set(
+            inner.fieldNames()
+        ):
+            ts = col.getField("$timestamp")
+            return F.when(
+                ts.isNotNull(),
+                F.struct(
+                    F.timestamp_seconds(
+                        ts.getField("t").try_cast("bigint")
+                    ).alias("ts"),
+                    ts.getField("i").try_cast("int").alias("inc"),
+                ),
+            )
+        return None
     if fields == {"$binary"}:
         inner = dtype["$binary"].dataType
         if isinstance(inner, T.StructType) and "base64" in inner.fieldNames():
-            return F.unbase64(
-                col.getField("$binary").getField("base64")
-            ).alias(name)
+            return F.unbase64(col.getField("$binary").getField("base64"))
+    return None
+
+
+def _contains_wrapper(dtype: T.DataType) -> bool:
+    if isinstance(dtype, T.StructType):
+        if any(n.startswith("$") for n in dtype.fieldNames()):
+            return True
+        return any(_contains_wrapper(f.dataType) for f in dtype.fields)
+    if isinstance(dtype, T.ArrayType):
+        return _contains_wrapper(dtype.elementType)
+    return False
+
+
+def _decode_value(col: Column, dtype: T.DataType) -> Column:
+    """Recursive wrapper decode: unwrap wrapper structs wherever they
+    sit — top level, inside arrays (element-wise `transform`), or as
+    fields of genuine nested documents (struct rebuild). Subtrees with
+    no wrapper anywhere pass through UNTOUCHED (no rebuild, so their
+    values and plan are bit-identical to the pre-r13 decoder)."""
+    if not _contains_wrapper(dtype):
+        return col
+    if isinstance(dtype, T.StructType):
+        unwrapped = _wrapper_expr(col, dtype)
+        if unwrapped is not None:
+            return unwrapped
+        # genuine nested document carrying wrappers somewhere below:
+        # rebuild field-wise. The isNotNull guard is load-bearing —
+        # a bare F.struct() of children would turn a NULL document
+        # into a non-NULL struct of NULLs.
+        return F.when(
+            col.isNotNull(),
+            F.struct(
+                *[
+                    _decode_value(col.getField(f.name), f.dataType).alias(
+                        f.name
+                    )
+                    for f in dtype.fields
+                ]
+            ),
+        )
+    if isinstance(dtype, T.ArrayType):
+        elem = dtype.elementType
+        return F.transform(col, lambda x: _decode_value(x, elem))
     return col
 
 
+def _decode_field(name: str, dtype: T.DataType) -> Column:
+    """One top-level column: unwrap recognized extended-JSON wrappers
+    (recursively — arrays of wrappers and wrappers nested inside
+    subdocuments included); pass anything else through unchanged."""
+    return _decode_value(F.col(f"`{name}`"), dtype).alias(name)
+
+
 def decode_extended_json(df: DataFrame) -> DataFrame:
-    """Decode every top-level extended-JSON wrapper column of a
-    mongoexport scan into its typed value ($oid -> string hex,
-    $date -> timestamp, $numberLong -> bigint, $binary -> binary).
-    Non-wrapper columns (scalars, genuine nested documents, the
+    """Decode every extended-JSON wrapper column of a mongoexport scan
+    into its typed value ($oid -> string hex, $date -> timestamp,
+    $numberLong/$numberInt/$numberDouble/$numberDecimal -> their
+    numeric types, $timestamp -> struct<ts,inc>, $binary -> binary),
+    wherever the wrapper sits: top level, array elements, or fields of
+    nested documents (r13 — real exports carry all three placements).
+    Non-wrapper columns (scalars, wrapper-free nested documents, the
     _corrupt_record routing column) pass through untouched. Driven by
     the INFERRED schema, so a column that is a wrapper in one export
     and a plain scalar in another decodes correctly per-dataset."""
     return df.select(
         *[_decode_field(f.name, f.dataType) for f in df.schema.fields]
+    )
+
+
+# Byte orders for the three legacy-UUID conventions ($binary subType
+# 0x03 — the bytes are driver-dependent; 0x04 is always big-endian).
+# Values are the 0-based BYTE positions of the stored blob, listed in
+# canonical (big-endian) display order.
+_UUID_ORDERS = {
+    None: list(range(16)),                       # standard (0x04)
+    "standard": list(range(16)),
+    "java": [7, 6, 5, 4, 3, 2, 1, 0, 15, 14, 13, 12, 11, 10, 9, 8],
+    "csharp": [3, 2, 1, 0, 5, 4, 7, 6, 8, 9, 10, 11, 12, 13, 14, 15],
+    "python": list(range(16)),                   # PYTHON_LEGACY kept RFC order
+}
+
+
+def mongo_uuid_str(col: Column, legacy: str | None = None) -> Column:
+    """Render a decoded 16-byte $binary UUID (subType 0x04, or 0x03
+    with a declared legacy convention) as the canonical lowercase
+    8-4-4-4-12 string. subType 0x03's byte order is DRIVER-dependent
+    (pymongo's JAVA_LEGACY flips each 8-byte half, CSHARP_LEGACY is
+    GUID little-endian, PYTHON_LEGACY is RFC order), so the caller
+    names the convention — there is no in-band way to detect it.
+    Non-16-byte blobs return NULL rather than a garbage UUID. Pure
+    column expressions (hex + substrings), JVM-side."""
+    if legacy not in _UUID_ORDERS:
+        raise ValueError(
+            f"unknown legacy UUID convention {legacy!r}; "
+            f"one of {sorted(k for k in _UUID_ORDERS if k)}"
+        )
+    h = F.lower(F.hex(col))
+    pairs = [F.substring(h, 2 * b + 1, 2) for b in _UUID_ORDERS[legacy]]
+    groups = [
+        F.concat(*pairs[0:4]),
+        F.concat(*pairs[4:6]),
+        F.concat(*pairs[6:8]),
+        F.concat(*pairs[8:10]),
+        F.concat(*pairs[10:16]),
+    ]
+    return F.when(
+        F.length(col) == 16, F.concat_ws("-", *groups)
     )
 
 

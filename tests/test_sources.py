@@ -412,6 +412,17 @@ def test_mongoexport_roundtrip_fuzz(spark, tmp_path):
     import json as _json
     import random
     from datetime import datetime, timezone
+    from math import inf, isnan
+
+    def _json_double(x: float) -> str:
+        # mongoexport canonical renders non-finite doubles as strings
+        if isnan(x):
+            return "NaN"
+        if x == inf:
+            return "Infinity"
+        if x == -inf:
+            return "-Infinity"
+        return repr(x)
 
     rng = random.Random(42)
     rows = []
@@ -431,7 +442,18 @@ def test_mongoexport_roundtrip_fuzz(spark, tmp_path):
         millis = rng.randint(-62135596800000 + 86400000, 253402300799000)
         blob = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 24)))
         s = rng.choice(["plain", "", "你好 мир", "a\tb", "q\"uote"])
-        rows.append((i, oid, n, millis, blob, s))
+        # r13 wrapper widening: int32 edges, canonical non-finite
+        # doubles, <=18-scale decimals, internal BSON timestamps,
+        # arrays of $oid, wrappers inside subdocuments
+        ni = rng.choice([0, -1, 2**31 - 1, -(2**31), rng.randint(-10**6, 10**6)])
+        nd = rng.choice([0.0, -2.5, 1e300, float("inf"), float("-inf"), float("nan")])
+        dec = f"{rng.randint(-10**18, 10**18)}.{rng.randrange(10**6):06d}"
+        its = (rng.randint(0, 2**31 - 1), rng.randint(0, 2**31 - 1))
+        tags = [
+            "".join(rng.choice("0123456789abcdef") for _ in range(24))
+            for _ in range(rng.randrange(0, 3))
+        ]
+        rows.append((i, oid, n, millis, blob, s, ni, nd, dec, its, tags))
 
     p = str(tmp_path / "db" / "fuzz.json")
     _write_lines(
@@ -450,17 +472,26 @@ def test_mongoexport_roundtrip_fuzz(spark, tmp_path):
                         }
                     },
                     "s": s,
+                    "ni": {"$numberInt": str(ni)},
+                    "nd": {"$numberDouble": _json_double(nd)},
+                    "dec": {"$numberDecimal": dec},
+                    "its": {"$timestamp": {"t": its[0], "i": its[1]}},
+                    "tags": [{"$oid": t} for t in tags],
+                    "sub": {"seen": {"$date": {"$numberLong": str(millis)}}},
                 },
                 ensure_ascii=False,
             )
-            for i, oid, n, millis, blob, s in rows
+            for i, oid, n, millis, blob, s, ni, nd, dec, its, tags in rows
         ],
     )
+    from decimal import Decimal
+    from math import isnan
+
     from database_cloner_spark.sources.bson import mongoexport_scan
 
     got = {r.i: r for r in mongoexport_scan(spark, p).collect()}
     assert len(got) == 60
-    for i, oid, n, millis, blob, s in rows:
+    for i, oid, n, millis, blob, s, ni, nd, dec, its, tags in rows:
         r = got[i]
         assert r._id == oid
         assert r.n == n, (i, r.n, n)
@@ -468,3 +499,156 @@ def test_mongoexport_roundtrip_fuzz(spark, tmp_path):
         assert abs((r.ts.replace(tzinfo=timezone.utc) - want_ts).total_seconds()) < 0.001, (i, r.ts, want_ts)
         assert bytes(r.blob) == blob
         assert r.s == s
+        assert r.ni == ni
+        assert (isnan(r.nd) if isnan(nd) else r.nd == nd), (i, r.nd, nd)
+        assert r.dec == Decimal(dec), (i, r.dec, dec)
+        assert r.its.inc == its[1]
+        assert int(r.its.ts.replace(tzinfo=timezone.utc).timestamp()) == its[0]
+        assert r.tags == tags
+        assert abs(
+            (r.sub.seen.replace(tzinfo=timezone.utc) - want_ts).total_seconds()
+        ) < 0.001
+
+
+def test_mongoexport_decodes_numeric_and_timestamp_wrappers(
+    spark, tmp_path
+):
+    """r13 wrapper widening (VERDICT r12 item 3): $numberInt,
+    $numberDouble (incl. the canonical non-finite strings),
+    $numberDecimal, and the internal BSON $timestamp all decode to
+    typed columns; garbage inside any of them degrades to NULL (never
+    an ANSI failure)."""
+    import math
+
+    from database_cloner_spark.sources.bson import mongoexport_scan
+
+    p = str(tmp_path / "db" / "nums.json")
+    _write_lines(p, [
+        '{"k": 1, "ni": {"$numberInt": "-42"},'
+        ' "nd": {"$numberDouble": "2.5"},'
+        ' "dec": {"$numberDecimal": "12345.678900"},'
+        ' "its": {"$timestamp": {"t": 1709296245, "i": 7}}}',
+        '{"k": 2, "ni": {"$numberInt": "2147483647"},'
+        ' "nd": {"$numberDouble": "Infinity"},'
+        ' "dec": {"$numberDecimal": "-0.000000000000000001"},'
+        ' "its": {"$timestamp": {"t": 0, "i": 0}}}',
+        '{"k": 3, "ni": {"$numberInt": "boom"},'
+        ' "nd": {"$numberDouble": "NaN"},'
+        ' "dec": {"$numberDecimal": "1E+6000"},'
+        ' "its": {"$timestamp": {"t": 1709296245, "i": 7}}}',
+    ])
+    df = mongoexport_scan(spark, p)
+    dt = dict(df.dtypes)
+    assert dt["ni"] == "int"
+    assert dt["nd"] == "double"
+    assert dt["dec"] == "decimal(38,18)"
+    assert dt["its"] == "struct<ts:timestamp,inc:int>"
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].ni == -42 and rows[1].nd == 2.5
+    assert float(rows[1].dec) == 12345.6789
+    assert rows[1].its.inc == 7
+    assert rows[1].its.ts.strftime("%Y-%m-%dT%H:%M:%S") == (
+        "2024-03-01T12:30:45"
+    )
+    assert rows[2].ni == 2**31 - 1
+    assert rows[2].nd == float("inf")
+    assert rows[3].ni is None            # garbage int -> NULL
+    assert math.isnan(rows[3].nd)
+    assert rows[3].dec is None           # beyond decimal(38,18) -> NULL
+
+
+def test_mongoexport_decodes_wrappers_in_arrays_and_subdocs(
+    spark, tmp_path
+):
+    """Wrappers nested inside arrays decode element-wise; wrappers
+    inside genuine subdocuments decode field-wise; a NULL/absent
+    subdocument stays NULL (the struct-rebuild guard); wrapper-free
+    siblings pass through untouched."""
+    from database_cloner_spark.sources.bson import mongoexport_scan
+
+    p = str(tmp_path / "db" / "nested.json")
+    _write_lines(p, [
+        '{"k": 1,'
+        ' "tags": [{"$oid": "aaaaaaaaaaaaaaaaaaaaaaaa"},'
+        '          {"$oid": "bbbbbbbbbbbbbbbbbbbbbbbb"}],'
+        ' "times": [{"$date": "2024-03-01T12:30:45.250Z"}],'
+        ' "meta": {"seen": {"$date": {"$numberLong": "1709296245250"}},'
+        '          "n": {"$numberLong": "9007199254740993"},'
+        '          "note": "plain"},'
+        ' "plainarr": [1, 2, 3]}',
+        '{"k": 2, "tags": [], "times": [], "meta": null,'
+        ' "plainarr": []}',
+    ])
+    df = mongoexport_scan(spark, p)
+    dt = dict(df.dtypes)
+    assert dt["tags"] == "array<string>"
+    assert dt["times"] == "array<timestamp>"
+    assert dt["meta"] == "struct<n:bigint,note:string,seen:timestamp>"
+    assert dt["plainarr"] == "array<bigint>"
+    rows = {r.k: r for r in df.collect()}
+    assert rows[1].tags == [
+        "aaaaaaaaaaaaaaaaaaaaaaaa", "bbbbbbbbbbbbbbbbbbbbbbbb",
+    ]
+    assert rows[1].times[0].strftime("%H:%M:%S") == "12:30:45"
+    assert rows[1].meta.n == 9007199254740993
+    assert rows[1].meta.note == "plain"
+    assert rows[1].meta.seen.strftime("%H:%M:%S") == "12:30:45"
+    assert rows[1].plainarr == [1, 2, 3]
+    assert rows[2].tags == [] and rows[2].times == []
+    assert rows[2].meta is None          # NULL subdoc stays NULL
+
+
+def test_mongoexport_uuid_binary_subtypes(spark, tmp_path):
+    """$binary UUID payloads: subType 04 bytes are RFC big-endian;
+    subType 03 byte order is driver-dependent, so mongo_uuid_str takes
+    the convention by name. One known UUID through all three legacy
+    conventions + standard; non-16-byte blobs render NULL."""
+    import base64
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from database_cloner_spark.sources.bson import (
+        mongo_uuid_str,
+        mongoexport_scan,
+    )
+
+    u = _uuid.UUID("0123e4567-e89b-12d3-a456-426614174000".replace("0123", "123"))
+    std = base64.b64encode(u.bytes).decode()
+    java = base64.b64encode(
+        u.bytes[7::-1] + u.bytes[:7:-1]
+    ).decode()
+    csharp = base64.b64encode(u.bytes_le).decode()
+    p = str(tmp_path / "db" / "uuids.json")
+    _write_lines(p, [
+        '{"k": 1, "u": {"$binary": {"base64": "%s", "subType": "04"}}}'
+        % std,
+        '{"k": 2, "u": {"$binary": {"base64": "%s", "subType": "03"}}}'
+        % java,
+        '{"k": 3, "u": {"$binary": {"base64": "%s", "subType": "03"}}}'
+        % csharp,
+        '{"k": 4, "u": {"$binary": {"base64": "QUJD", "subType": "00"}}}',
+    ])
+    df = mongoexport_scan(spark, p)
+    rows = {
+        r.k: r
+        for r in df.select(
+            "k",
+            mongo_uuid_str(F.col("u")).alias("std"),
+            mongo_uuid_str(F.col("u"), legacy="java").alias("jv"),
+            mongo_uuid_str(F.col("u"), legacy="csharp").alias("cs"),
+        ).collect()
+    }
+    want = str(u)
+    assert rows[1].std == want
+    assert rows[2].jv == want
+    assert rows[3].cs == want
+    # wrong convention decodes to a DIFFERENT (not crashed) uuid
+    assert rows[2].std != want
+    # 3-byte blob is not a UUID -> NULL under every convention
+    assert rows[4].std is None and rows[4].jv is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mongo_uuid_str(F.col("u"), legacy="golang")
