@@ -54,10 +54,36 @@ def cached_export(
 ) -> str:
     """Return the path of a derived export of `source_path`, building it
     with `build(out_dir)` only when no complete (_SUCCESS-marked) export
-    exists for the source's current content fingerprint."""
+    exists for the source's current content fingerprint.
+
+    Concurrency-safe (r13, for the parallel suite runner and any
+    multi-process deployment): the build lands in a pid-suffixed temp
+    dir and is PUBLISHED with one atomic rename — two processes racing
+    on a cold cache each build their own copy, exactly one rename wins,
+    the loser discards its temp. A reader can never observe a
+    half-built export at the published path."""
+    import shutil
+
     key = dataset_fingerprint(source_path)
     out = os.path.join(_cache_root(), f"{prefix}_{key}")
     marker = os.path.join(out, "_SUCCESS")
-    if not os.path.exists(marker):
-        build(out)
+    if os.path.exists(marker):
+        return out
+    tmp = f"{out}.build.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build(tmp)
+    if not os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        # builders that don't write a marker (non-Spark writers) still
+        # need completion recorded for the fast path above
+        open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    # a stale UNMARKED published dir (pre-r13 partial build) blocks the
+    # rename; it is junk by definition — remove it
+    if os.path.isdir(out) and not os.path.exists(marker):
+        shutil.rmtree(out, ignore_errors=True)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)  # another builder won
     return out

@@ -585,7 +585,8 @@ def test_stateful_running_distinct_stream_equals_batch_twin(spark, tmp_path):
     assert got == want
 
 
-def _kill_restart_two_batches(spark, tmp_path, prefix, half1, half2, op):
+def _kill_restart_two_batches(spark, tmp_path, prefix, half1, half2, op,
+                              mode="update"):
     """The production failure mode of stateful streaming, as a shared
     harness (one definition for all four stateful ops — the
     _drain_two_batches lesson): batch 1 drains, the query is STOPPED, a
@@ -619,7 +620,7 @@ def _kill_restart_two_batches(spark, tmp_path, prefix, half1, half2, op):
 
         return (
             op(stream)
-            .writeStream.outputMode("update")
+            .writeStream.outputMode(mode)
             .foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -754,3 +755,178 @@ def test_stateful_running_distinct_checkpoint_kill_and_restart(spark, tmp_path):
         for r in specs()["q_win_running_distinct"].builder(spark, SF).collect()
     }
     assert got == want
+
+
+# --- r13 (VERDICT r12 item 5): kill-and-restart for the four REGISTERED
+# built-in stateful streaming keys (the custom applyInPandasWithState
+# ops got theirs in r10/commit 986c635; these are Spark's own stateful
+# operators — windowed agg, dropDuplicatesWithinWatermark, stream-stream
+# join — whose state restore path is different code and deserves its
+# own exactly-once proof).
+
+
+def _split_at_hot_pair(ev):
+    """Split the stream BETWEEN two same-user events inside one hour
+    window (the sf0.001 fixture is sparse — ~1000 events over a month —
+    so a median cut usually lands in a single-event window and nothing
+    spans the kill). Cutting at the hot pair's first event guarantees
+    both a window and a (window, user) counter straddle the restart."""
+    pairs = (
+        ev.filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("ts").alias("d"),
+            F.min("ts").alias("mn"),
+        )
+        .filter((F.col("n") >= 2) & (F.col("d") >= 2))
+        .orderBy(F.desc("n"), F.asc("mn"))
+        .limit(1)
+        .collect()
+    )
+    assert pairs, "fixture must hold a >=2-event (window, user) pair"
+    cutoff = pairs[0]["mn"]
+    half1 = ev.filter(F.col("ts").isNull() | (F.col("ts") <= F.lit(cutoff)))
+    half2 = ev.filter(F.col("ts") > F.lit(cutoff))
+    return half1, half2
+
+
+def test_stream_watermark_checkpoint_kill_and_restart(spark, tmp_path):
+    """q_stream_watermark_late's streaming form: after a kill/restart,
+    the final per-window count must equal the batch twin over the full
+    input, and the boundary window must have emitted BOTH its batch-1
+    partial and its restored-state total (the total can only come from
+    run 2 — run 1 never saw half2's rows — so its presence proves the
+    window state was restored, not refolded)."""
+    half1, half2 = _split_at_hot_pair(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckwm", half1, half2, ops.with_watermark_filter
+    )
+    emitted = {}
+    for r in rows:
+        emitted.setdefault(r.window_start, set()).add(r.n)
+    final = {w: max(ns) for w, ns in emitted.items()}
+    from database_cloner_spark.registry import specs
+
+    want = {
+        r.window_start: r.n
+        for r in specs()["q_stream_watermark_late"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert final == want
+
+    def wcounts(half):
+        return {
+            r.window_start: r.n
+            for r in ops.with_watermark_filter(half).collect()
+        }
+
+    h1, h2 = wcounts(half1), wcounts(half2)
+    spanning = [w for w in want if h1.get(w, 0) > 0 and h2.get(w, 0) > 0]
+    assert spanning, "median split must leave a window spanning the kill"
+    for w in spanning:
+        assert emitted[w] >= {h1[w], h1[w] + h2[w]}, (w, emitted[w])
+
+
+def test_stream_heavy_hitters_checkpoint_kill_and_restart(spark, tmp_path):
+    """q_stream_heavy_hitters: a user whose count crosses the
+    min_count threshold only across the restart can ONLY be emitted
+    with restored state (run 2 alone undercounts and may never promote
+    them) — so final == batch twin is itself the exactly-once proof,
+    given spanning (window, user) pairs exist (the split constructs
+    one: the hot pair contributes 1 event per half, below min_count on
+    each side alone)."""
+    half1, half2 = _split_at_hot_pair(load(spark, SF, "events"))
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckhh", half1, half2, ops.windowed_heavy_hitters
+    )
+    final = {}
+    for r in rows:
+        k = (r.window_start, r.user_id)
+        final[k] = max(final.get(k, 0), r.n)
+    from database_cloner_spark.registry import specs
+
+    want = {
+        (r.window_start, r.user_id): r.n
+        for r in specs()["q_stream_heavy_hitters"]
+        .builder(spark, SF)
+        .collect()
+    }
+    assert final == want
+
+    def wu(half):
+        out = {}
+        for r in (
+            half.filter(F.col("ts").isNotNull())
+            .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        ):
+            out[(r.w.start.strftime("%Y-%m-%d %H:%M:%S"), r.user_id)] = r.n
+        return out
+
+    h1, h2 = wu(half1), wu(half2)
+    spanning = [k for k in want if h1.get(k, 0) > 0 and h2.get(k, 0) > 0]
+    assert spanning, "median split must leave (window, user) pairs spanning the kill"
+
+
+def _mk_events(spark, rows):
+    """Synthetic events with CONTROLLED timestamps (the fixture halves
+    are right for aggregate twins, but dedup/join state eviction is
+    watermark-relative, so these tests pin event times explicitly)."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [
+            (eid, base + timedelta(minutes=m), uid, typ, 1.0, "{}")
+            for eid, m, uid, typ in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_stream_dedup_checkpoint_kill_and_restart(spark, tmp_path):
+    """q_stream_dedup's streaming form (dropDuplicatesWithinWatermark):
+    ids 2 and 3 are RE-DELIVERED after the restart (at-least-once
+    upstream, the exact failure this operator exists for). They must
+    NOT re-emit — only the restored key state can know they were seen
+    before the kill — and the new ids must emit exactly once."""
+    b1 = _mk_events(spark, [
+        (1, 0, 10, "click"), (2, 5, 11, "view"), (3, 10, 12, "click"),
+    ])
+    b2 = _mk_events(spark, [
+        (2, 5, 11, "view"), (3, 10, 12, "click"),       # re-delivered
+        (4, 20, 13, "purchase"), (5, 25, 14, "click"),  # new
+    ])
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckdd", b1, b2,
+        lambda df: ops.dedup_events(df, within_watermark=True),
+        mode="append",
+    )
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3, 4, 5], ids  # each exactly once
+
+
+def test_stream_interval_join_checkpoint_kill_and_restart(spark, tmp_path):
+    """q_stream_interval_join's streaming form: a purchase arriving
+    AFTER the restart must still pair with a click buffered BEFORE the
+    kill — only the restored join state holds that click. Expected
+    pairs: (2,1) within run 1; (4,1) across the restart; (5,3) across;
+    (7,6) within run 2. No duplicates, no misses."""
+    b1 = _mk_events(spark, [
+        (1, 0, 1, "click"), (2, 5, 1, "purchase"), (3, 8, 2, "click"),
+    ])
+    b2 = _mk_events(spark, [
+        (4, 30, 1, "purchase"),   # pairs with click 1 (30 min back)
+        (5, 35, 2, "purchase"),   # pairs with click 3
+        (6, 40, 3, "click"), (7, 50, 3, "purchase"),
+    ])
+    rows = _kill_restart_two_batches(
+        spark, tmp_path, "ckij", b1, b2,
+        ops.purchase_click_interval_join, mode="append",
+    )
+    pairs = sorted((r.purchase_id, r.click_id) for r in rows)
+    assert pairs == [(2, 1), (4, 1), (5, 3), (7, 6)], pairs
