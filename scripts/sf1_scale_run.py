@@ -33,6 +33,23 @@ from database_cloner_spark.session import get_spark  # noqa: E402
 SF01 = "/root/testdata/sf0.1"
 DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 
+# Keys whose measured ratio may exceed the ~12x criterion BY THE
+# OPERATOR'S OWN SEMANTICS, with the reason recorded next to the number
+# (the "quadratic by design -> annotate" branch of the pass criterion).
+# An unannotated key over 12x is still a defect.
+ANNOTATIONS = {
+    "q_join_interval_overlap": (
+        "overlap-pair COUNT is the operator's semantic work product and "
+        "grows ~densityA x densityB: both acctbal interval sets get 10x "
+        "denser over the FIXED [-999, 9999] value domain, so the derived "
+        "decade jump carries ~100x pairs; ~12x wall for ~100x pairs is "
+        "strongly sublinear in pair work (grid cells parallelize). At "
+        "100 TB the domain grows with the data (real corpora don't pack "
+        "10x the intervals into the same band range), which restores "
+        "linear pair growth; the grid form's replication factor stays 2."
+    ),
+}
+
 
 def default_keys(n: int = 25) -> list[str]:
     with open(DETAIL) as fh:
@@ -145,13 +162,17 @@ def main(argv: list[str]) -> None:
     # a fix must not drop the rest of the run)
     prev = detail.get("sf1_derived", {})
     merged_keys = {**prev.get("per_key", {}), **per_key}
+    over = sorted(k for k, v in merged_keys.items() if v["ratio"] > 12)
     section = {
         "sf1_dir": sf1,
         "builder": "scripts/build_sf1_derived.py",
         "criterion": "ratio <= ~12x (linear-ish) or documented",
         "per_key": merged_keys,
-        "over_12x": sorted(
-            k for k, v in merged_keys.items() if v["ratio"] > 12),
+        "over_12x": over,
+        "over_12x_annotations": {
+            k: ANNOTATIONS[k] for k in over if k in ANNOTATIONS
+        },
+        "over_12x_unannotated": [k for k in over if k not in ANNOTATIONS],
         "pipelines": pipelines or prev.get("pipelines", {}),
         "errors": {**prev.get("errors", {}), **errors},
     }
