@@ -466,6 +466,130 @@ GROUP BY albl
 """
 
 
+def _nn_local_schema(base: DataFrame) -> str:
+    """Local-NN output schema for the kNN Arrow evaluators — the label
+    type is passed through from the input (int32 in the driver
+    testdata; adversarial fixtures vary) because albl becomes the
+    query's output `label` column and blbl is compared against it.
+    avid/bvid are internal (grouping key / tie-break field) and are
+    pinned BIGINT: the evaluator works on an int64 copy anyway (pandas
+    turns a nullable int column into float64, so passing the raw dtype
+    through would emit floats when a group contains a NULL vec_id)."""
+    lbl = base.schema["label"].dataType.simpleString()
+    return (
+        f"avid BIGINT, albl {lbl}, aqe ARRAY<DOUBLE>, "
+        f"dist2 BIGINT, bvid BIGINT, blbl {lbl}"
+    )
+
+# Probe-row chunk bound for the pairwise int64 distance block: caps the
+# materialized (chunk x n_cand) matrix at ~128 MB even when a skewed
+# cell holds far more members than the adaptive target (the old JVM
+# fold streamed pairs and never materialized the matrix).
+_NN_BLOCK_ELEMS = 1 << 24
+
+
+def _nn_in_group(pdf):
+    """Per-group vectorized 1-NN (r13 optimization, guide §4.2): the
+    per-pair `_dist2` HOF fold is interpreted per element and was the
+    whole cost of both kNN keys (7.8s of q_sim_knn_agreement_bucketed's
+    8.6s at sf0.1 was the pair-scoring stage). This evaluator computes
+    the identical exact integer arithmetic in numpy int64 — per-term
+    squares reach 2^48 and sums 2^54 exactly like the LONG fold, so
+    the distances are BIT-EQUAL, not approximations.
+
+    Semantics replicated from the join + min(struct) form:
+    - probes are rows with role != 'c', candidates role != 'p';
+    - a probe never matches its own vec_id (a.vec_id != b.vec_id, which
+      also drops NULL-vec_id rows from both sides — three-valued);
+    - mixed-dimension pairs score over the shared prefix (zip_with
+      NULL-pads and padded terms count 0 == truncation to min length),
+      implemented per (probe-dim, cand-dim) block;
+    - the 1-NN is min over (dist2, bvid, blbl): candidates are sorted
+      by (vec_id, label) once — numpy str comparison is code-point
+      order == Spark's UTF8String binary order — so np.argmin's
+      first-occurrence rule IS the struct-min tie-break, merged across
+      dim blocks lexicographically by (dist2, candidate rank)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf[pdf["vec_id"].notna()]
+    roles = pdf["role"]
+    cand = pdf[roles != "p"]
+    prob = pdf[roles != "c"]
+    if len(cand) == 0 or len(prob) == 0:
+        return pd.DataFrame(
+            {
+                "avid": pd.Series(dtype="int64"),
+                "albl": prob["label"].iloc[:0],
+                "aqe": prob["qe"].iloc[:0],
+                "dist2": pd.Series(dtype="int64"),
+                "bvid": pd.Series(dtype="int64"),
+                "blbl": cand["label"].iloc[:0],
+            }
+        )
+    cand = cand.sort_values(["vec_id", "label"], kind="stable")
+    cvid = cand["vec_id"].to_numpy(np.int64)
+    clbl = cand["label"].to_numpy()
+    cq = [np.asarray(v, dtype=np.float64).astype(np.int64) for v in cand["qe"]]
+    cdim = np.fromiter((len(v) for v in cq), dtype=np.int64, count=len(cq))
+    pvid = prob["vec_id"].to_numpy(np.int64)
+    pq = [np.asarray(v, dtype=np.float64).astype(np.int64) for v in prob["qe"]]
+    pdim = np.fromiter((len(v) for v in pq), dtype=np.int64, count=len(pq))
+    sent = np.iinfo(np.int64).max
+    best_d = np.full(len(pq), sent, dtype=np.int64)
+    best_j = np.zeros(len(pq), dtype=np.int64)
+    for da in np.unique(pdim):
+        pi = np.flatnonzero(pdim == da)
+        a_full = np.stack([pq[i] for i in pi])
+        for db in np.unique(cdim):
+            ci = np.flatnonzero(cdim == db)
+            p = int(min(da, db))
+            b_t = np.stack([cq[j] for j in ci])[:, :p].T
+            q2b = np.einsum("ij,ij->j", b_t, b_t)
+            a_p = a_full[:, :p]
+            q2a = np.einsum("ij,ij->i", a_p, a_p)
+            chunk = max(1, _NN_BLOCK_ELEMS // max(1, len(ci)))
+            for s in range(0, len(pi), chunk):
+                rows = slice(s, s + chunk)
+                blk = q2a[rows, None] - 2 * (a_p[rows] @ b_t) + q2b[None, :]
+                blk[pvid[pi[rows], None] == cvid[ci][None, :]] = sent
+                lj = blk.argmin(axis=1)
+                ld = blk[np.arange(blk.shape[0]), lj]
+                gj = ci[lj]
+                gi = pi[rows]
+                upd = (ld < best_d[gi]) | (
+                    (ld == best_d[gi]) & (gj < best_j[gi])
+                )
+                best_d[gi] = np.where(upd, ld, best_d[gi])
+                best_j[gi] = np.where(upd, gj, best_j[gi])
+    ok = best_d != sent
+    bj = best_j[ok]
+    return pd.DataFrame(
+        {
+            "avid": pvid[ok],
+            "albl": prob["label"].to_numpy()[ok],
+            "aqe": prob["qe"].to_numpy()[ok],
+            "dist2": best_d[ok],
+            "bvid": cvid[bj],
+            "blbl": clbl[bj],
+        }
+    )
+
+
+def _nn_agree_rates(nn: DataFrame) -> DataFrame:
+    """Shared final aggregate: per-label agreement census over the
+    (avid, aqe, albl, nn struct) 1-NN frame."""
+    agree = F.count(
+        F.when(F.col("nn.blbl") == F.col("albl"), F.lit(1))
+    )
+    total = F.count(F.lit(1))
+    return nn.groupBy(F.col("albl").alias("label")).agg(
+        total.alias("n_eval"),
+        agree.alias("n_agree"),
+        round4_ratio(agree, total).alias("agree_rate"),
+    )
+
+
 @register("q_sim_knn_agreement", oracle=_ORACLE_KNN_AGREEMENT, tier="X")
 def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 1-NN label-agreement rate per label — the standard
@@ -474,19 +598,20 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     L2; ties broken by neighbor vec_id then label, so selection is
     bit-deterministic with no sqrt in the ORDER BY) and score whether
     the labels agree. Capped brute-force baseline (KNN_CAP on both
-    engines, q_dedup_embedding posture): the <=cap build side is
-    broadcast, the stream side spread across cores, and the scale path
-    is the IVF-cell candidate equi-join. agree_rate is a roundn_ratio
+    engines, q_dedup_embedding posture). agree_rate is a roundn_ratio
     rational of two exact counts.
 
-    The argmin is MIN over a (dist2, bvid, blbl) struct — Spark struct
-    ordering is field-lexicographic, which IS the tie-break order — so
-    the n^2 pair stream collapses map-side (partial HashAggregate on
-    the broadcast-join output) to ONE row per probe vector before any
-    exchange. The first cut ranked pairs with a ROW_NUMBER window
-    instead, which shuffled every pair WITH its qe array: 9.3-12.8s at
-    sf0.1 vs ~2s for the same fold in q_dedup_embedding; the oracle
-    keeps the ROW_NUMBER form (same total order, rn = 1 == MIN)."""
+    r13 execution rewrite (results identical, oracle unchanged): the
+    n^2 pair stream used to be a broadcast NLJ whose per-pair `_dist2`
+    HOF fold is interpreted per element — 4.3s at sf0.1 with the fold
+    >90% of it. Now probes are blocked by pmod(vec_id, parallelism),
+    candidates are replicated to every block (explode over the block
+    sequence — cap-bounded rows, so the replicated shuffle is ~tens of
+    MB), and each block computes its probes' exact 1-NN in ONE numpy
+    int64 pass (_nn_in_group; bit-equal arithmetic, see its docstring).
+    The per-block minimum is already global — every block holds ALL
+    candidates — and the final min-struct merge keeps the dup-probe
+    identity semantics (groupBy avid, aqe, albl) unchanged."""
     par = spark.sparkContext.defaultParallelism
     base = (
         load(spark, sf_dir, "embeddings")
@@ -499,30 +624,22 @@ def q_sim_knn_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "label", _qe().alias("qe"))
     )
-    a = base.repartition(par).alias("a")
-    b = F.broadcast(base).alias("b")
-    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).select(
-        F.col("a.vec_id").alias("avid"),
-        F.col("a.label").alias("albl"),
-        F.col("a.qe").alias("aqe"),
-        F.struct(
-            _dist2(F.col("a.qe"), F.col("b.qe")).alias("dist2"),
-            F.col("b.vec_id").alias("bvid"),
-            F.col("b.label").alias("blbl"),
-        ).alias("cand"),
+    probes = base.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(par)).cast("int")
+    ).withColumn("role", F.lit("p"))
+    cands = base.withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(par - 1)))
+    ).withColumn("role", F.lit("c"))
+    local = (
+        probes.unionByName(cands)
+        .repartition(par, "blk")
+        .groupBy("blk")
+        .applyInPandas(_nn_in_group, schema=_nn_local_schema(base))
     )
-    nn = pairs.groupBy("avid", "aqe", "albl").agg(
-        F.min("cand").alias("nn")
+    nn = local.groupBy("avid", "aqe", "albl").agg(
+        F.min(F.struct("dist2", "bvid", "blbl")).alias("nn")
     )
-    agree = F.count(
-        F.when(F.col("nn.blbl") == F.col("albl"), F.lit(1))
-    )
-    total = F.count(F.lit(1))
-    return nn.groupBy(F.col("albl").alias("label")).agg(
-        total.alias("n_eval"),
-        agree.alias("n_agree"),
-        round4_ratio(agree, total).alias("agree_rate"),
-    )
+    return _nn_agree_rates(nn)
 
 
 # --- q_sim_knn_agreement_bucketed ------------------------------------------
@@ -619,10 +736,19 @@ def knn_nn_bucketed(
     yields no pair and drops out of the audit (inherent to blocking —
     the recall-floor test pins how rare that is).
 
-    Both join sides pin repartition(n_cells, cell_id): candidate work
+    r13 execution rewrite (results identical, oracle unchanged): the
+    within-cell pair join + per-pair `_dist2` HOF fold was 7.8s of the
+    key's 8.6s at sf0.1 (2.25M interpreted 64-element folds). The cell
+    group now goes through ONE Arrow batch per cell (_nn_in_group):
+    numpy int64 arithmetic, bit-equal distances, candidate pairs never
+    exist as rows at all — each cell emits one local-NN row per member
+    and the cross-cell merge is the same min-struct fold.
+
+    The pair input pins repartition(n_cells, cell_id): candidate work
     scales with cell population, not bytes, so AQE's byte-based
-    coalescing is exactly wrong here (the llm/dedup.py lesson). The
-    window key uses xxhash64(qe) in place of the raw array (8-byte
+    coalescing is exactly wrong here (the llm/dedup.py lesson; the
+    groupBy reuses this exchange — same key, same partition count).
+    The window key uses xxhash64(qe) in place of the raw array (8-byte
     fixed-width sort vs 64-element array compares — the r12 bucketed-
     dedup measurement); same grouping as the oracle's PARTITION BY
     (vec_id, qe, label) up to 64-bit collisions."""
@@ -662,25 +788,15 @@ def knn_nn_bucketed(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
         .select("vec_id", "label", "qe", "cell_id")
+        .withColumn("role", F.lit("b"))
     )
-    a = asg.repartition(n_cells, "cell_id").alias("a")
-    b = asg.repartition(n_cells, "cell_id").alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.cell_id") == F.col("b.cell_id"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("avid"),
-        F.col("a.label").alias("albl"),
-        F.col("a.qe").alias("aqe"),
-        F.struct(
-            _dist2(F.col("a.qe"), F.col("b.qe")).alias("dist2"),
-            F.col("b.vec_id").alias("bvid"),
-            F.col("b.label").alias("blbl"),
-        ).alias("cand"),
+    local = (
+        asg.repartition(n_cells, "cell_id")
+        .groupBy("cell_id")
+        .applyInPandas(_nn_in_group, schema=_nn_local_schema(asg))
     )
-    return pairs.groupBy("avid", "aqe", "albl").agg(
-        F.min("cand").alias("nn")
+    return local.groupBy("avid", "aqe", "albl").agg(
+        F.min(F.struct("dist2", "bvid", "blbl")).alias("nn")
     )
 
 
@@ -701,13 +817,4 @@ def q_sim_knn_agreement_bucketed(
     search (assignment ranks included) and the agree_rate is a
     roundn_ratio rational of two exact counts. The recall floor vs the
     capped exact form is pinned in tests/test_emb_quality.py."""
-    nn = knn_nn_bucketed(load(spark, sf_dir, "embeddings"))
-    agree = F.count(
-        F.when(F.col("nn.blbl") == F.col("albl"), F.lit(1))
-    )
-    total = F.count(F.lit(1))
-    return nn.groupBy(F.col("albl").alias("label")).agg(
-        total.alias("n_eval"),
-        agree.alias("n_agree"),
-        round4_ratio(agree, total).alias("agree_rate"),
-    )
+    return _nn_agree_rates(knn_nn_bucketed(load(spark, sf_dir, "embeddings")))

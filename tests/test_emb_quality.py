@@ -285,3 +285,83 @@ def test_knn_bucketed_agreement_tracks_exact(spark):
         assert abs(b["agree_rate"] - e["agree_rate"]) <= 0.06, (
             lbl, e["agree_rate"], b["agree_rate"],
         )
+
+
+# --- _nn_in_group (r13 vectorized 1-NN evaluator) ---------------------------
+
+
+def test_nn_in_group_tiebreak_mixed_dims_and_null_vid():
+    """Pure-pandas pin of the Arrow evaluator's replicated semantics
+    (no Spark needed): struct-min tie-break order (dist2, then bvid,
+    then blbl), shared-prefix scoring for mixed-dimension pairs
+    (zip_with NULL-pad == truncation to min length), NULL vec_id rows
+    excluded from BOTH sides (three-valued a.vec_id != b.vec_id), and
+    self-exclusion across duplicate vec_id rows."""
+    import pandas as pd
+
+    from database_cloner_spark.queries.emb_quality import _nn_in_group
+
+    rows = pd.DataFrame(
+        {
+            # probe 1 at [0,0]: candidates 2 and 3 both at dist2=1 —
+            # tie on dist2 -> min bvid (2). candidate 2 appears TWICE
+            # (dup vec_id, different label) at the same point: tie on
+            # (dist2, bvid) -> min blbl ("a").
+            # probe 9 has dim 3: vs dim-2 candidates only the shared
+            # 2-element prefix scores (so cand 2 at prefix-dist2 1).
+            # vec_id NULL row: never a probe, never a candidate.
+            "vec_id": [1, 2, 2, 3, 9, None],
+            "label": ["a", "b", "a", "a", "a", "a"],
+            "qe": [
+                [0.0, 0.0],
+                [1.0, 0.0],
+                [1.0, 0.0],
+                [0.0, 1.0],
+                [1.0, 0.0, 5.0],
+                [0.0, 0.0],
+            ],
+            "role": ["b"] * 6,
+        }
+    )
+    out = _nn_in_group(rows).set_index(["avid", "albl"])
+    # probe 1: dist2 tie (cands 2,2,3 all at 1) -> bvid 2 -> blbl "a"
+    assert tuple(out.loc[(1, "a")][["dist2", "bvid", "blbl"]]) == (1, 2, "a")
+    # probe 9 (dim 3): cand 2 at shared-prefix dist2 0 beats everything
+    assert tuple(out.loc[(9, "a")][["dist2", "bvid", "blbl"]]) == (0, 2, "a")
+    # the dup-vec_id probes exclude each OTHER (same vec_id) — their
+    # NN is the dim-3 vec 9, whose shared 2-element prefix [1,0] sits
+    # at dist2 0 from them
+    assert tuple(out.loc[(2, "b")][["dist2", "bvid", "blbl"]]) == (0, 9, "a")
+    # NULL vec_id emitted nothing
+    assert len(out) == 5
+
+
+def test_nn_in_group_roles_split_probe_and_candidate_sides():
+    """Role semantics for the blocked exact form: 'p' rows are scored,
+    'c' rows are only candidates, and a probe whose only candidates
+    share its vec_id gets no output row."""
+    import pandas as pd
+
+    from database_cloner_spark.queries.emb_quality import _nn_in_group
+
+    rows = pd.DataFrame(
+        {
+            "vec_id": [1, 1, 2],
+            "label": ["a", "a", "b"],
+            "qe": [[0.0, 0.0], [3.0, 4.0], [1.0, 0.0]],
+            "role": ["p", "c", "c"],
+        }
+    )
+    out = _nn_in_group(rows)
+    # probe 1 skips the role-c row with vec_id 1 and picks vec 2
+    assert len(out) == 1 and out.iloc[0]["bvid"] == 2
+    assert out.iloc[0]["dist2"] == 1
+    only_self = pd.DataFrame(
+        {
+            "vec_id": [1, 1],
+            "label": ["a", "a"],
+            "qe": [[0.0, 0.0], [3.0, 4.0]],
+            "role": ["p", "c"],
+        }
+    )
+    assert len(_nn_in_group(only_self)) == 0

@@ -331,29 +331,31 @@ def test_emb_quality_tier_plan_shapes(spark):
     assert plan.rindex("partial_count") > plan.rindex("Window ["), plan
 
     plan = _plan(spark, "q_sim_knn_agreement")
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    # r13 vectorized form: NO pair join at all — probes blocked by
+    # pmod(vec_id, par), candidates replicated per block, and the whole
+    # n^2 scoring runs inside ONE Arrow evaluator per block.
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
 def test_knn_agreement_bucketed_plans_cell_equi_join(spark):
-    """q_sim_knn_agreement_bucketed (r13, the scale twin): the ONLY
-    BNLJ sides are the two broadcast centroid-seed frames (one per
-    self-join branch — clamp-bounded, never the corpus); the candidate
-    pair join is an EQUI-join on cell_id (hash/SMJ — the naive theta
-    form is n^2); the nprobe rank filter pushes map-side as a
-    WindowGroupLimit below the window exchange; and the 1-NN min-struct
-    fold aggregates PARTIAL map-side, so no pair row ever rides an
-    exchange (the q_sim_knn_agreement fold, now behind a cell join)."""
+    """q_sim_knn_agreement_bucketed (r13, the scale twin; vectorized in
+    the r13 optimization round): the ONLY BNLJ side is the broadcast
+    centroid-seed frame (clamp-bounded, never the corpus) feeding the
+    assignment; the nprobe rank filter pushes map-side as a
+    WindowGroupLimit below the window exchange; the within-cell pair
+    scoring runs in ONE Arrow evaluator per cell (FlatMapGroupsInPandas
+    — candidate pairs never exist as rows); and the cross-cell 1-NN
+    merge is a partial+final min-struct aggregate, so at most one
+    local-NN row per (member, cell) ever rides an exchange."""
     plan = _plan(spark, "q_sim_knn_agreement_bucketed")
-    assert plan.count("BroadcastNestedLoopJoin") == 2, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
-    assert ("SortMergeJoin [cell_id" in plan
-            or "ShuffledHashJoin [cell_id" in plan), plan
+    assert "FlatMapGroupsInPandas" in plan, plan
     assert "WindowGroupLimit" in plan, plan
-    # partial min(cand) sits BELOW (after, in DFS print order) the
-    # probe-identity exchange: the deepest aggregate over cand must be
-    # a partial one (its print carries the normalized grouping key).
-    assert plan.count("min(cand") == 2, plan  # partial + final
+    # the cross-cell merge aggregates partially map-side: partial+final
+    assert plan.count("min(") >= 2, plan
 
 
 def test_interval_overlap_key_plans_equi_join(spark):
