@@ -584,39 +584,146 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text")
 from database_cloner_spark.functions.vector import dot as _dot  # noqa: E402
 
 
+def _cos_pair_schema(embs: DataFrame) -> str:
+    """Survivor-pair output schema for the cosine Arrow evaluators —
+    vec_id's type passes through from the input (the old join form
+    emitted it untouched)."""
+    vid = embs.schema["vec_id"].dataType.simpleString()
+    return f"vec_a {vid}, vec_b {vid}, cosine DOUBLE"
+
+
+# Pair-chunk bound for the ordered-fold product matrix: (chunk x dim)
+# float64 stays ~128 MB even in a pathological skewed cell.
+_COS_CHUNK_ELEMS = 1 << 24
+
+
+def _cos_pairs_in_group(threshold: float):
+    """Vectorized within-group cosine pair scoring (r13 optimization,
+    guide §4.2). Emits exactly the SURVIVING pairs (vec_a < vec_b,
+    cosine >= threshold under Spark's NaN-greatest comparison) with the
+    BIT-IDENTICAL cosine of the old per-pair JVM fold:
+
+    - products x_f64 * y_f64 and the left-to-right fold are replicated
+      by elementwise float64 multiply + np.add.accumulate (verified
+      bit-equal to the zip_with/aggregate fold — same IEEE ops in the
+      same order; the fold's 0.0 seed can only differ on the sign of a
+      zero dot, and a ±0.0 cosine never survives the threshold);
+    - norms are the same fold over squares + one correctly-rounded
+      sqrt, recomputed per row exactly like the carried `nrm` column
+      was built;
+    - try_divide's divide-by-zero NULL = the den != 0 mask (a NaN/Inf
+      denominator is NOT zero: 0*Inf = NaN survives as a NaN cosine,
+      exactly like the JVM path);
+    - mixed-dimension pairs fold to NULL (zip_with pads with NULL), so
+      only same-dim blocks are scored; rows with a NULL element or a
+      NULL vector can never survive (NULL dot) and are dropped up
+      front — the has_null flag is computed JVM-side because Arrow
+      transport folds NULL list elements into NaN, which has DIFFERENT
+      semantics (NaN survives);
+    - role 'p' rows are probe-only, 'c' candidate-only, 'b' both (the
+      capped brute form replicates candidates per probe block; the
+      bucketed form groups by cell)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf[
+            pdf["vec_id"].notna() & pdf["v"].notna() & ~pdf["has_null"]
+        ]
+        roles = pdf["role"]
+        prob = pdf[roles != "c"]
+        cand = pdf[roles != "p"]
+        out = {"vec_a": [], "vec_b": [], "cosine": []}
+        if len(prob) and len(cand):
+            pvid = prob["vec_id"].to_numpy(np.int64)
+            cvid = cand["vec_id"].to_numpy(np.int64)
+            pv = [np.asarray(x, dtype=np.float64) for x in prob["v"]]
+            cv = [np.asarray(x, dtype=np.float64) for x in cand["v"]]
+            pdim = np.fromiter((len(x) for x in pv), np.int64, len(pv))
+            cdim = np.fromiter((len(x) for x in cv), np.int64, len(cv))
+            for d in np.intersect1d(np.unique(pdim), np.unique(cdim)):
+                if d == 0:
+                    # empty x empty folds to dot 0.0 with norm 0 ->
+                    # try_divide NULL -> never survives
+                    continue
+                pi = np.flatnonzero(pdim == d)
+                ci = np.flatnonzero(cdim == d)
+                a = np.stack([pv[i] for i in pi])
+                b = np.stack([cv[j] for j in ci])
+                na = np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1])
+                nb = np.sqrt(np.add.accumulate(b * b, axis=1)[:, -1])
+                ii, jj = np.nonzero(pvid[pi][:, None] < cvid[ci][None, :])
+                chunk = max(1, _COS_CHUNK_ELEMS // max(1, int(d)))
+                for s in range(0, len(ii), chunk):
+                    isel, jsel = ii[s : s + chunk], jj[s : s + chunk]
+                    dots = np.add.accumulate(
+                        a[isel] * b[jsel], axis=1
+                    )[:, -1]
+                    den = na[isel] * nb[jsel]
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = dots / den
+                    keep = (den != 0) & ((cos >= threshold) | np.isnan(cos))
+                    out["vec_a"].append(pvid[pi[isel[keep]]])
+                    out["vec_b"].append(cvid[ci[jsel[keep]]])
+                    out["cosine"].append(cos[keep])
+        cat = {
+            k: (np.concatenate(v) if v else np.array([], dtype=np.float64))
+            for k, v in out.items()
+        }
+        return pd.DataFrame(cat)
+
+    return fn
+
+
+def _with_has_null(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """JVM-side NULL-element flag (two-valued): Arrow transport folds a
+    NULL list element into NaN, but NULL and NaN have different pair
+    semantics (NULL dot never survives; NaN survives NaN-greatest)."""
+    return df.withColumn(
+        "has_null",
+        F.coalesce(
+            F.exists(F.col(vec_col), lambda x: x.isNull()), F.lit(False)
+        ),
+    )
+
+
 def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.35) -> DataFrame:
     """Semantic near-dups: cosine >= threshold over normalized vectors.
     Brute-force all-pairs here (correctness baseline) — callers MUST cap
-    the input (n² pairs; the registered query caps at EMB_BRUTE_CAP, and
-    the build side is broadcast on that assumption); the scale path is
-    the IVF/LSH bucketing in llm/similarity.py — join within buckets
-    instead of the full cross product."""
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    e = embs.select(
-        "vec_id", F.col("embedding").alias("v"), norm.alias("nrm")
-    )
-    # The capped input usually arrives as ONE file split, and the
-    # nested-loop pair join inherits the stream side's partitioning —
-    # leaving the per-pair cosine fold (the dominant cost: HOFs are
-    # interpreted, ~10µs/pair at dim 64) on a single core. Spreading
-    # the ≤cap-row stream side across the cluster parallelizes the
-    # n²/2 fold evaluations for free (measured at sf0.1: 24.4s → <2s
-    # on 32 cores). The build side is explicitly broadcast: it is
-    # bounded by the caller's cap (≤4096 rows ≈ 2 MB), never corpus-
-    # sized.
+    the input (n² pairs; the registered query caps at EMB_BRUTE_CAP),
+    the scale path is the IVF bucketing below.
+
+    r13 execution rewrite (results identical): the broadcast NLJ whose
+    per-pair cosine fold is interpreted (~µs/pair at dim 64; 2M pairs
+    at sf0.1) is replaced by probe blocks — pmod(vec_id, parallelism)
+    — with the cap-bounded candidate side replicated per block, each
+    block scoring its pairs in ONE numpy pass with the bit-identical
+    ordered fold (_cos_pairs_in_group)."""
     par = embs.sparkSession.sparkContext.defaultParallelism
-    a = e.repartition(par).alias("a")
-    b = F.broadcast(e).alias("b")
-    cos = F.try_divide(_dot(F.col("a.v"), F.col("b.v")), F.col("a.nrm") * F.col("b.nrm"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round("cosine", 4).alias("cosine"),
+    e = _with_has_null(
+        embs.select("vec_id", F.col("embedding").alias("v")), "v"
+    )
+    probes = e.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(par)).cast("int")
+    ).withColumn("role", F.lit("p"))
+    cands = e.withColumn(
+        "blk", F.explode(F.sequence(F.lit(0), F.lit(par - 1)))
+    ).withColumn("role", F.lit("c"))
+    pairs = (
+        probes.unionByName(cands)
+        .repartition(par, "blk")
+        .groupBy("blk")
+        .applyInPandas(
+            _cos_pairs_in_group(threshold), schema=_cos_pair_schema(embs)
         )
+    )
+    # pandas->Arrow folds a NaN cosine into NULL (NaN is pandas' null
+    # sentinel for floats); the evaluator never emits NULL otherwise,
+    # so coalesce restores the surviving NaN cosines exactly.
+    cos = F.coalesce(F.col("cosine"), F.lit(float("nan")))
+    return pairs.select(
+        "vec_a", "vec_b", F.round(cos, 4).alias("cosine")
     )
 
 
@@ -714,34 +821,41 @@ def embedding_neardup_bucketed(
     w = W.partitionBy("vec_id", F.xxhash64("embedding")).orderBy(
         F.desc("sim"), F.asc("cell_id")
     )
-    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    # r13 execution rewrite (results identical, oracle unchanged): the
+    # within-cell self-join + per-pair interpreted cosine fold (2.25M
+    # folds at sf0.1 — 6.6s of the key) is replaced by ONE numpy pass
+    # per cell (_cos_pairs_in_group): the same float64 products and the
+    # same left-to-right fold via np.add.accumulate, so every surviving
+    # cosine is BIT-EQUAL to the brute-force baseline (the recall
+    # tests' exact-equality contract holds); norms are recomputed
+    # inside with the identical fold the carried `nrm` column used.
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= nprobe)
-        .select("cell_id", "vec_id", "embedding", nrm.alias("nrm"))
-        # the cell is the parallel unit; see docstring cost rule 2
-        .repartition(n_cells, "cell_id")
+        .select("cell_id", "vec_id", F.col("embedding").alias("v"))
+        .withColumn("role", F.lit("b"))
     )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    # same expression shape as embedding_neardup_pairs: bit-identical
-    # cosines to the brute-force baseline (fold order + division)
-    cos = F.try_divide(
-        _dot(F.col("a.embedding"), F.col("b.embedding")),
-        F.col("a.nrm") * F.col("b.nrm"),
+    local = (
+        # the cell is the parallel unit; see docstring cost rule 2
+        # (the groupBy reuses this exchange — same key, same count)
+        _with_has_null(assigned, "v")
+        .repartition(n_cells, "cell_id")
+        .groupBy("cell_id")
+        .applyInPandas(
+            _cos_pairs_in_group(threshold), schema=_cos_pair_schema(embs)
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("a.cell_id") == F.col("b.cell_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            "cosine",
+        # pandas->Arrow folds a NaN cosine into NULL (NaN is pandas'
+        # null sentinel for floats); the evaluator never emits NULL
+        # otherwise, so coalesce restores the surviving NaNs before
+        # the max (NaN-greatest, as the join form aggregated them).
+        local.select(
+            "vec_a",
+            "vec_b",
+            F.coalesce(F.col("cosine"), F.lit(float("nan"))).alias(
+                "cosine"
+            ),
         )
         # max(), not dropDuplicates: multi-assignment re-derives the
         # SAME cosine in every shared cell, but a duplicated vec_id

@@ -935,3 +935,49 @@ def test_ed1_uncapped_posting_guard_fires_loudly(spark, monkeypatch):
     ).count() == 3
     # capped path never hits the guard branch at all
     assert dedup.edit_distance1_pairs(hot, "k", "s", max_df=5).count() == 0
+
+
+def test_cos_pairs_in_group_edge_semantics():
+    """Pure-pandas pin of the r13 vectorized cosine-pair evaluator
+    (llm/dedup._cos_pairs_in_group): replicates the JVM pair join's
+    edge rules — NaN cosines SURVIVE (Spark NaN-greatest >=), a zero
+    denominator is try_divide NULL (dropped), NULL-element rows fold
+    to NULL (dropped, via the JVM-computed has_null flag), mixed-dim
+    pairs fold to NULL (dropped), and only vec_a < vec_b pairs emit."""
+    import math
+
+    import pandas as pd
+
+    from database_cloner_spark.llm.dedup import _cos_pairs_in_group
+
+    fn = _cos_pairs_in_group(0.35)
+    rows = pd.DataFrame(
+        {
+            #  1,2: identical unit vectors  -> cosine 1.0 survives
+            #  3: NaN element               -> NaN cosine vs 1/2: kept
+            #  4: zero vector               -> den 0 -> dropped
+            #  5: dim-3 vector              -> mixed-dim vs all: dropped
+            #  6: has_null                  -> dropped entirely
+            "vec_id": [1, 2, 3, 4, 5, 6],
+            "v": [
+                [1.0, 0.0],
+                [1.0, 0.0],
+                [float("nan"), 1.0],
+                [0.0, 0.0],
+                [1.0, 0.0, 0.0],
+                [1.0, 0.0],
+            ],
+            "has_null": [False] * 5 + [True],
+            "role": ["b"] * 6,
+        }
+    )
+    out = fn(rows)
+    got = {
+        (int(a), int(b)): c
+        for a, b, c in zip(out["vec_a"], out["vec_b"], out["cosine"])
+    }
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (3, 4)}
+    assert got[(1, 2)] == 1.0
+    # NaN survives against BOTH unit vectors and the zero vector
+    # ((3,4): den = nan*0 = nan != 0, cos nan)
+    assert all(math.isnan(got[k]) for k in [(1, 3), (2, 3), (3, 4)])
