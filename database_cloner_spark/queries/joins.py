@@ -818,6 +818,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull()
     )
+    # r13 optimization (guide §2.3, narrower types): the iterations used
+    # to shuffle 'c:<id>'/'s:<id>' STRING vertex ids through every
+    # groupBy/join (x5 iterations); the bipartite sides now pack into
+    # one BIGINT (customer 2k, supplier 2k+1 — collision-free, both key
+    # columns are int64 in every fixture incl. the adversarial twins),
+    # and the display string is reconstructed map-side only for the
+    # final top-k sort. Same vertices, same edges, same ranks — the
+    # oracle is unchanged and replays the string form.
     cs = (
         o.select("o_orderkey", "o_custkey")
         .join(
@@ -825,8 +833,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             o["o_orderkey"] == F.col("l_orderkey"),
         )
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -834,8 +842,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
     ranks = _pagerank_ranks(edges, iters=5)
+    vertex = F.expr(
+        "CASE WHEN src % 2 = 0 THEN concat('c:', src div 2) "
+        "ELSE concat('s:', (src - 1) div 2) END"
+    )
     out = ranks.select(
-        F.col("src").alias("vertex"),
+        vertex.alias("vertex"),
         F.col("rank").alias("pagerank_fp"),
         F.col("deg").cast("long").alias("degree"),
     )
