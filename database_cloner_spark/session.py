@@ -38,6 +38,21 @@ def get_spark(app_name: str = "database_cloner_spark", cpus: str | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # r13 optimization-round A/B (guide §3.1/§9): let the planner
+        # pick shuffled-hash over sort-merge when its size conditions
+        # hold — skips both sort passes on shuffle joins. Measured on
+        # the full 230-key sweep at sf0.1: 169.3s -> 161.2s, with the
+        # join-heavy families (pagerank, dq_*, cluster/star rounds)
+        # improving and no isolated regression attributable to the
+        # flag (the sweep's apparent PQ regressions re-measured as box
+        # noise under interleaved isolated A/B). Scale posture: this is
+        # planner ELIGIBILITY, not a forced hint — per-partition build
+        # sides must still pass Spark's size checks, and AQE skew
+        # splitting stays on; env-overridable for cluster tuning.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         # Driver testdata stores events.ts as TIMESTAMP(NANOS), which Spark's
         # parquet reader rejects. Read nanos as raw longs; sources/parquet.py
         # converts them back to timestamps (footer-driven, lossless at us).
