@@ -653,19 +653,44 @@ def _cos_pairs_in_group(threshold: float):
                 b = np.stack([cv[j] for j in ci])
                 na = np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1])
                 nb = np.sqrt(np.add.accumulate(b * b, axis=1)[:, -1])
-                ii, jj = np.nonzero(pvid[pi][:, None] < cvid[ci][None, :])
-                chunk = max(1, _COS_CHUNK_ELEMS // max(1, int(d)))
-                for s in range(0, len(ii), chunk):
-                    isel, jsel = ii[s : s + chunk], jj[s : s + chunk]
-                    dots = np.add.accumulate(
-                        a[isel] * b[jsel], axis=1
-                    )[:, -1]
-                    den = na[isel] * nb[jsel]
+                # BLAS pre-prune (r13, after the sf1 decade-jump run
+                # showed the exact fold over ALL pairs dominating): a
+                # float64 dot under ANY summation order differs from
+                # the sequential fold by <= 2(d-1)·2^-53·Σ|a_i b_i|,
+                # and Σ|a_i b_i| <= ‖a‖‖b‖ (Cauchy–Schwarz), so
+                # |Δcosine| <= ~1.4e-14 for every finite pair. Pairs
+                # with BLAS cosine below threshold − 1e-6 are therefore
+                # PROVABLY below threshold under the exact fold and are
+                # dropped without folding; every survivor/borderline/
+                # non-finite pair still gets the bit-exact sequential
+                # fold, which alone decides survival and the emitted
+                # value. The matmul is row-chunked so the score block
+                # stays bounded for a pathological skewed cell.
+                vmask = pvid[pi][:, None] < cvid[ci][None, :]
+                bt = b.T
+                rowchunk = max(1, _COS_CHUNK_ELEMS // max(1, len(ci)))
+                for s in range(0, len(pi), rowchunk):
+                    rows = slice(s, s + rowchunk)
+                    with np.errstate(
+                        divide="ignore", invalid="ignore", over="ignore"
+                    ):
+                        ac = (a[rows] @ bt) / (
+                            na[rows, None] * nb[None, :]
+                        )
+                        m = vmask[rows] & (
+                            ~np.isfinite(ac) | (ac >= threshold - 1e-6)
+                        )
+                    ii, jj = np.nonzero(m)
+                    if not len(ii):
+                        continue
+                    ii = ii + s
+                    dots = np.add.accumulate(a[ii] * b[jj], axis=1)[:, -1]
+                    den = na[ii] * nb[jj]
                     with np.errstate(divide="ignore", invalid="ignore"):
                         cos = dots / den
                     keep = (den != 0) & ((cos >= threshold) | np.isnan(cos))
-                    out["vec_a"].append(pvid[pi[isel[keep]]])
-                    out["vec_b"].append(cvid[ci[jsel[keep]]])
+                    out["vec_a"].append(pvid[pi[ii[keep]]])
+                    out["vec_b"].append(cvid[ci[jj[keep]]])
                     out["cosine"].append(cos[keep])
         cat = {
             k: (np.concatenate(v) if v else np.array([], dtype=np.float64))
