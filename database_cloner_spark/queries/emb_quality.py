@@ -576,6 +576,118 @@ def _nn_in_group(pdf):
     )
 
 
+def _knn_assign_schema(base: DataFrame) -> str:
+    """Assignment-evaluator output schema (label type passed through,
+    like _nn_local_schema)."""
+    lbl = base.schema["label"].dataType.simpleString()
+    return f"vec_id BIGINT, label {lbl}, qe ARRAY<DOUBLE>, cell_id BIGINT"
+
+
+def _knn_assign_in_group(nprobe: int):
+    """Vectorized nprobe-cell assignment (r13, the sf1 follow-up to the
+    pair-evaluator rewrite): the n × n_cells centroid scoring used to
+    be a BNLJ cross join evaluating the interpreted `_dist2` fold per
+    (vector, cell), plus a window rank — with the adaptive cell count
+    (n_cells ∝ n) that term is quadratic in corpus size and became the
+    key's dominant cost at the sf1 decade jump once pair scoring was
+    vectorized. Each block now scores its members against ALL centroids
+    in one numpy int64 pass (exact — same 2^54-bounded integer grid as
+    `_nn_in_group`) and emits each member's nprobe cells directly.
+
+    Window semantics replicated exactly:
+    - probe identity is (vec_id, qe, label): duplicate identities MERGE
+      into one ranked stream of k copies of each cell's score, so a
+      k-duplicated probe gets cells[j // k] for j < nprobe (the oracle's
+      PARTITION BY q.vec_id, q.qe, q.label — this exact grouping, finer
+      than the engine's old xxhash64(qe) stand-in only past 64-bit
+      collisions);
+    - order is (dist2 ASC, cell_id ASC): centroids are pre-sorted by
+      cell_id, so a STABLE argsort on dist2 is the full tie-break
+      (dist2 is never NULL — mixed dims score the shared prefix);
+    - NULL vec_id members drop (they are pair-invisible downstream:
+      every a.vec_id <> b.vec_id comparison is three-valued)."""
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cents = pdf[pdf["role"] == "c"]
+        mems = pdf[(pdf["role"] == "m") & pdf["vec_id"].notna()]
+        if len(cents) == 0 or len(mems) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series(dtype="int64"),
+                    "label": mems["label"].iloc[:0],
+                    "qe": mems["qe"].iloc[:0],
+                    "cell_id": pd.Series(dtype="int64"),
+                }
+            )
+        cents = cents.sort_values("cell_id", kind="stable")
+        cid = cents["cell_id"].to_numpy(np.int64)
+        cq = [np.asarray(v, np.float64).astype(np.int64) for v in cents["qe"]]
+        cdim = np.fromiter((len(v) for v in cq), np.int64, len(cq))
+        mvid = mems["vec_id"].to_numpy(np.int64)
+        mlbl = mems["label"].to_numpy()
+        mqe = list(mems["qe"])
+        mq = [np.asarray(v, np.float64).astype(np.int64) for v in mqe]
+        mdim = np.fromiter((len(v) for v in mq), np.int64, len(mq))
+        # merge duplicate probe identities: representative row + count
+        ident = pd.DataFrame(
+            {
+                "vid": mvid,
+                "lbl": mlbl,
+                "kb": [q.tobytes() for q in mq],
+                "dim": mdim,
+            }
+        )
+        reps, ks = [], []
+        for pos in ident.groupby(
+            ["vid", "lbl", "kb"], sort=False
+        ).indices.values():
+            reps.append(pos[0])
+            ks.append(len(pos))
+        reps = np.asarray(reps)
+        ks = np.asarray(ks)
+        d2 = np.empty((len(reps), len(cq)), dtype=np.int64)
+        rdim = mdim[reps]
+        for da in np.unique(rdim):
+            ri = np.flatnonzero(rdim == da)
+            a_full = np.stack([mq[reps[i]] for i in ri])
+            for db in np.unique(cdim):
+                cj = np.flatnonzero(cdim == db)
+                p = int(min(da, db))
+                b_t = np.stack([cq[j] for j in cj])[:, :p].T
+                q2b = np.einsum("ij,ij->j", b_t, b_t)
+                a_p = a_full[:, :p]
+                q2a = np.einsum("ij,ij->i", a_p, a_p)
+                d2[np.ix_(ri, cj)] = (
+                    q2a[:, None] - 2 * (a_p @ b_t) + q2b[None, :]
+                )
+        # stable argsort on dist2 == (dist2 asc, cell_id asc): columns
+        # are already in cell_id order
+        top = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
+        out_v, out_l, out_q, out_c = [], [], [], []
+        for r in range(len(reps)):
+            k = int(ks[r])
+            n_emit = min(nprobe, k * len(cq))
+            cells = [int(cid[top[r, j // k]]) for j in range(n_emit)]
+            i0 = reps[r]
+            out_v.extend([mvid[i0]] * n_emit)
+            out_l.extend([mlbl[i0]] * n_emit)
+            out_q.extend([mqe[i0]] * n_emit)
+            out_c.extend(cells)
+        return pd.DataFrame(
+            {
+                "vec_id": np.asarray(out_v, dtype=np.int64),
+                "label": out_l,
+                "qe": out_q,
+                "cell_id": np.asarray(out_c, dtype=np.int64),
+            }
+        )
+
+    return fn
+
+
 def _nn_agree_rates(nn: DataFrame) -> DataFrame:
     """Shared final aggregate: per-label agreement census over the
     (avid, aqe, albl, nn struct) 1-NN frame."""
@@ -769,25 +881,31 @@ def knn_nn_bucketed(
         embs.filter(F.col("label").isNotNull() & scor)
         .select("vec_id", "label", _qe().alias("qe"))
     )
-    cents = F.broadcast(
-        embs.filter((F.col("vec_id") < n_cells) & scor).select(
-            F.col("vec_id").alias("cell_id"), _qe().alias("cq")
-        )
-    )
-    scored = spread(base).crossJoin(cents).select(
+    lbl_t = base.schema["label"].dataType.simpleString()
+    par = embs.sparkSession.sparkContext.defaultParallelism
+    mem = base.select(
         "vec_id",
         "label",
         "qe",
-        "cell_id",
-        _dist2(F.col("qe"), F.col("cq")).alias("cdist"),
+        F.lit(None).cast("long").alias("cell_id"),
+        F.pmod(F.col("vec_id"), F.lit(par)).cast("int").alias("blk"),
+        F.lit("m").alias("role"),
     )
-    w = W.partitionBy("vec_id", F.xxhash64("qe"), "label").orderBy(
-        F.asc("cdist"), F.asc("cell_id")
+    cts = embs.filter((F.col("vec_id") < n_cells) & scor).select(
+        F.lit(None).cast("long").alias("vec_id"),
+        F.lit(None).cast(lbl_t).alias("label"),
+        _qe().alias("qe"),
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(par - 1))).alias("blk"),
+        F.lit("c").alias("role"),
     )
     asg = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "label", "qe", "cell_id")
+        mem.unionByName(cts)
+        .repartition(par, "blk")
+        .groupBy("blk")
+        .applyInPandas(
+            _knn_assign_in_group(nprobe), schema=_knn_assign_schema(base)
+        )
         .withColumn("role", F.lit("b"))
     )
     local = (
