@@ -860,12 +860,10 @@ def knn_nn_bucketed(
     scales with cell population, not bytes, so AQE's byte-based
     coalescing is exactly wrong here (the llm/dedup.py lesson; the
     groupBy reuses this exchange — same key, same partition count).
-    The window key uses xxhash64(qe) in place of the raw array (8-byte
-    fixed-width sort vs 64-element array compares — the r12 bucketed-
-    dedup measurement); same grouping as the oracle's PARTITION BY
-    (vec_id, qe, label) up to 64-bit collisions."""
-    from database_cloner_spark.functions.partitioning import spread
-
+    Assignment ranking happens inside _knn_assign_in_group with exact
+    (vec_id, qe, label) byte-identity grouping and a stable argsort on
+    dist2 over cell_id-sorted centroids (== the oracle's ORDER BY dist2
+    ASC, cell_id ASC) — no window, no BNLJ cross in the plan."""
     if n_cells is None:
         n = embs.count()
         n_cells = max(

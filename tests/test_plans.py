@@ -340,20 +340,20 @@ def test_emb_quality_tier_plan_shapes(spark):
 
 
 def test_knn_agreement_bucketed_plans_cell_equi_join(spark):
-    """q_sim_knn_agreement_bucketed (r13, the scale twin; vectorized in
-    the r13 optimization round): the ONLY BNLJ side is the broadcast
-    centroid-seed frame (clamp-bounded, never the corpus) feeding the
-    assignment; the nprobe rank filter pushes map-side as a
-    WindowGroupLimit below the window exchange; the within-cell pair
-    scoring runs in ONE Arrow evaluator per cell (FlatMapGroupsInPandas
-    — candidate pairs never exist as rows); and the cross-cell 1-NN
-    merge is a partial+final min-struct aggregate, so at most one
-    local-NN row per (member, cell) ever rides an exchange."""
+    """q_sim_knn_agreement_bucketed (r13, the scale twin; fully
+    vectorized in the r13 optimization round): NO nested-loop join at
+    all — centroid assignment replicates the clamp-bounded centroid
+    frame into per-block groups and scores members against all
+    centroids inside one Arrow evaluator (no BNLJ cross, no window
+    rank), and the within-cell pair scoring runs in ONE Arrow evaluator
+    per cell — so the plan has exactly 2 FlatMapGroupsInPandas and
+    candidate pairs never exist as rows; the cross-cell 1-NN merge is a
+    partial+final min-struct aggregate, so at most one local-NN row per
+    (member, cell) ever rides an exchange."""
     plan = _plan(spark, "q_sim_knn_agreement_bucketed")
-    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
-    assert "FlatMapGroupsInPandas" in plan, plan
-    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 2, plan
     # the cross-cell merge aggregates partially map-side: partial+final
     assert plan.count("min(") >= 2, plan
 
