@@ -107,22 +107,127 @@ _ROTATION_PRIORITY = [
 ]
 
 
-def sig_of(builder_src: str, oracle: str | None) -> str:
-    """Content signature over (builder source, oracle SQL). The ledger
-    stores the signature captured when a key's driver row was merged;
-    a mismatch against the CURRENT code means the key was edited after
-    its green row and must re-earn driver verification ahead of
-    unchanged keys (VERDICT r10 item 3: green-at-some-round is not
-    green-as-currently-written). Deliberately scoped to the registered
-    builder + oracle text — a helper-module edit is invisible to it
-    (the local full-registry parity run covers that class every round).
+def sig_of(
+    builder_src: str, oracle: str | None, helpers: list[str] | None = None
+) -> str:
+    """Content signature over (builder source, oracle SQL, transitive
+    helper sources). The ledger stores the signature captured when a
+    key's driver row was merged; a mismatch against the CURRENT code
+    means the key was edited after its green row and must re-earn
+    driver verification ahead of unchanged keys (VERDICT r10 item 3:
+    green-at-some-round is not green-as-currently-written).
+
+    `helpers` closes the r13 helper-module hole (VERDICT r13 item 3:
+    the llm/dedup.py evaluator rewrite did not bump the
+    q_dedup_embedding* sigs, so the round's second-biggest behavioral
+    rewrite never re-entered the driver window): helper_sources()
+    walks every package-defined function the builder reaches through
+    module globals and feeds their sources into the hash, so a helper
+    rewrite re-queues every key that executes it.
     scripts/backfill_ledger_sigs.py replicates this definition against
     historical round-boundary trees; keep the two in sync."""
     h = hashlib.sha256()
     h.update(builder_src.encode())
     h.update(b"\x00")
     h.update((oracle or "").encode())
+    for src in helpers or ():
+        h.update(b"\x00")
+        h.update(src.encode())
     return h.hexdigest()[:16]
+
+
+_PKG_PREFIX = __name__.split(".")[0] + "."
+
+
+def _helper_walk(builder: Callable) -> tuple[list[str], set[str]]:
+    """Walk every package-defined function/class the builder reaches
+    TRANSITIVELY through module globals (plus any UPPER_CASE
+    simple-valued module constant referenced). Returns (sources sorted
+    by (module, qualname) for determinism, defining-file set). Name
+    resolution is static — co_names of the function's code object and
+    every nested code object — so dynamic dispatch through containers
+    is invisible; the full-registry parity run still covers that
+    residual class. scripts/backfill_ledger_sigs.py carries an inline
+    copy of the source walk for historical trees; keep them in sync."""
+    import types
+
+    simple = (int, float, str, bytes, bool, frozenset, tuple)
+    found: dict[tuple[str, str], str] = {}
+    files: set[str] = set()
+    seen: set[int] = {id(builder)}
+    stack = [builder]
+    while stack:
+        fn = stack.pop()
+        code = getattr(fn, "__code__", None)
+        g = getattr(fn, "__globals__", None)
+        if code is None or g is None:
+            continue
+        names: set[str] = set()
+        codes = [code]
+        while codes:
+            c = codes.pop()
+            names.update(c.co_names)
+            for const in c.co_consts:
+                if isinstance(const, types.CodeType):
+                    codes.append(const)
+        # `pkgmod.attr` references: co_names holds both the module name
+        # and the attribute name but not their pairing — resolve every
+        # referenced name against every referenced package module
+        # (conservative over-approximation; extra matches only make the
+        # signature MORE sensitive, never blind).
+        candidates: list = [(nm, g.get(nm)) for nm in names]
+        for _, obj in list(candidates):
+            if isinstance(obj, types.ModuleType) and (
+                obj.__name__.startswith(_PKG_PREFIX)
+                or obj.__name__ == _PKG_PREFIX[:-1]
+            ):
+                candidates.extend(
+                    (nm, getattr(obj, nm, None)) for nm in names
+                )
+        for nm, obj in candidates:
+            if obj is None or id(obj) in seen:
+                continue
+            mod = getattr(obj, "__module__", None) or ""
+            in_pkg = mod.startswith(_PKG_PREFIX) or mod == _PKG_PREFIX[:-1]
+            if isinstance(obj, types.FunctionType) and in_pkg:
+                seen.add(id(obj))
+                try:
+                    src = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    src = obj.__qualname__
+                found[(mod, obj.__qualname__)] = src
+                try:
+                    files.add(os.path.abspath(inspect.getfile(obj)))
+                except (OSError, TypeError):
+                    pass
+                stack.append(obj)
+            elif isinstance(obj, type) and in_pkg:
+                seen.add(id(obj))
+                try:
+                    src = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    src = obj.__qualname__
+                found[(mod, obj.__qualname__)] = src
+                try:
+                    files.add(os.path.abspath(inspect.getfile(obj)))
+                except (OSError, TypeError):
+                    pass
+            elif nm.isupper() and isinstance(obj, simple):
+                owner = getattr(fn, "__module__", "") or ""
+                found[(owner, f"const:{nm}")] = f"{nm}={obj!r}"
+    return [found[k] for k in sorted(found)], files
+
+
+def helper_sources(builder: Callable) -> list[str]:
+    """Deterministic transitive helper sources for sig_of (see
+    _helper_walk)."""
+    return _helper_walk(builder)[0]
+
+
+def helper_files(builder: Callable) -> set[str]:
+    """Absolute defining-file paths of the builder's transitive package
+    helpers (for the ledger merge's dirty-module check)."""
+    return _helper_walk(builder)[1]
 
 
 _SIG_CACHE: dict[str, str] = {}
@@ -137,7 +242,7 @@ def content_sig(name: str) -> str:
             src = inspect.getsource(spec.builder)
         except (OSError, TypeError):  # builder without retrievable source
             src = spec.builder.__qualname__
-        _SIG_CACHE[name] = sig_of(src, spec.oracle)
+        _SIG_CACHE[name] = sig_of(src, spec.oracle, helper_sources(spec.builder))
     return _SIG_CACHE[name]
 
 

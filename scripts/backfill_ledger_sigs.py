@@ -33,19 +33,73 @@ sys.path.insert(0, REPO)
 from database_cloner_spark.registry import sig_of  # noqa: E402
 from scripts.update_ledger import LEDGER, load_ledger  # noqa: E402
 
-# Runs inside each historical tree: emit {key: [builder_source, oracle]}
-# as JSON. Sources only — hashing happens in THIS process via sig_of.
+# Runs inside each historical tree: emit
+# {key: [builder_source, oracle, [helper sources...]]} as JSON. Sources
+# only — hashing happens in THIS process via sig_of. The helper walk is
+# carried INLINE (historical trees predate registry.helper_sources) but
+# must stay semantically identical to registry.helper_sources so the
+# definition cannot fork.
 _EXTRACT = r"""
-import inspect, json, sys
+import inspect, json, sys, types
 sys.path.insert(0, ".")
 from database_cloner_spark import registry
+
+_PKG = "database_cloner_spark."
+
+def _helpers(builder):
+    simple = (int, float, str, bytes, bool, frozenset, tuple)
+    found, seen, stack = {}, {id(builder)}, [builder]
+    while stack:
+        fn = stack.pop()
+        code = getattr(fn, "__code__", None)
+        g = getattr(fn, "__globals__", None)
+        if code is None or g is None:
+            continue
+        names, codes = set(), [code]
+        while codes:
+            c = codes.pop()
+            names.update(c.co_names)
+            for const in c.co_consts:
+                if isinstance(const, types.CodeType):
+                    codes.append(const)
+        candidates = [(nm, g.get(nm)) for nm in names]
+        for _, obj in list(candidates):
+            if isinstance(obj, types.ModuleType) and (
+                obj.__name__.startswith(_PKG) or obj.__name__ == _PKG[:-1]
+            ):
+                candidates.extend((nm, getattr(obj, nm, None)) for nm in names)
+        for nm, obj in candidates:
+            if obj is None or id(obj) in seen:
+                continue
+            mod = getattr(obj, "__module__", None) or ""
+            in_pkg = mod.startswith(_PKG) or mod == _PKG[:-1]
+            if isinstance(obj, types.FunctionType) and in_pkg:
+                seen.add(id(obj))
+                try:
+                    src = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    src = obj.__qualname__
+                found[(mod, obj.__qualname__)] = src
+                stack.append(obj)
+            elif isinstance(obj, type) and in_pkg:
+                seen.add(id(obj))
+                try:
+                    src = inspect.getsource(obj)
+                except (OSError, TypeError):
+                    src = obj.__qualname__
+                found[(mod, obj.__qualname__)] = src
+            elif nm.isupper() and isinstance(obj, simple):
+                owner = getattr(fn, "__module__", "") or ""
+                found[(owner, "const:" + nm)] = "%s=%r" % (nm, obj)
+    return [found[k] for k in sorted(found)]
+
 out = {}
 for name, spec in registry.specs().items():
     try:
         src = inspect.getsource(spec.builder)
     except (OSError, TypeError):
         src = spec.builder.__qualname__
-    out[name] = [src, spec.oracle]
+    out[name] = [src, spec.oracle, _helpers(spec.builder)]
 print(json.dumps(out))
 """
 
@@ -101,7 +155,9 @@ def main() -> None:
     for key, entry in ledger.items():
         srcs = per_round.get(entry["round"], {})
         if key in srcs:
-            entry["sig"] = sig_of(srcs[key][0], srcs[key][1])
+            row = srcs[key]
+            helpers = row[2] if len(row) > 2 else None
+            entry["sig"] = sig_of(row[0], row[1], helpers)
             filled += 1
         else:
             missing += 1

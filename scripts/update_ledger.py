@@ -107,21 +107,26 @@ def _dirty_source_files() -> set[str]:
 
 
 def _current_sig(key: str, dirty: set[str] | None = None) -> str | None:
-    """Signature of the key's CURRENT builder+oracle source — valid as
-    the verified-code signature only while the key's module is
-    unedited since the round boundary. None for keys no longer
-    registered (renamed/removed) and for keys whose implementing
-    module is DIRTY at merge time (see _dirty_source_files)."""
+    """Signature of the key's CURRENT builder+oracle+helper source —
+    valid as the verified-code signature only while the key's builder
+    module AND every transitive helper module are unedited since the
+    round boundary. None for keys no longer registered
+    (renamed/removed) and for keys whose implementing or helper module
+    is DIRTY at merge time (see _dirty_source_files)."""
     try:
         import inspect
 
-        from database_cloner_spark.registry import content_sig, specs
+        from database_cloner_spark.registry import (
+            content_sig,
+            helper_files,
+            specs,
+        )
 
         if dirty:
             spec = specs().get(key)
             if spec is not None:
                 f = os.path.abspath(inspect.getfile(spec.builder))
-                if f in dirty:
+                if f in dirty or helper_files(spec.builder) & dirty:
                     return None
         return content_sig(key)
     except Exception:

@@ -187,3 +187,42 @@ def test_every_current_ledger_entry_carries_a_sig():
     missing = [k for k, v in green.items()
                if "sig" not in v and k in registry.specs()]
     assert not missing, f"sig-less ledger entries: {missing}"
+
+
+def test_helper_module_edit_changes_content_sig():
+    """VERDICT r13 item 3: the r13 llm/dedup.py evaluator rewrite never
+    bumped q_dedup_embedding*'s signatures because sig_of saw only the
+    registered builder's own text. helper_sources must now reach the
+    evaluator transitively (builder -> dedup.embedding_neardup_pairs ->
+    _cos_pairs_in_group), and a changed helper source must change the
+    signature."""
+    import inspect
+
+    from database_cloner_spark import registry
+    from database_cloner_spark.llm import dedup
+
+    for key in ("q_dedup_embedding", "q_dedup_embedding_bucketed"):
+        spec = registry.get_query(key)
+        helpers = registry.helper_sources(spec.builder)
+        assert any("_cos_pairs_in_group" in h for h in helpers), key
+        src = inspect.getsource(spec.builder)
+        base = registry.sig_of(src, spec.oracle, helpers)
+        mutated = [h + "\n# edited" if "_cos_pairs_in_group" in h else h
+                   for h in helpers]
+        assert registry.sig_of(src, spec.oracle, mutated) != base, key
+        # and llm/dedup.py is in the dirty-check file set
+        files = registry.helper_files(spec.builder)
+        assert any(f.endswith("llm/dedup.py") for f in files), key
+
+
+def test_helper_walk_reaches_module_attribute_helpers():
+    """`pkgmod.attr` call sites (the dominant builder idiom) must
+    resolve: q_graph_pagerank reaches _pagerank_ranks via the joins
+    module's own globals, q_text_langid reaches language_id via the
+    llmtext module alias."""
+    from database_cloner_spark import registry
+
+    pr = registry.helper_sources(registry.get_query("q_graph_pagerank").builder)
+    assert any("def _pagerank_ranks" in h for h in pr)
+    lid = registry.helper_sources(registry.get_query("q_text_langid").builder)
+    assert any("def language_id" in h for h in lid)
