@@ -653,6 +653,20 @@ def _cos_pairs_in_group(threshold: float):
                 b = np.stack([cv[j] for j in ci])
                 na = np.sqrt(np.add.accumulate(a * a, axis=1)[:, -1])
                 nb = np.sqrt(np.add.accumulate(b * b, axis=1)[:, -1])
+                # Huge-magnitude guard (ADVICE r13): the pre-prune's
+                # "provably below threshold" bound assumes the
+                # SEQUENTIAL fold is finite. If Σ|a_i b_i| can reach
+                # DBL_MAX, the sequential fold may overflow to ±Inf
+                # (cosine Inf/Inf = NaN — a survivor) while the
+                # differently-ordered BLAS dot stays finite below
+                # threshold. Σ|a_i b_i| <= d·max|a|·max|b|, so pairs
+                # with amax·bmax >= DBL_MAX/(2d) are routed to the
+                # exact path unconditionally. Unreachable for
+                # array<float> inputs (max 3.4e38 squared ≪ bound) —
+                # this defends the float64-typed callers.
+                amax = np.max(np.abs(a), axis=1)
+                bmax = np.max(np.abs(b), axis=1)
+                huge_bound = np.finfo(np.float64).max / (2.0 * float(d))
                 # BLAS pre-prune (r13, after the sf1 decade-jump run
                 # showed the exact fold over ALL pairs dominating): a
                 # float64 dot under ANY summation order differs from
@@ -669,6 +683,13 @@ def _cos_pairs_in_group(threshold: float):
                 vmask = pvid[pi][:, None] < cvid[ci][None, :]
                 bt = b.T
                 rowchunk = max(1, _COS_CHUNK_ELEMS // max(1, len(ci)))
+                # The exact-fold product matrix is (kept_pairs × d);
+                # rowchunk only bounds the SCORE matrix, and in a
+                # collapsed/skewed cell nearly every pair survives the
+                # pre-prune — sub-chunk the survivor fold so the
+                # ordered-fold arrays stay <= _COS_CHUNK_ELEMS floats
+                # regardless of survivor density (ADVICE r13).
+                pairchunk = max(1, _COS_CHUNK_ELEMS // max(1, int(d)))
                 for s in range(0, len(pi), rowchunk):
                     rows = slice(s, s + rowchunk)
                     with np.errstate(
@@ -678,20 +699,34 @@ def _cos_pairs_in_group(threshold: float):
                             na[rows, None] * nb[None, :]
                         )
                         m = vmask[rows] & (
-                            ~np.isfinite(ac) | (ac >= threshold - 1e-6)
+                            ~np.isfinite(ac)
+                            | (ac >= threshold - 1e-6)
+                            | (
+                                (amax[rows, None] * bmax[None, :])
+                                >= huge_bound
+                            )
                         )
                     ii, jj = np.nonzero(m)
                     if not len(ii):
                         continue
                     ii = ii + s
-                    dots = np.add.accumulate(a[ii] * b[jj], axis=1)[:, -1]
-                    den = na[ii] * nb[jj]
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        cos = dots / den
-                    keep = (den != 0) & ((cos >= threshold) | np.isnan(cos))
-                    out["vec_a"].append(pvid[pi[ii[keep]]])
-                    out["vec_b"].append(cvid[ci[jj[keep]]])
-                    out["cosine"].append(cos[keep])
+                    for q in range(0, len(ii), pairchunk):
+                        qi = ii[q : q + pairchunk]
+                        qj = jj[q : q + pairchunk]
+                        dots = np.add.accumulate(
+                            a[qi] * b[qj], axis=1
+                        )[:, -1]
+                        den = na[qi] * nb[qj]
+                        with np.errstate(
+                            divide="ignore", invalid="ignore"
+                        ):
+                            cos = dots / den
+                        keep = (den != 0) & (
+                            (cos >= threshold) | np.isnan(cos)
+                        )
+                        out["vec_a"].append(pvid[pi[qi[keep]]])
+                        out["vec_b"].append(cvid[ci[qj[keep]]])
+                        out["cosine"].append(cos[keep])
         cat = {
             k: (np.concatenate(v) if v else np.array([], dtype=np.float64))
             for k, v in out.items()

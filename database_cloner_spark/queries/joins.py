@@ -710,41 +710,53 @@ def _pagerank_ranks(edges: DataFrame, iters: int = 5) -> DataFrame:
     vertex (a >=100k-leaf pure star) can trip it — if one ever does,
     drop _PR_SCALE (10^9 buys 1000x headroom at 9 exact digits). Every
     vertex of a symmetrized edge list has deg >= 1: no dangling-mass
-    correction needed. Shape per iteration: ONE shuffle (groupBy(dst) of
-    contributions) against the static degree-carrying edge list; edge
-    list and each rank table are lazily localCheckpointed — edges feed
-    all iterations, and AQE re-planning would otherwise re-run the
-    upstream edge build per iteration (the q_graph_triangles lesson).
-    Fixed iteration count = a static DAG of `iters` bounded stages on
-    a 1000-executor cluster; convergence stopping would need a
-    driver-side delta check between stages, deliberately avoided."""
+    correction needed.
+
+    Execution shape (r14 rewrite — results bit-identical, oracle
+    unchanged): all `iters` iterations chain in ONE query with a
+    LINEAR lineage. The r13 form localCheckpointed the rank table per
+    iteration, and a checkpointed scan reports UnknownPartitioning —
+    so EVERY iteration re-shuffled the degree-carrying edge list AND
+    the rank table twice (4 Exchanges/iteration, measured in the
+    executed plan). Three structural changes fix that (guide §2.4):
+    - the rank-update left join is GONE: in a symmetrized edge list
+      every vertex is some edge's dst, so every vertex receives >= 1
+      contribution per iteration and the left join's NULL arm
+      (coalesce(s, 0)) was dead code — the contribution aggregate
+      itself is the new rank table, with `deg` re-attached by ONE join
+      at the end (it only feeds the output column and rank div deg,
+      which rides the edge list);
+    - with ranks consumed ONCE per iteration the lineage is linear,
+      so no per-iteration checkpoint is needed and the plan holds all
+      iterations: the static edge-list subtree is canonically
+      identical under each iteration's join and ReuseExchange ships
+      its shuffle ONCE for the whole query (5 reads of one write);
+    - each iteration's groupBy output is already hash-partitioned on
+      the vertex id, which the NEXT iteration's join consumes in
+      place.
+    Net: ONE new Exchange per iteration (the contribution groupBy —
+    the information-theoretic floor), measured 116 -> 64 stages and
+    ~2x at the derived-sf1 decade jump. Fixed iteration count = a
+    static DAG of `iters` bounded stages on a 1000-executor cluster;
+    convergence stopping would need a driver-side delta check between
+    stages, deliberately avoided."""
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # carry deg on the edge so iterations never re-join the degree table
     ed = edges.join(deg, "src").localCheckpoint(eager=False)
-    ranks = deg.select(
-        "src", "deg", F.lit(_PR_SCALE).alias("rank")
-    ).localCheckpoint(eager=False)
+    ranks = deg.select("src", F.lit(_PR_SCALE).alias("rank"))
     for _ in range(iters):
-        contrib = (
-            ed.join(ranks.select("src", "rank"), "src")
+        ranks = (
+            ed.join(ranks, "src")
             .select(F.col("dst").alias("src"), F.expr("rank div deg").alias("c"))
             .groupBy("src")
             .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            ranks.select("src", "deg")
-            .join(contrib, "src", "left")
             .select(
                 "src",
-                "deg",
-                (
-                    F.lit(_PR_TELEPORT) + F.expr("(85 * coalesce(s, 0L)) div 100")
-                ).alias("rank"),
+                (F.lit(_PR_TELEPORT) + F.expr("(85 * s) div 100")).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.join(deg, "src").select("src", "deg", "rank")
 
 
 def _oracle_pagerank(iters: int = 5) -> str:

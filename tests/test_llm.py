@@ -981,3 +981,80 @@ def test_cos_pairs_in_group_edge_semantics():
     # NaN survives against BOTH unit vectors and the zero vector
     # ((3,4): den = nan*0 = nan != 0, cos nan)
     assert all(math.isnan(got[k]) for k in [(1, 3), (2, 3), (3, 4)])
+
+
+def test_cos_pairs_in_group_huge_and_dense_survivors():
+    """r14 hardening of the vectorized evaluator (ADVICE r13):
+    (a) huge-magnitude rows (where the sequential fold could overflow
+    to ±Inf while the differently-ordered BLAS pre-score stays finite)
+    must be routed to the exact path, never pruned — pinned against a
+    pure-python sequential-fold reference; (b) a collapsed cell where
+    EVERY pair survives (worst survivor density) emits all pairs with
+    the exact fold under the sub-chunked path."""
+    import numpy as np
+    import pandas as pd
+
+    from database_cloner_spark.llm.dedup import _cos_pairs_in_group
+
+    fn = _cos_pairs_in_group(0.35)
+
+    def seq_cosine(x, y):
+        dot = 0.0
+        nx = 0.0
+        ny = 0.0
+        for a, b in zip(x, y):
+            dot += a * b
+            nx += a * a
+            ny += b * b
+        den = nx**0.5 * ny**0.5
+        return float("nan") if den != den or dot != dot else (
+            None if den == 0 else dot / den
+        )
+
+    # (a) huge magnitudes: |element| ~ 1e170 -> products ~1e340 overflow
+    big = [1e170, -1e170] * 32
+    rows = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "v": [big, big, [1.0] * 64],
+            "has_null": [False] * 3,
+            "role": ["b"] * 3,
+        }
+    )
+    out = fn(rows)
+    got = {
+        (int(a), int(b)): c
+        for a, b, c in zip(out["vec_a"], out["vec_b"], out["cosine"])
+    }
+    # the sequential reference decides each pair's fate
+    import math
+
+    for pair, (x, y) in {
+        (1, 2): (big, big),
+        (1, 3): (big, [1.0] * 64),
+        (2, 3): (big, [1.0] * 64),
+    }.items():
+        ref = seq_cosine(x, y)
+        if ref is None or (not math.isnan(ref) and ref < 0.35):
+            assert pair not in got, pair
+        else:
+            assert pair in got, pair
+            if math.isnan(ref):
+                assert math.isnan(got[pair])
+            else:
+                assert got[pair] == ref
+
+    # (b) collapsed cell: 200 identical vectors, all 19900 pairs survive
+    n = 200
+    vec = [0.5] * 64
+    dense = pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "v": [vec] * n,
+            "has_null": [False] * n,
+            "role": ["b"] * n,
+        }
+    )
+    out2 = fn(dense)
+    assert len(out2) == n * (n - 1) // 2
+    assert np.all(out2["cosine"].to_numpy() == 1.0)
