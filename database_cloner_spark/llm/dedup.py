@@ -85,12 +85,31 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_intersections(
-    exploded: DataFrame, max_df: int | None
+    exploded: DataFrame,
+    max_df: int | None,
+    min_size_ratio: float | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, na, nb, inter) for every pair sharing >= 1 key —
     the shared reducer stage of the Jaccard and containment ops (see
     _jaccard_pairs_from_exploded for the shape rationale and the max_df
-    skew-cap semantics)."""
+    skew-cap semantics).
+
+    `min_size_ratio` (Jaccard callers pass their threshold) is the
+    EXACT length prune applied before the pair-count exchange:
+    J = i/(na+nb−i) with i <= min(na,nb), and since x <= y in the reals
+    implies fl(x) <= fl(y) (rounding is monotone), fl(min/max) <
+    threshold implies the downstream fl(inter/union) >= threshold
+    filter would discard the pair anyway — dropping it here is
+    result-identical and removes its rows from the pair exchange
+    (~15 % of the sf1 pair stream). Containment callers pass None
+    (containment has no min/max bound).
+
+    An r14 mapInArrow pair generator (vectorized triu-index explosion
+    replacing this interpreted nested-transform lambda) measured
+    NEUTRAL under the interleaved worktree A/B on all three family
+    keys at sf0.1 and derived sf1 — the lambda is not the family's
+    bottleneck at these pair volumes — and was reverted; the SQL form
+    stays (no Python boundary, no Arrow transport of posting lists)."""
     lists = (
         exploded.groupBy("__key")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "__n"))).alias("ds"))
@@ -108,6 +127,12 @@ def _pair_intersections(
             )
         ).alias("p")
     ).select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+    if min_size_ratio is not None:
+        pairs = pairs.filter(
+            F.least("na", "nb").cast("double")
+            / F.greatest("na", "nb").cast("double")
+            >= F.lit(min_size_ratio)
+        )
     return pairs.groupBy("doc_a", "doc_b", "na", "nb").agg(
         F.count("*").alias("inter")
     )
@@ -140,7 +165,7 @@ def _jaccard_pairs_from_exploded(
     the cap is REQUIRED, not optional: an uncapped posting list must
     fit in one reducer's memory, exactly the k² blow-up the cap exists
     to bound."""
-    inter = _pair_intersections(exploded, max_df)
+    inter = _pair_intersections(exploded, max_df, min_size_ratio=threshold)
     union = F.col("na") + F.col("nb") - F.col("inter")
     # filter on the raw ratio (identical int operands -> identical double
     # on both engines); OUTPUT via integer-exact rounding (round4_ratio)

@@ -77,8 +77,30 @@ PLAN = {
     # brings NEW names); enum-like columns (brand, type, mktsegment,
     # status) stay untouched so group-by cardinalities scale
     # realistically (they don't grow with volume)
-    "customer": (["c_custkey"], {"c_name": lambda i: _cipher("c_name", i)}),
-    "supplier": (["s_suppkey"], {"s_name": lambda i: _cipher("s_name", i)}),
+    # acctbal shifts by copy * 11000 (the TPC-H acctbal domain is
+    # [-999.99, 9999.99], width < 11000): real 10x volume growth widens
+    # the value domain with the data instead of packing 10x the
+    # intervals into the same band range — without this, the
+    # fixed-domain artifact made q_join_interval_overlap's overlap-pair
+    # count grow ~100x over the decade jump (the only key over the
+    # ~12x wall criterion in r13, annotated as a fixture artifact;
+    # VERDICT r13 item 8 asked for the measurement to be made honest).
+    # Copies never band-overlap (11000 > 500 + 500), so pair growth is
+    # linear, which is what its own annotation argued real growth does.
+    "customer": (
+        ["c_custkey"],
+        {
+            "c_name": lambda i: _cipher("c_name", i),
+            "c_acctbal": lambda i: f"c_acctbal + {i * 11000}",
+        },
+    ),
+    "supplier": (
+        ["s_suppkey"],
+        {
+            "s_name": lambda i: _cipher("s_name", i),
+            "s_acctbal": lambda i: f"s_acctbal + {i * 11000}",
+        },
+    ),
     "part": (["p_partkey"], {"p_name": lambda i: _cipher("p_name", i)}),
     "orders": (["o_orderkey", "o_custkey"], {}),
     "lineitem": (["l_orderkey", "l_partkey", "l_suppkey"], {}),

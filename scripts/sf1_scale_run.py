@@ -38,15 +38,21 @@ DETAIL = os.path.join(REPO, "BENCH_DETAIL.json")
 # (the "quadratic by design -> annotate" branch of the pass criterion).
 # An unannotated key over 12x is still a defect.
 ANNOTATIONS = {
+    # r14: the fixed-domain artifact this annotation described is FIXED
+    # in the fixture itself — build_sf1_derived.py now shifts acctbal by
+    # copy * 11000 so the value domain grows with the data and overlap
+    # pairs grow linearly, the honest 100 TB shape (VERDICT r13 item 8).
+    # The annotation stays for any older fixture directory still on
+    # disk; rebuild with scripts/build_sf1_derived.py to measure the key
+    # without the artifact.
     "q_join_interval_overlap": (
         "overlap-pair COUNT is the operator's semantic work product and "
-        "grows ~densityA x densityB: both acctbal interval sets get 10x "
-        "denser over the FIXED [-999, 9999] value domain, so the derived "
-        "decade jump carries ~100x pairs; ~12x wall for ~100x pairs is "
-        "strongly sublinear in pair work (grid cells parallelize). At "
-        "100 TB the domain grows with the data (real corpora don't pack "
-        "10x the intervals into the same band range), which restores "
-        "linear pair growth; the grid form's replication factor stays 2."
+        "grows ~densityA x densityB when both acctbal interval sets get "
+        "10x denser over a FIXED [-999, 9999] value domain (pre-r14 "
+        "fixtures; ~100x pairs, ~12x wall was strongly sublinear). The "
+        "r14 fixture shifts acctbal per copy so the domain grows with "
+        "the data and pair growth is linear; the grid form's "
+        "replication factor stays 2."
     ),
 }
 
