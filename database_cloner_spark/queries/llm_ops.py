@@ -1094,7 +1094,18 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = F.col("__toks")
     n_tokens = F.size(t)
-    s = F.size(F.filter(t, lambda x: x.isin(*STOPWORDS)))
+    # Stopword count via ONE regex pass over the normalized text
+    # instead of filter(t, x -> x.isin(...)): the HOF runs the lambda
+    # interpreter per token (5 string equalities each; measured ~3 s of
+    # this key's ~8 s at derived sf1 — r14 decomposition), while
+    # regexp_count is a single compiled scan. Exactly equivalent on
+    # normalized() text: tokens are the single-space splits, and the
+    # non-consuming lookarounds anchor each alternative to whole-token
+    # boundaries (consecutive stopwords all match — the lookbehind
+    # space is not consumed). Empty norm_text splits to [''], which
+    # matches no alternative on either form.
+    sw_re = "(?<=^| )(" + "|".join(STOPWORDS) + ")(?= |$)"
+    s = F.regexp_count("norm_text", F.lit(sw_re))
     d = F.size(F.array_distinct(t))
     # integer-arithmetic round-half-up — see llm/text.py round4_ratio
     quality = llmtext.round4_ratio(

@@ -1058,3 +1058,35 @@ def test_cos_pairs_in_group_huge_and_dense_survivors():
     out2 = fn(dense)
     assert len(out2) == n * (n - 1) // 2
     assert np.all(out2["cosine"].to_numpy() == 1.0)
+
+
+def test_curate_stopword_regex_equals_hof_count(spark):
+    """r14: q_curate_corpus counts stopword tokens with one
+    regexp_count over the normalized text instead of the per-token
+    filter(isin) HOF. Pin exact equivalence on adversarial token
+    layouts: consecutive stopwords, stopword-prefixed words (android,
+    oft), stopwords at both ends, empty text, single stopword, and a
+    stopword-free doc."""
+    from pyspark.sql import functions as F
+
+    from database_cloner_spark.llm.text import STOPWORDS
+
+    rows = [
+        ("the a of and in",),          # all stopwords, consecutive
+        ("a a a a",),                  # repeated single-char stopword
+        ("android oft theory inn",),   # stopword-prefixed non-matches
+        ("the android the",),          # stopwords at both ends
+        ("",),                         # empty -> split gives ['']
+        ("in",),                       # single stopword, no spaces
+        ("quick brown fox",),          # none
+        ("of course of course of",),   # interleaved
+    ]
+    df = spark.createDataFrame(rows, "norm_text string")
+    toks = F.split(F.col("norm_text"), " ")
+    hof = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    sw_re = "(?<=^| )(" + "|".join(STOPWORDS) + ")(?= |$)"
+    rx = F.regexp_count("norm_text", F.lit(sw_re))
+    bad = df.select("norm_text", hof.alias("h"), rx.alias("r")).filter(
+        F.col("h") != F.col("r")
+    )
+    assert bad.count() == 0, bad.collect()
